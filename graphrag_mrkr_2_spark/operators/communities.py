@@ -1,0 +1,186 @@
+"""S10: community detection (G1-G5).
+
+Reference flow (core/graph_clustering.py:213-282): fetch whole graph into
+pandas → igraph Leiden (modularity, resolution 1.0) → write community_id
+back. Single-process — the reference's clearest scale bottleneck (SURVEY
+§3.3).
+
+Spark-first re-architecture:
+  G1 edge projection: least/greatest canonicalization + dropDuplicates
+     (graph_clustering.py:39-75).
+  G2 weight normalization: per-edge-type preference chain
+     SIMILAR_TO→(similarity, score), RELATED_TO→(strength,), generic
+     fallback weight→similarity→score→strength→1.0, then drop
+     < clustering_min_edge_weight (leiden_utils.py:22-73,
+     graph_clustering.py:78-103; settings.py:434-436).
+  G3 clustering: connected components FIRST (distributed, graphalgo.py) —
+     at web scale components are overwhelmingly small; each component is
+     then clustered independently inside applyInPandas with
+     networkx.louvain_communities (seeded — the same greedy-modularity
+     family as Leiden; python-igraph is unavailable here and the interface
+     point is identical). Giant components exceeding ``max_component_size``
+     fall back to component-as-community rather than OOMing an executor.
+  G4 membership writeback: a join, not per-row SETs
+     (graph_clustering.py:179-210).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .graphalgo import connected_components
+
+
+def normalize_edge_weights(
+    edges: DataFrame,
+    type_col: str = "edge_type",
+    min_edge_weight: float = 0.0,
+) -> DataFrame:
+    """G2 — coalesce weight per edge label preference (leiden_utils.py:22-73)."""
+
+    def col_or_null(name: str):
+        return F.col(name) if name in edges.columns else F.lit(None).cast("double")
+
+    similar = F.coalesce(col_or_null("similarity"), col_or_null("score"))
+    related = col_or_null("strength")
+    generic = F.coalesce(
+        col_or_null("weight"), col_or_null("similarity"), col_or_null("score"), col_or_null("strength")
+    )
+    weight = (
+        F.when(F.col(type_col) == "SIMILAR_TO", F.coalesce(similar, generic))
+        .when(F.col(type_col) == "RELATED_TO", F.coalesce(related, generic))
+        .otherwise(generic)
+    )
+    weight = F.coalesce(weight, F.lit(1.0)).cast("double")
+    out = edges.withColumn("weight", weight)
+    if min_edge_weight > 0.0:
+        out = out.where(F.col("weight") >= min_edge_weight)
+    return out
+
+
+def project_edges(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """G1 — undirected canonical projection (graph_clustering.py:39-75)."""
+    return (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("src"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("dst"),
+            F.col("weight"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.max("weight").alias("weight"))
+    )
+
+
+_MEMBERSHIP_SCHEMA = StructType(
+    [
+        StructField("node", StringType(), False),
+        StructField("community_id", LongType(), False),
+        StructField("level", LongType(), False),
+    ]
+)
+
+
+def detect_communities(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    resolution: float = 1.0,
+    seed: int = 42,
+    max_component_size: int = 2_000_000,
+    level: int = 0,
+) -> DataFrame:
+    """G3 — CC then per-component Louvain/Leiden-style modularity clustering.
+
+    Returns (node, community_id, level). Community ids are globally unique:
+    xxhash64 of (component, local community min node) — deterministic across
+    runs and cluster sizes (no driver-side counters).
+    """
+    cc = connected_components(edges, src_col, dst_col)
+
+    tagged = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), F.col(weight_col).alias("weight"))
+        .join(cc.withColumnRenamed("node", "src"), "src")
+    )
+
+    def _cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        import networkx as nx
+
+        if len(pdf) > max_component_size:
+            # degrade gracefully: component = one community
+            nodes = pd.unique(pd.concat([pdf["src"], pdf["dst"]]))
+            comp = pdf["component"].iloc[0]
+            cid = pd.util.hash_pandas_object(pd.Series([comp])).iloc[0] % (2**62)
+            return pd.DataFrame(
+                {"node": nodes, "community_id": int(cid), "level": level}
+            )
+        g = nx.Graph()
+        for s, d, w in zip(pdf["src"], pdf["dst"], pdf["weight"]):
+            prev = g.get_edge_data(s, d, default={"weight": 0.0})["weight"]
+            g.add_edge(s, d, weight=max(prev, float(w)))
+        comms = nx.community.louvain_communities(
+            g, weight="weight", resolution=resolution, seed=seed
+        )
+        rows = []
+        for members in comms:
+            anchor = min(str(m) for m in members)
+            cid = _stable_id(anchor)
+            for m in members:
+                rows.append({"node": m, "community_id": cid, "level": level})
+        return pd.DataFrame(rows, columns=["node", "community_id", "level"])
+
+    return tagged.groupBy("component").applyInPandas(_cluster, _MEMBERSHIP_SCHEMA)
+
+
+def _stable_id(anchor: str) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.sha1(anchor.encode()).digest()[:8], "big") % (2**62)
+
+
+def write_membership(nodes: DataFrame, membership: DataFrame, id_col: str = "entity_id") -> DataFrame:
+    """G4 — join membership onto the node table (graph_clustering.py:179-210)."""
+    return nodes.join(
+        membership.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("level", F.coalesce(F.col("level"), F.lit(0)))
+
+
+def community_summaries(
+    nodes_with_membership: DataFrame,
+    top_entities: int = 10,
+) -> DataFrame:
+    """G5 (non-LLM core) — per-community aggregates feeding the summarizer
+    (core/community_summarizer.py:21-175): member count, top entities by
+    mention_count, mean importance. The LLM text generation is an optional
+    mapInPandas stage at deployment (out of the P/R-critical path)."""
+    return (
+        nodes_with_membership.where(F.col("community_id").isNotNull())
+        .groupBy("community_id", "level")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.avg("importance_score").alias("avg_importance"),
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("mention_count").cast("long").alias("mc"), F.col("name"))),
+                    lambda a, b: F.when(a["mc"] > b["mc"], -1).when(a["mc"] < b["mc"], 1).otherwise(
+                        F.when(a["name"] < b["name"], -1).when(a["name"] > b["name"], 1).otherwise(0)
+                    ),
+                ),
+                1,
+                top_entities,
+            ).alias("top_members"),
+        )
+        .withColumn("top_entities", F.transform(F.col("top_members"), lambda s: s["name"]))
+        .drop("top_members")
+    )

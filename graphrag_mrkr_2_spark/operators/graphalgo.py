@@ -1,0 +1,122 @@
+"""Distributed graph algorithms: connected components (large-star/small-star).
+
+The reference has no distributed graph code (clustering pulls the whole graph
+into one process, core/graph_clustering.py:25-75). At 10^12-document scale
+entity resolution and community pre-partitioning need a shuffle-based
+connected-components — implemented here as the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14) as a DataFrame loop:
+
+  large-star: for every node u, link every *larger* neighbor to u's minimum
+              neighborhood label;
+  small-star: link every *smaller-or-equal* neighbor (and u) to the minimum.
+
+Each round is two hash aggregations + a join; converges in O(log n) rounds
+even on path graphs. Works on any orderable id type (we use the node id
+strings directly — no global re-indexing shuffle needed). Every k rounds the
+edge list is localCheckpoint()-ed to truncate lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select("u", "v")
+        .unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u over its SYMMETRIC neighborhood N(u):
+    m = min(N(u) ∪ {u}); emit (v, m) for every strictly larger neighbor
+    v > u. (Kiveris et al. §3, Algorithm 2.)"""
+    sym = _symmetric(edges)
+    nbrs = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m"),
+        F.collect_set("v").alias("vs"),
+    )
+    return (
+        nbrs.select("u", "m", F.explode("vs").alias("v"))
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient every edge (big → small); for each node u over its smaller
+    neighborhood: m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u) ∪ {u}.
+    (Kiveris et al. §3, Algorithm 3.)"""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    nbrs = oriented.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m"),
+        F.collect_set("v").alias("vs"),
+    )
+    linked = nbrs.select("u", "m", F.explode("vs").alias("v")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_link = nbrs.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        linked.unionByName(self_link)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "u",
+    dst_col: str = "v",
+    max_iterations: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Edge list → (node, component) with component = min node id (orderable).
+
+    Input may be directed/undirected/duplicated; isolated nodes (no edges)
+    are the caller's concern (left-join the node table afterwards and
+    coalesce(component, node)).
+    """
+    e = _symmetric(
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    )
+    prev = None
+    for i in range(max_iterations):
+        e = _large_star(e)
+        e = _small_star(e)
+        if (i + 1) % checkpoint_every == 0:
+            e = e.localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if prev == cur:
+            break
+        prev = cur
+
+    # after convergence every edge points a node at its component minimum
+    comp = e.groupBy("u").agg(F.min("v").alias("component"))
+    comp = comp.withColumn(
+        "component", F.least(F.col("component"), F.col("u"))
+    ).select(F.col("u").alias("node"), "component")
+    # roots that only ever appear as targets
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .join(comp, "node", "left_anti")
+        .withColumn("component", F.col("node"))
+    )
+    return comp.unionByName(roots)

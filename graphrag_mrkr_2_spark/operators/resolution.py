@@ -1,0 +1,158 @@
+"""S7: entity resolution — LSH blocking + scoring + connected components.
+
+The reference resolves entities only by exact normalized-name identity (C6,
+md5(lower(name))) plus manual merge_nodes curation (C8,
+core/graph_db.py:799-902) and entity SIMILAR_TO edges (J2). The north star
+requires automatic cross-document ER at scale: minhash-LSH candidate
+blocking over name character-3-grams, similarity scoring, and a
+connected-components canonical mapping (BASELINE.json north_star).
+
+Pipeline:
+ 1. blocking: character n-gram minhash over normalized names, banded LSH →
+    candidate pairs (one bucket-keyed shuffle; no quadratic blowup);
+ 2. scoring: exact n-gram Jaccard (cheap, JVM) and optionally embedding
+    cosine on the candidate pairs only;
+ 3. match graph: pairs with score >= τ;
+ 4. canonicalization: connected components (graphalgo.py) → canonical_id =
+    min(entity_id) per component;
+ 5. application: broadcast-join the (entity_id → canonical_id) mapping onto
+    nodes/edges — the C8 "redirect edges" semantics as one join instead of
+    per-node APOC calls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .graphalgo import connected_components
+
+
+def name_char_ngrams(name_col, n: int = 3):
+    """Distinct character n-grams of lower(name) (padded for short names)."""
+    padded = F.concat(F.lit(" "), F.lower(F.trim(name_col)), F.lit(" "))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(padded, i, n).cast("string")))
+
+
+def _char_ngrams_expr(name_col, n: int):
+    padded = F.concat(F.lit(" "), F.lower(F.trim(name_col)), F.lit(" "))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: padded.substr(i, F.lit(n))))
+
+
+def candidate_pairs(
+    entities: DataFrame,
+    id_col: str = "entity_id",
+    name_col: str = "name",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH candidate pairs (id1 < id2) from banded minhash over name n-grams."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    g = entities.select(
+        F.col(id_col).alias("id"),
+        _char_ngrams_expr(F.col(name_col), n).alias("grams"),
+    )
+    def _minhash(i: int):
+        # closure factory — see dedup.minhash_signatures (lambda-default
+        # params are misread as (element, index) higher-order lambdas)
+        return F.array_min(F.transform(F.col("grams"), lambda s: F.xxhash64(s, F.lit(i))))
+
+    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
+    sigs = g.select("id", sig.alias("signature"))
+    band_entries = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[F.col("signature")[b * r + j].cast("string") for j in range(r)],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = band_entries.alias("a"), band_entries.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+
+
+def score_pairs(
+    pairs: DataFrame,
+    entities: DataFrame,
+    id_col: str = "entity_id",
+    name_col: str = "name",
+    n: int = 3,
+) -> DataFrame:
+    """Exact name n-gram Jaccard on candidate pairs only."""
+    g = entities.select(
+        F.col(id_col).alias("id"), _char_ngrams_expr(F.col(name_col), n).alias("grams")
+    )
+    return (
+        pairs.join(g.withColumnRenamed("id", "id1").withColumnRenamed("grams", "g1"), "id1")
+        .join(g.withColumnRenamed("id", "id2").withColumnRenamed("grams", "g2"), "id2")
+        .withColumn("inter", F.size(F.array_intersect("g1", "g2")))
+        .withColumn("jaccard", F.col("inter") / (F.size("g1") + F.size("g2") - F.col("inter")))
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def entity_mapping(
+    entities: DataFrame,
+    id_col: str = "entity_id",
+    name_col: str = "name",
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(entity_id → canonical_id) via LSH → Jaccard ≥ τ → CC (min id root)."""
+    cands = candidate_pairs(entities, id_col, name_col, n, num_hashes, bands)
+    matches = score_pairs(cands, entities, id_col, name_col, n).where(
+        F.col("jaccard") >= threshold
+    )
+    comp = connected_components(matches, "id1", "id2")
+    all_ids = entities.select(F.col(id_col).alias("node")).distinct()
+    return (
+        all_ids.join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("component"), F.col("node")).alias("canonical_id"),
+        )
+    )
+
+
+def apply_mapping(
+    df: DataFrame, mapping: DataFrame, cols: list[str], id_col: str = "entity_id"
+) -> DataFrame:
+    """Rewrite the given id columns through the canonical mapping
+    (broadcast join per column — C8's edge redirect as joins)."""
+    out = df
+    for c in cols:
+        m = mapping.select(
+            F.col(id_col).alias(c), F.col("canonical_id").alias(f"__canon_{c}")
+        )
+        out = (
+            out.join(F.broadcast(m), c, "left")
+            .withColumn(c, F.coalesce(F.col(f"__canon_{c}"), F.col(c)))
+            .drop(f"__canon_{c}")
+        )
+    return out

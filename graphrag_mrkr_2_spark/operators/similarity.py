@@ -1,0 +1,148 @@
+"""S9: embeddings + SIMILAR_TO edges (J1 chunk-chunk, J2 entity-entity).
+
+Reference semantics:
+- embeddings: OpenAI ada-002 in the reference (core/embeddings.py:152-330);
+  here a deterministic hash embedding via mapInPandas (tests/bench), with the
+  same seam taking a real client at deployment.
+- chunk-chunk similarity (J1, core/graph_db.py:2030-2088): within-document
+  all-pairs cosine, keep pairs >= similarity_threshold (0.7), per source
+  chunk top max_similarity_connections (5) by similarity with rank,
+  persisted as undirected SIMILAR_TO {score, rank} (:1992-2011).
+- entity-entity similarity (J2, core/graph_db.py:2134-2286): same pattern
+  over entity embeddings, skipping identical (name, type) pairs, MERGE
+  SIMILAR_TO {similarity}.
+
+Spark shape: a within-document self-join is shuffle-partitioned by
+document_id (docs are small → no skew blowup); the global entity variant is
+quadratic and therefore gated behind LSH bucketing (bucket column from
+ann.hyperplane_buckets) — at 10^12 docs J1 stays per-doc (linear), J2 runs
+bucketed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType
+from pyspark.sql.window import Window
+
+from ..functions.embeddings import DEFAULT_DIM, pseudo_embed_many
+
+
+def with_embeddings(
+    df: DataFrame, text_col: str = "content", out_col: str = "embedding", dim: int = DEFAULT_DIM
+) -> DataFrame:
+    """T8 — deterministic pseudo-embedding (FIXTURES.md F5) via pandas UDF."""
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _embed(texts: pd.Series) -> pd.Series:
+        mat = pseudo_embed_many(texts.fillna("").tolist(), dim)
+        return pd.Series(list(mat))
+
+    return df.withColumn(out_col, _embed(F.col(text_col)))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def _cosine(a, b):
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    return _dot(da, db) / (_norm(da) * _norm(db))
+
+
+def chunk_similarity_edges(
+    chunks: DataFrame,
+    threshold: float = 0.7,
+    max_connections: int = 5,
+    id_col: str = "chunk_id",
+    doc_col: str = "document_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """J1 — within-document SIMILAR_TO edges with per-source rank.
+
+    Directed top-k per source first (rank semantics of graph_db.py:2056-2083),
+    then undirected canonicalization (least/greatest) keeping the best
+    (score, min rank) per pair — matching the MERGE-undirected persistence.
+    """
+    left = chunks.select(
+        F.col(doc_col).alias("doc"), F.col(id_col).alias("src"), F.col(vec_col).alias("v1")
+    )
+    right = chunks.select(
+        F.col(doc_col).alias("doc"), F.col(id_col).alias("dst"), F.col(vec_col).alias("v2")
+    )
+    pairs = (
+        left.join(right, "doc")
+        .where(F.col("src") != F.col("dst"))
+        .withColumn("score", _cosine(F.col("v1"), F.col("v2")))
+        .where(F.col("score") >= threshold)
+    )
+    w = Window.partitionBy("doc", "src").orderBy(F.desc("score"), F.asc("dst"))
+    ranked = pairs.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= max_connections
+    )
+    return (
+        ranked.select(
+            F.col("doc").alias("document_id"),
+            F.least(F.col("src"), F.col("dst")).alias("id1"),
+            F.greatest(F.col("src"), F.col("dst")).alias("id2"),
+            F.col("score"),
+            F.col("rank"),
+        )
+        .groupBy("document_id", "id1", "id2")
+        .agg(F.max("score").alias("score"), F.min("rank").alias("rank"))
+        .withColumn("edge_type", F.lit("SIMILAR_TO"))
+    )
+
+
+def entity_similarity_edges(
+    nodes: DataFrame,
+    threshold: float = 0.7,
+    max_connections: int = 5,
+    id_col: str = "entity_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """J2 — entity SIMILAR_TO edges (global).
+
+    ``bucket_col``: when set (e.g. from ann.hyperplane_buckets), the
+    self-join runs within buckets — the scale path. Without it the join is
+    exact-quadratic (tests / small graphs only).
+    """
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")] + (
+        [F.col(bucket_col).alias("b")] if bucket_col else []
+    )
+    v = nodes.select(*cols)
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.id") != F.col("b.id")
+    if bucket_col:
+        join = a.join(b, F.col("a.b") == F.col("b.b")).where(cond)
+    else:
+        join = a.crossJoin(b).where(cond)
+    pairs = join.select(
+        F.col("a.id").alias("src"),
+        F.col("b.id").alias("dst"),
+        _cosine(F.col("a.v"), F.col("b.v")).alias("similarity"),
+    ).where(F.col("similarity") >= threshold)
+    w = Window.partitionBy("src").orderBy(F.desc("similarity"), F.asc("dst"))
+    ranked = pairs.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= max_connections
+    )
+    return (
+        ranked.select(
+            F.least(F.col("src"), F.col("dst")).alias("id1"),
+            F.greatest(F.col("src"), F.col("dst")).alias("id2"),
+            F.col("similarity"),
+        )
+        .groupBy("id1", "id2")
+        .agg(F.max("similarity").alias("similarity"))
+        .withColumn("edge_type", F.lit("SIMILAR_TO"))
+    )

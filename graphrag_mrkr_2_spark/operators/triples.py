@@ -1,0 +1,406 @@
+"""S4-S8: triple extraction (with gleaning), consolidation, canonicalization.
+
+Reference semantics replicated (SURVEY §2.3/§2.4):
+
+  per chunk (inside one Arrow batch, chunk-local → mapInPandas):
+    LLM pass 1 + gleaning passes        entity_extraction.py:879-1044
+    tuple_v1 parse                      tuple_parser.py:69-344
+    low-value filter                    entity_extraction.py:443-468
+    per-chunk dedup + normalization     entity_extraction.py:470-513
+  per document (groupBy aggregations):
+    global dedup                        entity_extraction.py:1142-1148
+    endpoint semi-join (drop rels with  entity_extraction.py:1152-1163,
+    missing endpoints)                  :1279
+    importance >= 0.3 / strength >= 0.4 document_processor.py:1096-1125
+    entity merge (desc set-union,       entity_graph.py:132-198
+    mean importance, mention counts)
+    relationship merge (strength SUM,   entity_graph.py:217-290
+    desc set-union, directed key
+    (source, target, rel_type))
+  global:
+    entity id md5(lower(name))[:16]     entity_graph.py:400-404
+    node MERGE by name / edge MERGE by  entity_graph.py:424-480
+    (source_name, target_name, type)
+
+Documented divergences (none affect (subj, pred, obj) identity — SURVEY §7.4):
+- importance averaging is the reference's order-dependent pairwise mean; we
+  use the arithmetic mean (exact for the entity_graph stage, which the
+  reference itself computes as a running mean ≡ arithmetic mean).
+- when one name carries several types, the reference keeps the dict-insertion
+  "last" type (entity_extraction.py:1147); we keep the lexicographically
+  greatest type deterministically.
+- description keep-longer tie-breaks are first-seen in the reference;
+  max_by(length) here.
+
+Scale notes:
+- extraction is chunk-local: no shuffle; Arrow batch size bounds UDF memory.
+- every groupBy below benefits from Spark's built-in partial (map-side)
+  aggregation; mega-entity keys ("THE"-like) produce one partial row per map
+  partition, so the final reduce sees O(#partitions) rows per key, not
+  O(#mentions). Provenance arrays can be capped via ``provenance_cap``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.extraction import extract_chunk_with_gleaning
+from ..functions.mock_llm import mock_llm_response
+
+MENTION_SCHEMA = StructType(
+    [
+        StructField("kind", StringType(), False),  # 'entity' | 'relationship'
+        StructField("chunk_id", StringType(), False),
+        StructField("document_id", StringType(), False),
+        StructField("name", StringType(), True),  # entity name / rel source
+        StructField("type", StringType(), True),  # entity type / rel type
+        StructField("target", StringType(), True),  # rel target (null for entity)
+        StructField("description", StringType(), True),
+        StructField("importance", DoubleType(), True),
+        StructField("strength", DoubleType(), True),
+        StructField("source_chunks", ArrayType(StringType()), True),
+    ]
+)
+
+
+def extract_mentions(
+    chunks: DataFrame,
+    llm: Callable[[str, str, int], str] = mock_llm_response,
+    max_gleanings: int = 1,
+    content_col: str = "content",
+) -> DataFrame:
+    """S4+S5: run the gleaning extraction per chunk, emit mention rows.
+
+    One union table ('entity'/'relationship' rows) so the LLM runs once per
+    chunk; split with ``entity_mentions``/``relationship_mentions`` below.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for rec in pdf.itertuples(index=False):
+                chunk_id = rec.chunk_id
+                doc_id = rec.document_id
+                text = getattr(rec, content_col) or ""
+                entities, relationships = extract_chunk_with_gleaning(
+                    text, chunk_id, llm, max_gleanings=max_gleanings
+                )
+                for e in entities:
+                    rows.append(
+                        {
+                            "kind": "entity",
+                            "chunk_id": chunk_id,
+                            "document_id": doc_id,
+                            "name": e["name"],
+                            "type": e["type"],
+                            "target": None,
+                            "description": e["description"],
+                            "importance": e["importance_score"],
+                            "strength": None,
+                            "source_chunks": e["source_chunks"],
+                        }
+                    )
+                for r in relationships:
+                    rows.append(
+                        {
+                            "kind": "relationship",
+                            "chunk_id": chunk_id,
+                            "document_id": doc_id,
+                            "name": r["source_entity"],
+                            "type": r["relationship_type"],
+                            "target": r["target_entity"],
+                            "description": r["description"],
+                            "importance": None,
+                            "strength": r["strength"],
+                            "source_chunks": r["source_chunks"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in MENTION_SCHEMA.fields])
+
+    return chunks.select("chunk_id", "document_id", content_col).mapInPandas(
+        _extract, MENTION_SCHEMA
+    )
+
+
+def entity_mentions(mentions: DataFrame) -> DataFrame:
+    return mentions.where(F.col("kind") == "entity").select(
+        "chunk_id",
+        "document_id",
+        "name",
+        "type",
+        "description",
+        F.col("importance").alias("importance_score"),
+        "source_chunks",
+    )
+
+
+def relationship_mentions(mentions: DataFrame) -> DataFrame:
+    return mentions.where(F.col("kind") == "relationship").select(
+        "chunk_id",
+        "document_id",
+        F.col("name").alias("source_entity"),
+        F.col("target").alias("target_entity"),
+        F.col("type").alias("relationship_type"),
+        "description",
+        "strength",
+        "source_chunks",
+    )
+
+
+# ---------------------------------------------------------------------------
+# S6: per-document consolidation + canonicalization (C1-C6, X9, X10)
+# ---------------------------------------------------------------------------
+
+
+def _union_sorted_chunks(col_name: str, cap: int | None):
+    arr = F.array_sort(F.array_distinct(F.flatten(F.collect_list(F.col(col_name)))))
+    if cap is not None:
+        arr = F.slice(arr, 1, cap)
+    return arr
+
+
+def _desc_set_union():
+    """Sorted set-union of newline-split, non-empty descriptions, '\\n'-joined.
+
+    entity_graph.py:163-167 / :261-269 — descriptions accumulate as a sorted,
+    deduplicated newline-joined set.
+    """
+    parts = F.flatten(F.collect_list(F.split(F.col("description"), "\n")))
+    cleaned = F.array_sort(
+        F.array_distinct(F.filter(F.transform(parts, lambda x: F.trim(x)), lambda x: x != ""))
+    )
+    return F.array_join(cleaned, "\n")
+
+
+def consolidate_entities_per_doc(
+    ents: DataFrame, provenance_cap: int | None = None
+) -> DataFrame:
+    """X9 global dedup + entity-dict collapse, per document.
+
+    Stage 1 — key (lower(name), type) (entity_extraction.py:494):
+    merge provenance, keep longest description, mean importance.
+    Stage 2 — key name only (dict at entity_extraction.py:1147): one
+    representative per name (type divergence documented above), then the
+    EntityGraph merge (C3) which — with one row per (name) — reduces to
+    identity, so both stages fuse into the aggregations below.
+    """
+    stage1 = (
+        ents.groupBy("document_id", F.lower(F.col("name")).alias("name_key"), "type")
+        .agg(
+            F.first("name").alias("name"),
+            F.max_by("description", F.length("description")).alias("description"),
+            F.avg("importance_score").alias("importance_score"),
+            _union_sorted_chunks("source_chunks", provenance_cap).alias("source_chunks"),
+            F.count(F.lit(1)).alias("mention_count"),
+        )
+        .drop("name_key")
+    )
+    # stage 2: one row per (document_id, upper(name)) — reference dict keyed
+    # on entity.name.upper().strip() keeps a single representative.
+    w_key = F.upper(F.trim(F.col("name")))
+    stage2 = (
+        stage1.withColumn("name_key", w_key)
+        .groupBy("document_id", "name_key")
+        .agg(
+            F.first("name").alias("name"),
+            F.max("type").alias("type"),
+            F.max_by("description", F.length("description")).alias("description"),
+            F.avg("importance_score").alias("importance_score"),
+            _union_sorted_chunks("source_chunks", provenance_cap).alias("source_chunks"),
+            F.sum("mention_count").alias("mention_count"),
+        )
+        .drop("name_key")
+    )
+    return stage2
+
+
+def consolidate_relationships_per_doc(
+    rels: DataFrame,
+    entities_doc: DataFrame,
+    strength_threshold: float = 0.4,
+    provenance_cap: int | None = None,
+) -> DataFrame:
+    """X10 endpoint check + C2 strength gate + C4 relationship merge.
+
+    Endpoint semi-joins implement entity_extraction.py:1152-1163 (drop
+    relationships whose source or target is not an extracted entity — keys
+    are upper().strip() which the parser normalization already guarantees).
+    Then strength >= 0.4 (document_processor.py:1110-1125) and the directed
+    (source, target, rel_type) merge with strength SUM
+    (entity_graph.py:255-262).
+    """
+    names = entities_doc.select(
+        "document_id", F.upper(F.trim(F.col("name"))).alias("ename")
+    ).distinct()
+
+    keyed = rels.withColumn("skey", F.upper(F.trim(F.col("source_entity")))).withColumn(
+        "tkey", F.upper(F.trim(F.col("target_entity")))
+    )
+    present = (
+        keyed.join(
+            names.withColumnRenamed("ename", "skey"), ["document_id", "skey"], "leftsemi"
+        ).join(
+            names.withColumnRenamed("ename", "tkey"), ["document_id", "tkey"], "leftsemi"
+        )
+    )
+    gated = present.where(F.col("strength") >= strength_threshold)
+    return (
+        gated.groupBy(
+            "document_id", "source_entity", "target_entity", "relationship_type"
+        )
+        .agg(
+            F.sum("strength").alias("strength"),
+            _desc_set_union().alias("description"),
+            _union_sorted_chunks("source_chunks", provenance_cap).alias("source_chunks"),
+            F.count(F.lit(1)).alias("mention_count"),
+        )
+    )
+
+
+def orphan_entities_per_doc(
+    rels_doc: DataFrame, entities_doc: DataFrame
+) -> DataFrame:
+    """C5 — endpoints that resolve to no entity by name become orphan rows
+    (type '', importance 0, mention_count 0, is_orphan=true;
+    entity_graph.py:292-341). Empty by construction after the consolidation
+    endpoint check; real for the direct-persistence path and exercised by
+    the F4 fixtures.
+    """
+    endpoints = (
+        rels_doc.select("document_id", F.col("source_entity").alias("name"))
+        .unionByName(rels_doc.select("document_id", F.col("target_entity").alias("name")))
+        .withColumn("name_key", F.upper(F.trim(F.col("name"))))
+        .dropDuplicates(["document_id", "name_key"])
+    )
+    known = entities_doc.select(
+        "document_id", F.upper(F.trim(F.col("name"))).alias("name_key")
+    ).distinct()
+    missing = endpoints.join(known, ["document_id", "name_key"], "left_anti")
+    return missing.select(
+        "document_id",
+        F.trim(F.col("name")).alias("name"),
+        F.lit("").alias("type"),
+        F.lit("").alias("description"),
+        F.lit(0.0).alias("importance_score"),
+        F.array().cast(ArrayType(StringType())).alias("source_chunks"),
+        F.lit(0).cast("long").alias("mention_count"),
+        F.lit(True).alias("is_orphan"),
+    )
+
+
+def canonicalize(
+    mentions: DataFrame,
+    importance_threshold: float = 0.3,
+    strength_threshold: float = 0.4,
+    provenance_cap: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Full S6: mentions → (entities_doc, relationships_doc).
+
+    Importance gate per document_processor.py:1096-1108 applied after
+    consolidation, before graph assembly (a no-op in practice because the
+    low-value filter already dropped importance<0.3 — kept for parity).
+    """
+    ents = entity_mentions(mentions)
+    rels = relationship_mentions(mentions)
+
+    entities_doc = consolidate_entities_per_doc(ents, provenance_cap).where(
+        F.col("importance_score") >= importance_threshold
+    )
+    rels_doc = consolidate_relationships_per_doc(
+        rels, entities_doc, strength_threshold, provenance_cap
+    )
+    orphans = orphan_entities_per_doc(rels_doc, entities_doc)
+    entities_doc = entities_doc.withColumn("is_orphan", F.lit(False)).unionByName(
+        orphans
+    )
+    return entities_doc, rels_doc
+
+
+# ---------------------------------------------------------------------------
+# S8: global node/edge/triple materialization
+# ---------------------------------------------------------------------------
+
+
+def build_nodes(entities_doc: DataFrame, provenance_cap: int | None = None) -> DataFrame:
+    """Global entity table: MERGE-by-name across documents (graph_db MERGE
+    (e:Entity {name}) — entity_graph.py:445-458); id = md5(lower(name))[:16]
+    (entity_graph.py:400-404). Same-name/different-type collapses here, as in
+    the reference's persistence layer."""
+    return (
+        entities_doc.groupBy(F.col("name"))
+        .agg(
+            F.max("type").alias("type"),
+            F.max_by("description", F.length("description")).alias("description"),
+            F.avg("importance_score").alias("importance_score"),
+            F.sum("mention_count").alias("mention_count"),
+            _union_sorted_chunks("source_chunks", provenance_cap).alias("source_chunks"),
+            F.min(F.col("is_orphan").cast("int")).cast("boolean").alias("is_orphan"),
+            F.countDistinct("document_id").alias("doc_count"),
+        )
+        .withColumn("entity_id", F.substring(F.md5(F.lower(F.col("name"))), 1, 16))
+    )
+
+
+def build_edges(rels_doc: DataFrame, provenance_cap: int | None = None) -> DataFrame:
+    """Global RELATED_TO edges keyed on (source, target, type) — directed, as
+    entity_graph MERGE (source)-[r:RELATED_TO {type}]->(target)
+    (entity_graph.py:461-473). Cross-document strength is summed (the
+    reference's SET-last-writer is doc-order-dependent; sum is the
+    deterministic, associative choice — triple identity unaffected)."""
+    return (
+        rels_doc.groupBy(
+            F.col("source_entity").alias("subj"),
+            F.col("target_entity").alias("obj"),
+            F.col("relationship_type").alias("rel_type"),
+        )
+        .agg(
+            F.sum("strength").alias("strength"),
+            F.sum("mention_count").alias("mention_count"),
+            _union_sorted_chunks("source_chunks", provenance_cap).alias("source_chunks"),
+            F.countDistinct("document_id").alias("doc_count"),
+        )
+        .withColumn("edge_type", F.lit("RELATED_TO"))
+        .withColumn("source_id", F.substring(F.md5(F.lower(F.col("subj"))), 1, 16))
+        .withColumn("target_id", F.substring(F.md5(F.lower(F.col("obj"))), 1, 16))
+    )
+
+
+def build_triples(edges: DataFrame) -> DataFrame:
+    """(subj, pred, obj) — the P/R comparison surface (BASELINE.json)."""
+    return edges.select(
+        F.col("subj"), F.col("rel_type").alias("pred"), F.col("obj")
+    ).distinct()
+
+
+def mentions_table(entities_doc: DataFrame) -> DataFrame:
+    """J4 — CONTAINS_ENTITY (chunk→entity) by exploding provenance
+    (core/graph_db.py:3908-3958)."""
+    return (
+        entities_doc.select(
+            F.substring(F.md5(F.lower(F.col("name"))), 1, 16).alias("entity_id"),
+            F.explode(F.col("source_chunks")).alias("chunk_id"),
+        )
+        .distinct()
+    )
+
+
+def entity_counts_per_chunk(mentions: DataFrame) -> DataFrame:
+    """Per-chunk extraction yield, input to T6 chunk removal and J6 metrics."""
+    return mentions.groupBy("chunk_id").agg(
+        F.sum(F.when(F.col("kind") == "entity", 1).otherwise(0)).alias("entity_count"),
+        F.sum(F.when(F.col("kind") == "relationship", 1).otherwise(0)).alias(
+            "relationship_count"
+        ),
+    )

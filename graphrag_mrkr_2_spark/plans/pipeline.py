@@ -1,0 +1,78 @@
+"""The KG-construction pipeline: pages → chunks → mentions → nodes/edges/triples.
+
+Composes the operators of SURVEY §7.1 into one declarative plan. Each stage
+returns a DataFrame; `run_kg_pipeline` wires them, and `plans/checkpoint.py`
+adds snapshot materialization between stages for resume at scale.
+
+At 10^12 documents the stage boundaries are exactly where the reference
+checkpoints per-document progress (document_processor.py stage fields,
+SURVEY §3.1) — but partition-grained instead of row-grained.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..operators.extract import chunk_pages, extract_text, filter_chunks, repartition_by_url
+from ..operators.triples import (
+    build_edges,
+    build_nodes,
+    build_triples,
+    canonicalize,
+    extract_mentions,
+)
+
+
+@dataclass
+class KgResult:
+    chunks: DataFrame
+    mentions: DataFrame
+    entities_doc: DataFrame
+    rels_doc: DataFrame
+    nodes: DataFrame
+    edges: DataFrame
+    triples: DataFrame
+
+
+def run_kg_pipeline(
+    pages: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    strategy: str = "html_heading",
+    num_partitions: int | None = None,
+    cache_mentions: bool = True,
+) -> KgResult:
+    """pages(url, warc_ts, html, text, lang) → KG tables.
+
+    ``num_partitions``: salted url-hash repartition width before the heavy
+    UDF stages (head-domain skew, north_rule). None → keep input layout.
+    ``cache_mentions``: the mentions DF feeds both the entity and the
+    relationship branch; caching avoids running the extraction UDF twice
+    when no snapshot materialization is interposed.
+    """
+    if num_partitions:
+        pages = repartition_by_url(pages, num_partitions)
+
+    if "text" not in pages.columns:
+        pages = extract_text(pages)
+
+    chunks = chunk_pages(pages, strategy=strategy, cfg=cfg.chunking)
+    chunks = filter_chunks(chunks, cfg=cfg.content_filter)
+
+    mentions = extract_mentions(
+        chunks, max_gleanings=cfg.extraction.max_gleanings
+    )
+    if cache_mentions:
+        mentions = mentions.cache()
+
+    entities_doc, rels_doc = canonicalize(
+        mentions,
+        importance_threshold=cfg.extraction.importance_score_threshold,
+        strength_threshold=cfg.extraction.strength_threshold,
+    )
+    nodes = build_nodes(entities_doc)
+    edges = build_edges(rels_doc)
+    triples = build_triples(edges)
+    return KgResult(chunks, mentions, entities_doc, rels_doc, nodes, edges, triples)
