@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship KG-construction run on a deterministic synthetic
+                  pages table (BASELINE.json input_hint shape) → triples DF.
+queries()       — one entry per implemented operator family (SURVEY.md §2 +
+                  the training-data suite); each callable (spark, sf_dir) →
+                  DataFrame.
+oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
+                  KG-pipeline queries (chunking/extraction/canonicalization/
+                  communities) are not ANSI-SQL-expressible → rows-only check
+                  per the driver contract.
 """
 
 from __future__ import annotations
@@ -12,27 +16,460 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# number of synthetic pages used by the KG queries (deterministic, seed=42)
+_KG_PAGES = 40
+
+
+def _pages(spark: SparkSession, n: int = _KG_PAGES) -> DataFrame:
+    from graphrag_mrkr_2_spark.sources.pages import generate_pages
+
+    return generate_pages(spark, n)
+
+
+_KG_CACHE: dict[int, object] = {}
+
+
+def _kg(spark: SparkSession):
+    """Memoized per-session KG pipeline result — several queries() entries
+    project different tables of the same run; the mentions DF is cached in
+    run_kg_pipeline so the extraction UDF executes once."""
+    key = id(spark)
+    if key not in _KG_CACHE:
+        from graphrag_mrkr_2_spark.plans.pipeline import run_kg_pipeline
+
+        _KG_CACHE[key] = run_kg_pipeline(_pages(spark), num_partitions=8)
+    return _KG_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG construction (chunk → extract+glean → canonicalize →
+    materialize) over the synthetic Common-Crawl-style pages table."""
+    res = _kg(spark)
+    return res.triples.orderBy("subj", "pred", "obj")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (non-SQL-expressible → rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kg(spark).triples.orderBy("subj", "pred", "obj")
+
+
+def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _kg(spark)
+        .nodes.select("entity_id", "name", "type", "importance_score", "mention_count")
+        .orderBy("name")
+    )
+
+
+def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _kg(spark)
+        .edges.select("subj", "obj", "rel_type", "strength", "mention_count")
+        .orderBy("subj", "obj", "rel_type")
+    )
+
+
+def q_kg_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphrag_mrkr_2_spark.operators.extract import chunk_pages, filter_chunks
+
+    chunks = filter_chunks(chunk_pages(_pages(spark)))
+    return chunks.select(
+        "chunk_id", "document_id", "chunk_index", "content_hash", "heading_path"
+    ).orderBy("chunk_id")
+
+
+def q_kg_chunk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphrag_mrkr_2_spark.operators.extract import chunk_pages, filter_chunks
+    from graphrag_mrkr_2_spark.operators.similarity import (
+        chunk_similarity_edges,
+        with_embeddings,
+    )
+
+    chunks = with_embeddings(filter_chunks(chunk_pages(_pages(spark))))
+    return chunk_similarity_edges(chunks).orderBy("id1", "id2")
+
+
+def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphrag_mrkr_2_spark.operators.communities import (
+        detect_communities,
+        normalize_edge_weights,
+        project_edges,
+    )
+
+    res = _kg(spark)
+    edges = res.edges.select(
+        F.col("source_id").alias("src"),
+        F.col("target_id").alias("dst"),
+        F.col("edge_type"),
+        F.col("strength").cast("double").alias("strength"),
+        F.lit(None).cast("double").alias("similarity"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    mem = detect_communities(project_edges(normalize_edge_weights(edges)))
+    return (
+        mem.groupBy("community_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "community_id")
+    )
+
+
+def q_kg_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphrag_mrkr_2_spark.operators.resolution import entity_mapping
+
+    nodes = _kg(spark).nodes
+    mapping = entity_mapping(nodes, threshold=0.7)
+    return (
+        mapping.withColumn(
+            "merged", (F.col("entity_id") != F.col("canonical_id")).cast("int")
+        )
+        .orderBy("entity_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-checked queries over the driver's parquet views
+# ---------------------------------------------------------------------------
+
+
+def q_doc_content_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphrag_mrkr_2_spark.operators.extract import with_content_filter
+
+    return (
+        with_content_filter(_docs(spark, sf_dir), content_col="text")
+        .groupBy(F.coalesce(F.col("filter_reason"), F.lit("passed")).alias("reason"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("reason")
+    )
+
+
+def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphrag_mrkr_2_spark.operators.textstats import with_token_counts
+
+    return (
+        with_token_counts(_docs(spark, sf_dir), text_col="text")
+        .groupBy("lang")
+        .agg(
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("approx_tokens").alias("total_approx_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphrag_mrkr_2_spark.operators.textstats import with_lang_id
+
+    return (
+        with_lang_id(_docs(spark, sf_dir), text_col="text")
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphrag_mrkr_2_spark.operators.textstats import with_fingerprint
+
+    return (
+        with_fingerprint(_docs(spark, sf_dir), text_col="text")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("representative"))
+        .where(F.col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphrag_mrkr_2_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir)).orderBy("content_hash")
+
+
+def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphrag_mrkr_2_spark.operators.dedup import ngram_jaccard_pairs
+
+    return (
+        ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+        .select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc1", "doc2")
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphrag_mrkr_2_spark.operators.dedup import minhash_lsh_pairs
+
+    return (
+        minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+        .select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc1", "doc2")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphrag_mrkr_2_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy("doc1", "doc2")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphrag_mrkr_2_spark.operators.ann import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    top = brute_force_topk(emb, [float(x) for x in qv], k=10)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select("rank", "vec_id").orderBy("rank")
+
+
+def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphrag_mrkr_2_spark.operators.ann import knn_join
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return (
+        knn_join(emb, queries, k=3)
+        .select("query_id", "rank", "vec_id")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphrag_mrkr_2_spark.operators.dedup import embedding_near_dupes
+
+    return (
+        embedding_near_dupes(_emb(spark, sf_dir), threshold=0.95)
+        .select("id1", "id2")
+        .orderBy("id1", "id2")
+    )
+
+
+def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey")
+        .orderBy("o_custkey", "rn")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # KG-construction pipeline (rows-only; not SQL-expressible)
+        "kg_triples": q_kg_triples,
+        "kg_nodes": q_kg_nodes,
+        "kg_edges": q_kg_edges,
+        "kg_chunks": q_kg_chunks,
+        "kg_chunk_similarity": q_kg_chunk_similarity,
+        "kg_communities": q_kg_communities,
+        "kg_entity_resolution": q_kg_entity_resolution,
+        # SQL-checked operators
+        "doc_content_filter": q_doc_content_filter,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_pairs": q_dedup_ngram_pairs,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_topk": q_ann_topk,
+        "ann_knn_join": q_ann_knn_join,
+        "embedding_near_dupes": q_embedding_near_dupes,
+        "lineitem_pricing_summary": q_lineitem_pricing_summary,
+        "top_orders_per_customer": q_top_orders_per_customer,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_FILTER_REASON_SQL = """
+CASE
+  WHEN length(trim(text)) < 50 THEN 'too_short'
+  WHEN length(trim(text)) > 100000 THEN 'too_long'
+  WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 'repetitive'
+  WHEN CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+       / len(regexp_split_to_array(trim(text), '\\s+')) < 0.3 THEN 'repetitive'
+  WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 4
+       AND CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                w -> lower(w) = lower(regexp_split_to_array(trim(text), '\\s+')[1]))) AS DOUBLE)
+           / len(regexp_split_to_array(trim(text), '\\s+')) > 0.7 THEN 'repetitive'
+  WHEN CAST(length(regexp_replace(trim(text), '[^\\p{L}\\p{N}]', '', 'g')) AS DOUBLE)
+       / length(trim(text)) < 0.3 THEN 'bad_char_distribution'
+  WHEN CAST((length(trim(text))
+             - length(regexp_replace(trim(text), '[^\\p{L}\\p{N}]', '', 'g'))
+             - length(regexp_replace(trim(text), '[^\\s]', '', 'g'))) AS DOUBLE)
+       / length(trim(text)) > 0.5 THEN 'bad_char_distribution'
+  ELSE 'passed'
+END
+"""
+
+_SHINGLES_SQL = """
+list_distinct(
+  CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 3 THEN
+    list_transform(
+      generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+      i -> array_to_string(regexp_split_to_array(trim(text), '\\s+')[i:i+2], ' '))
+  ELSE [trim(text)] END)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_content_filter": f"""
+            SELECT reason, COUNT(*) AS n_docs FROM (
+              SELECT {_FILTER_REASON_SQL} AS reason FROM documents
+            ) GROUP BY reason ORDER BY reason
+        """,
+        "doc_token_counts": """
+            SELECT lang,
+                   SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS total_ws_tokens,
+                   SUM(GREATEST(CAST(floor(length(trim(text)) / 4) AS BIGINT), 1)) AS total_approx_tokens,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "doc_lang_id": """
+            WITH scored AS (
+              SELECT
+                len(regexp_extract_all(lower(text), '\\b(?:the|and|of|to|in|is|for|with|that|are)\\b')) AS en,
+                len(regexp_extract_all(lower(text), '\\b(?:il|la|di|che|e|per|con|del|una|sono)\\b')) AS it,
+                len(regexp_extract_all(lower(text), '\\b(?:der|die|und|das|ist|mit|von|für|ein|nicht)\\b')) AS de
+              FROM documents
+            )
+            SELECT lang_pred, COUNT(*) AS n_docs FROM (
+              SELECT CASE
+                WHEN en > it AND en > de THEN 'en'
+                WHEN it > en AND it > de THEN 'it'
+                WHEN de > en AND de > it THEN 'de'
+                ELSE 'und' END AS lang_pred
+              FROM scored
+            ) GROUP BY lang_pred ORDER BY lang_pred
+        """,
+        "doc_fingerprints": """
+            SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+                   COUNT(*) AS n_docs, MIN(doc_id) AS representative
+            FROM documents
+            GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fingerprint
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS representative
+            FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY content_hash
+        """,
+        "dedup_ngram_pairs": f"""
+            WITH sh AS (
+              SELECT doc_id AS doc, {_SHINGLES_SQL} AS shingles FROM documents
+            ),
+            pairs AS (
+              SELECT a.doc AS doc1, b.doc AS doc2,
+                     len(list_intersect(a.shingles, b.shingles)) AS inter,
+                     len(a.shingles) AS n1, len(b.shingles) AS n2
+              FROM sh a JOIN sh b ON a.doc < b.doc
+              WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+            )
+            SELECT doc1, doc2,
+                   ROUND(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jaccard
+            FROM pairs
+            WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5
+            ORDER BY doc1, doc2
+        """,
+        # dedup_minhash: verified-LSH output == exact jaccard pairs when LSH
+        # recall is 1.0 at these sizes (64 hashes / 16 bands, τ=0.5)
+        "dedup_minhash": f"""
+            WITH sh AS (
+              SELECT doc_id AS doc, {_SHINGLES_SQL} AS shingles FROM documents
+            ),
+            pairs AS (
+              SELECT a.doc AS doc1, b.doc AS doc2,
+                     len(list_intersect(a.shingles, b.shingles)) AS inter,
+                     len(a.shingles) AS n1, len(b.shingles) AS n2
+              FROM sh a JOIN sh b ON a.doc < b.doc
+              WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+            )
+            SELECT doc1, doc2,
+                   ROUND(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jaccard
+            FROM pairs
+            WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5
+            ORDER BY doc1, doc2
+        """,
+        "ann_topk": """
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank,
+                   vec_id
+            FROM (
+              SELECT e.vec_id,
+                     list_cosine_similarity(e.embedding, q.embedding) AS cosine
+              FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            )
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_knn_join": """
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id FROM (
+              SELECT q.vec_id AS query_id, e.vec_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                                e.vec_id ASC) AS rank
+              FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+            ) WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "embedding_near_dupes": """
+            SELECT a.vec_id AS id1, b.vec_id AS id2
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+            ORDER BY id1, id2
+        """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   SUM(l_extendedprice) AS sum_base_price,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey FROM (
+              SELECT o_custkey, o_orderkey,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders
+            ) WHERE rn <= 3 ORDER BY o_custkey, rn
+        """,
+    }

@@ -1,0 +1,166 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline workloads:
+  kg_pipeline      full KG construction over the synthetic pages table
+                   (pages count scales with sf: 20000*sf, min 200) —
+                   chunk → extract+glean → canonicalize → nodes/edges/triples
+  kg_similarity    embeddings + per-doc SIMILAR_TO edges over the same chunks
+  kg_communities   weight norm + CC + per-component Louvain over KG edges
+  dedup_minhash    MinHash-LSH near-dup pairs over the documents table
+  dedup_exact      exact-hash dedup groups over documents
+  ann_knn          exact knn join (5 queries) over the embeddings table
+  text_analysis    content filter + lang-id + token counts over documents
+
+Also reports docs_per_sec and triples_per_sec for the KG pipeline (the
+BASELINE.json throughput metric). Scaling runs (local[8] vs local[32]) are
+produced by scripts/scaling_run.py into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from graphrag_mrkr_2_spark.session import get_spark
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+    n_pages = max(200, int(20000 * sf))
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embeddings = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # --- kg pipeline -------------------------------------------------------
+    from graphrag_mrkr_2_spark.plans.pipeline import run_kg_pipeline
+    from graphrag_mrkr_2_spark.sources.pages import generate_pages
+
+    t0 = time.time()
+    pages = generate_pages(spark, n_pages, partitions=cpus * 2)
+    res = run_kg_pipeline(pages, num_partitions=cpus * 2)
+    n_triples = res.triples.count()
+    n_nodes = res.nodes.count()
+    dt = time.time() - t0
+    queries["kg_pipeline"] = round(dt, 3)
+    extras["kg_pages"] = n_pages
+    extras["kg_triples"] = n_triples
+    extras["kg_nodes"] = n_nodes
+    extras["docs_per_sec"] = round(n_pages / dt, 2)
+    extras["triples_per_sec"] = round(n_triples / dt, 2)
+
+    # --- chunk similarity edges -------------------------------------------
+    from graphrag_mrkr_2_spark.operators.similarity import (
+        chunk_similarity_edges,
+        with_embeddings,
+    )
+
+    t0 = time.time()
+    emb_chunks = with_embeddings(res.chunks)
+    chunk_edges = chunk_similarity_edges(emb_chunks)
+    extras["kg_similar_edges"] = chunk_edges.count()
+    queries["kg_similarity"] = round(time.time() - t0, 3)
+
+    # --- communities -------------------------------------------------------
+    from graphrag_mrkr_2_spark.operators.communities import (
+        detect_communities,
+        normalize_edge_weights,
+        project_edges,
+    )
+
+    t0 = time.time()
+    kg_edges = res.edges.select(
+        F.col("source_id").alias("src"),
+        F.col("target_id").alias("dst"),
+        F.col("edge_type"),
+        F.col("strength").cast("double").alias("strength"),
+        F.lit(None).cast("double").alias("similarity"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    mem = detect_communities(project_edges(normalize_edge_weights(kg_edges)))
+    extras["kg_communities"] = mem.select("community_id").distinct().count()
+    queries["kg_communities"] = round(time.time() - t0, 3)
+
+    res.mentions.unpersist()
+
+    # --- dedup -------------------------------------------------------------
+    from graphrag_mrkr_2_spark.operators.dedup import (
+        exact_duplicates,
+        minhash_lsh_pairs,
+    )
+
+    t0 = time.time()
+    exact_duplicates(documents).count()
+    queries["dedup_exact"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    minhash_lsh_pairs(documents, threshold=0.5, max_shingle_df=200).count()
+    queries["dedup_minhash"] = round(time.time() - t0, 3)
+
+    # --- ann ---------------------------------------------------------------
+    from graphrag_mrkr_2_spark.operators.ann import knn_join
+
+    t0 = time.time()
+    q = embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    knn_join(embeddings, q, k=10).count()
+    queries["ann_knn"] = round(time.time() - t0, 3)
+
+    # --- text analysis -----------------------------------------------------
+    from graphrag_mrkr_2_spark.operators.extract import with_content_filter
+    from graphrag_mrkr_2_spark.operators.textstats import (
+        with_lang_id,
+        with_token_counts,
+    )
+
+    t0 = time.time()
+    with_content_filter(documents, content_col="text").groupBy(
+        "filter_reason"
+    ).count().collect()
+    with_token_counts(with_lang_id(documents)).groupBy("lang_pred").agg(
+        F.sum("ws_tokens"), F.sum("approx_tokens")
+    ).collect()
+    queries["text_analysis"] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "kg_construction_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        **extras,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -25,27 +25,65 @@ import numpy as np
 DEFAULT_DIM = 32
 
 
-def pseudo_embedding(text: str, dim: int = DEFAULT_DIM) -> np.ndarray:
+def _token_vector(token: str, dim: int) -> np.ndarray:
     n_blocks = (dim * 4 + 31) // 32
     data = b"".join(
-        hashlib.sha256(text.encode("utf-8", "replace") + b":" + str(i).encode())
+        hashlib.sha256(token.encode("utf-8", "replace") + b":" + str(i).encode())
         .digest()
         for i in range(n_blocks)
     )[: dim * 4]
     raw = np.frombuffer(data, dtype=">u4").astype(np.float64)
-    v = raw / 2**32 * 2.0 - 1.0
+    return raw / 2**32 * 2.0 - 1.0
+
+
+def pseudo_embedding(text: str, dim: int = DEFAULT_DIM) -> np.ndarray:
+    """Bag-of-words hash embedding: normalized sum of per-word hash vectors.
+
+    Refines FIXTURES.md F5's whole-text hash: identical texts still map to
+    identical vectors (the dedup invariant), and texts sharing vocabulary get
+    cosine proportional to their word overlap — so similarity-edge operators
+    (J1/J2) produce meaningful, deterministic structure instead of the
+    near-orthogonal cloud a whole-text hash yields.
+    """
+    words = (text or "").lower().split()
+    if not words:
+        return _finalize(_token_vector("", dim), dim)
+    acc = np.zeros(dim, dtype=np.float64)
+    cache: dict[str, np.ndarray] = {}
+    for w in words:
+        v = cache.get(w)
+        if v is None:
+            v = _token_vector(w, dim)
+            cache[w] = v
+        acc += v
+    return _finalize(acc, dim)
+
+
+def _finalize(v: np.ndarray, dim: int) -> np.ndarray:
     norm = np.linalg.norm(v)
     if norm == 0.0:
-        v = np.ones(dim) / np.sqrt(dim)
-        return v.astype(np.float32)
+        return (np.ones(dim) / np.sqrt(dim)).astype(np.float32)
     return (v / norm).astype(np.float32)
 
 
 def pseudo_embed_many(texts: list[str], dim: int = DEFAULT_DIM) -> np.ndarray:
-    """Vectorized-ish batch variant used inside Arrow batches."""
+    """Batch variant used inside Arrow batches (shares the word-vector cache
+    across the whole batch — web text has heavy vocabulary reuse)."""
     out = np.empty((len(texts), dim), dtype=np.float32)
+    cache: dict[str, np.ndarray] = {}
     for i, t in enumerate(texts):
-        out[i] = pseudo_embedding(t if t is not None else "", dim)
+        words = (t or "").lower().split()
+        if not words:
+            out[i] = _finalize(_token_vector("", dim), dim)
+            continue
+        acc = np.zeros(dim, dtype=np.float64)
+        for w in words:
+            v = cache.get(w)
+            if v is None:
+                v = _token_vector(w, dim)
+                cache[w] = v
+            acc += v
+        out[i] = _finalize(acc, dim)
     return out
 
 

@@ -23,6 +23,7 @@ make results order-insensitive.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -214,30 +215,42 @@ def minhash_lsh_pairs(
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash from per-word xxhash64 bit voting — pure column algebra.
+    """64-bit SimHash via vectorized bit voting in an Arrow-batched UDF.
 
-    bit_k(doc) = 1 if sum over words of sign(bit_k(hash(word))) > 0.
-    Computed as 64 aggregate() folds over the word-hash array (JVM).
+    bit_k(doc) = 1 if sum over distinct words of sign(bit_k(sha1(word))) > 0.
+
+    Implementation note: this was first written as 64 JVM aggregate() folds,
+    but Catalyst/codegen choked on the 64 giant expression trees (minutes of
+    driver-side plan compilation) -- a numpy bit-matrix per Arrow batch is
+    both faster and constant-size in the plan. The downstream banding join
+    stays JVM-side.
     """
-    words = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    def _bit_vote(k: int):
-        # closure factory: pyspark counts lambda params, so a `k=k` default
-        # would be mistaken for a 3-arg higher-order function
-        def merge(acc, h):
-            return acc + (F.shiftright(h, k).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+    import hashlib
 
-        return F.aggregate(hashes, F.lit(0), merge)
+    import numpy as np
 
-    bit_terms = [_bit_vote(k) for k in range(64)]
-    fingerprint = None
-    for k, term in enumerate(bit_terms):
-        bit = F.when(term > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        # shiftleft wraps at bit 63 (two's complement) — a plain 1<<63 literal
-        # would overflow the JVM long
-        contrib = F.shiftleft(bit, k)
-        fingerprint = contrib if fingerprint is None else fingerprint.bitwiseOR(contrib)
-    return df.select(F.col(id_col).alias("doc"), fingerprint.alias("simhash"))
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            words = set((t or "").strip().split())
+            if not words:
+                continue
+            hs = np.frombuffer(
+                b"".join(
+                    hashlib.sha1(w.encode("utf-8", "replace")).digest()[:8]
+                    for w in words
+                ),
+                dtype="<u8",
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            fp = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+            out[i] = fp
+        return pd.Series(out.astype(np.int64))
+
+    return df.select(F.col(id_col).alias("doc"), _simhash(F.col(text_col)).alias("simhash"))
+
 
 
 def simhash_pairs(

@@ -270,7 +270,11 @@ def with_quality_score(chunks: DataFrame, content_col: str = "content") -> DataF
     avg_wpl = F.when(F.size(lines) > 0, total_words / F.size(lines)).otherwise(F.lit(0.0))
 
     has_artifacts = c.rlike(r"[^\x00-\x7F]")
-    n_short_words = F.size(F.filter(F.split(c, r"\W+"), lambda w: (F.length(w) >= 1) & (F.length(w) <= 2)))
+    # NB: Java's \W is ASCII-only; Python's re is Unicode — use the explicit
+    # Unicode class so both agree on fragmented-word counting
+    n_short_words = F.size(
+        F.filter(F.split(c, r"[^\p{L}\p{N}_]+"), lambda w: (F.length(w) >= 1) & (F.length(w) <= 2))
+    )
     has_fragmented = n_short_words > (total * F.lit(0.1))
     has_triple_space = c.contains("   ")
 

@@ -85,23 +85,24 @@ def connected_components(
     src_col: str = "u",
     dst_col: str = "v",
     max_iterations: int = 20,
-    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Edge list → (node, component) with component = min node id (orderable).
 
     Input may be directed/undirected/duplicated; isolated nodes (no edges)
     are the caller's concern (left-join the node table afterwards and
     coalesce(component, node)).
+
+    Every iteration materializes via localCheckpoint: the loop's convergence
+    check is an action, so without truncation each iteration would recompute
+    the whole upstream lineage (and the plan would double per round).
     """
     e = _symmetric(
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-    )
+    ).localCheckpoint(eager=True)
     prev = None
-    for i in range(max_iterations):
+    for _ in range(max_iterations):
         e = _large_star(e)
-        e = _small_star(e)
-        if (i + 1) % checkpoint_every == 0:
-            e = e.localCheckpoint(eager=True)
+        e = _small_star(e).localCheckpoint(eager=True)
         cur = _checksum(e)
         if prev == cur:
             break

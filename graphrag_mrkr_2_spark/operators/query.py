@@ -1,0 +1,268 @@
+"""Query-side operators (SURVEY §2.7): vector top-k, BM25, fusion, beam search.
+
+The reference's read path runs against Neo4j indexes (vector, fulltext) with
+Python-side fusion (rag/retriever.py). Re-expressed as DataFrame operators:
+
+  Q1 vector top-k       ann.brute_force_topk / lsh_topk (see ann.py)
+  Q2 BM25 keyword       inverted-index DataFrames + Okapi BM25 scoring
+                        (Neo4j fulltext analog, core/graph_db.py:3465-3561)
+  Q3 RRF fusion         score[c] += 1/(k+rank), k=60 (rag/retriever.py:41-62)
+  Q4 hybrid weighted    chunk 70% / entity 30% (README.md:61)
+  Q5 multi-hop beam     seed expansion over RELATED_TO/SIMILAR_TO edges,
+                        beam 8, max 2 hops, min strength
+                        (core/graph_db.py:4788-4967)
+  Q7 sentence window    T9 sentences + lag/lead context via window functions
+                        (core/graph_db.py:1918-1991)
+
+Scale shape: BM25 posting lists and the doc-frequency table are one groupBy
+each; per-query scoring is a broadcast semi-join on query terms. Beam search
+is max_hops bounded joins with per-seed row_number pruning — no driver loop
+over rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# Q2: BM25
+# ---------------------------------------------------------------------------
+
+
+def tokenize(col):
+    """Lowercase word tokens (maximal \\w+ runs) — the fulltext analyzer."""
+    return F.filter(F.split(F.lower(col), r"[^\p{L}\p{N}]+"), lambda t: t != "")
+
+
+def build_bm25_index(
+    chunks: DataFrame, id_col: str = "chunk_id", text_col: str = "content"
+) -> dict[str, DataFrame]:
+    """Posting lists (term, chunk, tf) + doc lengths + corpus stats.
+
+    Two aggregations total; both partial-aggregate map-side. At web scale the
+    postings table is the thing you bucket by term.
+    """
+    toks = chunks.select(
+        F.col(id_col).alias("chunk"), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    postings = toks.groupBy("term", "chunk").agg(F.count(F.lit(1)).alias("tf"))
+    doc_len = toks.groupBy("chunk").agg(F.count(F.lit(1)).alias("dl"))
+    return {"postings": postings, "doc_len": doc_len}
+
+
+def bm25_search(
+    index: dict[str, DataFrame],
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 over the inverted index for one query's terms."""
+    postings, doc_len = index["postings"], index["doc_len"]
+    n_docs = doc_len.count()
+    avgdl = doc_len.agg(F.avg("dl")).collect()[0][0] or 1.0
+
+    spark = postings.sparkSession
+    terms = spark.createDataFrame([(t.lower(),) for t in set(query_terms)], ["term"])
+    matched = postings.join(F.broadcast(terms), "term")
+    df_per_term = matched.groupBy("term").agg(F.countDistinct("chunk").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = (
+        matched.join(F.broadcast(df_per_term), "term")
+        .join(doc_len, "chunk")
+        .withColumn(
+            "score",
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+        )
+        .groupBy("chunk")
+        .agg(F.sum("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("chunk"))
+        .limit(top_k)
+    )
+    return scored
+
+
+# ---------------------------------------------------------------------------
+# Q3/Q4: fusion
+# ---------------------------------------------------------------------------
+
+
+def rrf_fuse(ranked_lists: list[DataFrame], k: int = 60, id_col: str = "chunk") -> DataFrame:
+    """Reciprocal Rank Fusion (rag/retriever.py:41-62): each input DF must
+    carry (id_col, rank) with rank starting at 1; fused score sums 1/(k+rank)."""
+    parts = [
+        df.select(F.col(id_col), (1.0 / (F.lit(k) + F.col("rank"))).alias("part"))
+        for df in ranked_lists
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.groupBy(id_col)
+        .agg(F.sum("part").alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+    )
+
+
+def weighted_fuse(
+    chunk_scores: DataFrame,
+    entity_scores: DataFrame,
+    chunk_weight: float = 0.7,
+    entity_weight: float = 0.3,
+    id_col: str = "chunk",
+) -> DataFrame:
+    """Q4 hybrid weighted fusion (README.md:61 — 70% chunk / 30% entity).
+    Inputs carry (id_col, score) each, min-max normalized before mixing."""
+
+    def norm(df: DataFrame) -> DataFrame:
+        stats = df.agg(F.min("score").alias("lo"), F.max("score").alias("hi")).collect()[0]
+        lo, hi = stats["lo"] or 0.0, stats["hi"] or 1.0
+        span = (hi - lo) or 1.0
+        return df.select(id_col, ((F.col("score") - lo) / span).alias("nscore"))
+
+    c = norm(chunk_scores).withColumnRenamed("nscore", "cscore")
+    e = norm(entity_scores).withColumnRenamed("nscore", "escore")
+    return (
+        c.join(e, id_col, "outer")
+        .fillna({"cscore": 0.0, "escore": 0.0})
+        .select(
+            id_col,
+            (F.col("cscore") * chunk_weight + F.col("escore") * entity_weight).alias(
+                "hybrid_score"
+            ),
+        )
+        .orderBy(F.desc("hybrid_score"), F.asc(id_col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5: multi-hop beam expansion
+# ---------------------------------------------------------------------------
+
+
+def beam_expand(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 2,
+    beam_size: int = 8,
+    min_strength: float = 0.0,
+    src_col: str = "source_id",
+    dst_col: str = "target_id",
+    weight_col: str = "strength",
+) -> DataFrame:
+    """Multi-hop beam search (core/graph_db.py:4788-4967).
+
+    seeds: (seed_id). Returns (seed_id, node, hop, path_score) — per seed,
+    each hop keeps the top ``beam_size`` frontier nodes by accumulated path
+    score (product of edge weights, the reference's path scoring), expanding
+    RELATED_TO/SIMILAR_TO edges in both directions.
+    """
+    sym = (
+        edges.select(
+            F.col(src_col).alias("a"), F.col(dst_col).alias("b"), F.col(weight_col).alias("w")
+        )
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("a"), F.col(src_col).alias("b"), F.col(weight_col).alias("w")
+            )
+        )
+        .where(F.col("w") >= min_strength)
+    )
+
+    frontier = seeds.select(
+        F.col("seed_id"), F.col("seed_id").alias("node"), F.lit(0).alias("hop"), F.lit(1.0).alias("path_score")
+    )
+    result = frontier
+    for hop in range(1, max_hops + 1):
+        expanded = (
+            frontier.join(sym, frontier["node"] == sym["a"])
+            .select(
+                "seed_id",
+                F.col("b").alias("node"),
+                F.lit(hop).alias("hop"),
+                (F.col("path_score") * F.col("w")).alias("path_score"),
+            )
+        )
+        # best path per (seed, node), then beam prune per seed
+        best = expanded.groupBy("seed_id", "node").agg(
+            F.max("path_score").alias("path_score"), F.min("hop").alias("hop")
+        )
+        w = Window.partitionBy("seed_id").orderBy(F.desc("path_score"), F.asc("node"))
+        frontier = (
+            best.join(result.select("seed_id", F.col("node").alias("seen")),
+                      (F.col("node") == F.col("seen")) & (best["seed_id"] == result["seed_id"]),
+                      "left_anti")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= beam_size)
+            .drop("rn")
+        )
+        result = result.unionByName(frontier.select("seed_id", "node", "hop", "path_score"))
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Q7: sentence-window retrieval
+# ---------------------------------------------------------------------------
+
+_SENT_SCHEMA = StructType(
+    [
+        StructField("chunk_id", StringType(), False),
+        StructField("sentence_index", IntegerType(), False),
+        StructField("sentence", StringType(), False),
+    ]
+)
+
+
+def split_sentences(chunks: DataFrame, id_col: str = "chunk_id", text_col: str = "content") -> DataFrame:
+    """T9 — sentence rows per chunk (ids mirror sha256(chunk:sN)[:16],
+    document_processor.py:1016)."""
+
+    def _split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.sentences import split_into_sentences
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                for i, s in enumerate(split_into_sentences(getattr(rec, text_col) or "")):
+                    rows.append(
+                        {"chunk_id": getattr(rec, id_col), "sentence_index": i, "sentence": s}
+                    )
+            yield pd.DataFrame(rows, columns=["chunk_id", "sentence_index", "sentence"])
+
+    out = chunks.select(id_col, text_col).mapInPandas(_split, _SENT_SCHEMA)
+    return out.withColumn(
+        "sentence_id",
+        F.substring(
+            F.sha2(F.concat_ws(":", F.col("chunk_id"), F.concat(F.lit("s"), F.col("sentence_index"))), 256),
+            1,
+            16,
+        ),
+    )
+
+
+def sentence_windows(sentences: DataFrame, window_size: int = 5) -> DataFrame:
+    """±window sentence context via collect over a bounded window frame —
+    the lag/lead expansion of core/graph_db.py:1918-1991."""
+    w = (
+        Window.partitionBy("chunk_id")
+        .orderBy("sentence_index")
+        .rowsBetween(-window_size, window_size)
+    )
+    return sentences.withColumn(
+        "window_text", F.array_join(F.collect_list("sentence").over(w), " ")
+    )

@@ -1,0 +1,96 @@
+"""F6 clustering fixture: planted two-cluster graph + weight normalization."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from graphrag_mrkr_2_spark.operators.communities import (
+    community_summaries,
+    detect_communities,
+    normalize_edge_weights,
+    project_edges,
+    write_membership,
+)
+
+EDGE_SCHEMA = StructType(
+    [
+        StructField("src", StringType()),
+        StructField("dst", StringType()),
+        StructField("edge_type", StringType()),
+        StructField("strength", DoubleType()),
+        StructField("similarity", DoubleType()),
+        StructField("score", DoubleType()),
+        StructField("weight", DoubleType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def planted_edges(spark):
+    rows = []
+    for a in range(5):
+        for b in range(a + 1, 5):
+            rows.append((f"e{a}", f"e{b}", "RELATED_TO", 0.85, None, None, None))
+            rows.append((f"e{a + 5}", f"e{b + 5}", "RELATED_TO", 0.9, None, None, None))
+    rows.append(("e4", "e5", "RELATED_TO", 0.1, None, None, None))  # weak bridge
+    return spark.createDataFrame(rows, EDGE_SCHEMA)
+
+
+@pytest.mark.spark
+def test_weight_normalization_preference_chain(spark):
+    rows = [
+        ("a", "b", "RELATED_TO", 0.8, None, None, None),  # -> strength
+        ("a", "c", "SIMILAR_TO", None, 0.6, None, None),  # -> similarity
+        ("a", "d", "SIMILAR_TO", None, None, 0.55, None),  # -> score fallback
+        ("a", "e", "OTHER", None, None, None, None),  # -> default 1.0
+        ("a", "f", "OTHER", None, None, None, 0.25),  # -> generic weight
+    ]
+    df = spark.createDataFrame(rows, EDGE_SCHEMA)
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in normalize_edge_weights(df).collect()
+    }
+    assert got[("a", "b")] == 0.8
+    assert got[("a", "c")] == 0.6
+    assert got[("a", "d")] == 0.55
+    assert got[("a", "e")] == 1.0
+    assert got[("a", "f")] == 0.25
+
+
+@pytest.mark.spark
+def test_two_planted_communities(planted_edges):
+    mem = detect_communities(project_edges(normalize_edge_weights(planted_edges)))
+    comms = {}
+    for r in mem.collect():
+        comms.setdefault(r["community_id"], set()).add(r["node"])
+    groups = sorted(sorted(v) for v in comms.values())
+    assert groups == [
+        ["e0", "e1", "e2", "e3", "e4"],
+        ["e5", "e6", "e7", "e8", "e9"],
+    ]
+
+
+@pytest.mark.spark
+def test_membership_deterministic(planted_edges):
+    pe = project_edges(normalize_edge_weights(planted_edges))
+    m1 = {(r["node"], r["community_id"]) for r in detect_communities(pe).collect()}
+    m2 = {(r["node"], r["community_id"]) for r in detect_communities(pe).collect()}
+    assert m1 == m2
+
+
+@pytest.mark.spark
+def test_writeback_and_summaries(spark, planted_edges):
+    mem = detect_communities(project_edges(normalize_edge_weights(planted_edges)))
+    nodes = spark.createDataFrame(
+        [(f"e{i}", f"NAME {i}", 0.5 + i / 20, i + 1) for i in range(10)],
+        "entity_id string, name string, importance_score double, mention_count long",
+    )
+    joined = write_membership(nodes, mem)
+    assert joined.where(F.col("community_id").isNotNull()).count() == 10
+    summaries = community_summaries(joined).collect()
+    assert len(summaries) == 2
+    s = {r["community_id"]: r for r in summaries}
+    for r in summaries:
+        assert r["n_members"] == 5
+        # top members ranked by mention_count desc
+        assert r["top_entities"][0] in ("NAME 4", "NAME 9")

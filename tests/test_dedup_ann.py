@@ -1,0 +1,128 @@
+"""Dedup suite + similarity search operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_mrkr_2_spark.operators.ann import brute_force_topk, knn_join, lsh_topk
+from graphrag_mrkr_2_spark.operators.dedup import (
+    embedding_near_dupes,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog today"),
+    (1, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat today"),  # near dup
+    (3, "completely different content about spark dataframes and shuffles"),
+    (4, "another unrelated text regarding distributed query processing"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+@pytest.mark.spark
+def test_exact_duplicates(docs_df):
+    rows = exact_duplicates(docs_df).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_docs"] == 2 and rows[0]["representative"] == 0
+
+
+@pytest.mark.spark
+def test_ngram_jaccard(docs_df):
+    pairs = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.3
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+@pytest.mark.spark
+def test_minhash_verified_equals_exact(docs_df):
+    """Verified LSH output must equal brute-force Jaccard pairs (recall 1.0
+    expected at these sizes with 64 hashes / 16 bands)."""
+    exact = {
+        (r["doc1"], r["doc2"])
+        for r in ngram_jaccard_pairs(docs_df, threshold=0.3).collect()
+    }
+    lsh = {
+        (r["doc1"], r["doc2"])
+        for r in minhash_lsh_pairs(docs_df, threshold=0.3).collect()
+    }
+    assert lsh == exact
+
+
+@pytest.mark.spark
+def test_simhash_near_dupes(docs_df):
+    pairs = {(r["doc1"], r["doc2"]): r["hamming"] for r in simhash_pairs(docs_df, max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0  # identical text -> identical fingerprint
+    assert (0, 2) in pairs  # one-word change -> small hamming distance
+
+
+@pytest.mark.spark
+def test_hot_shingle_cap(spark):
+    df = spark.createDataFrame(
+        [(i, "same boilerplate everywhere common") for i in range(10)], ["doc_id", "text"]
+    )
+    capped = ngram_jaccard_pairs(df, threshold=0.1, max_shingle_df=5)
+    assert capped.count() == 0  # all shingles hot -> no pairs generated
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.mark.spark
+def test_brute_force_topk_self_first(emb_df):
+    qv = emb_df.where(F.col("vec_id") == 5).collect()[0]["embedding"]
+    top = brute_force_topk(emb_df, qv, k=5).collect()
+    assert top[0]["vec_id"] == 5 and top[0]["cosine"] == pytest.approx(1.0)
+    scores = [r["cosine"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+@pytest.mark.spark
+def test_knn_join_matches_brute_force(emb_df):
+    queries = emb_df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = knn_join(emb_df, queries, k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qid in (0, 1, 2):
+        qv = emb_df.where(F.col("vec_id") == qid).collect()[0]["embedding"]
+        expect = [r["vec_id"] for r in brute_force_topk(emb_df, qv, k=4).collect()]
+        assert [v for _, v in sorted(by_q[qid])] == expect
+
+
+@pytest.mark.spark
+def test_lsh_topk_recall(emb_df):
+    queries = emb_df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = lsh_topk(emb_df, queries, dim=64, k=1, n_planes=6).collect()
+    # rank-1 for each query must be the query itself (same bucket, cos=1)
+    top1 = {r["query_id"]: r["vec_id"] for r in got if r["rank"] == 1}
+    assert top1 == {i: i for i in range(5)}
+
+
+@pytest.mark.spark
+def test_embedding_near_dupes_finds_planted(spark):
+    base = [0.1, 0.9, 0.2, 0.4]
+    rows = [
+        (1, base),
+        (2, [x * 2 for x in base]),  # same direction -> cosine 1
+        (3, [0.9, -0.1, 0.3, -0.7]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    pairs = embedding_near_dupes(df, threshold=0.99).collect()
+    assert [(p["id1"], p["id2"]) for p in pairs] == [(1, 2)]

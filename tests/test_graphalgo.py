@@ -1,0 +1,42 @@
+"""Connected components (large-star/small-star) vs networkx ground truth."""
+
+import random
+
+import networkx as nx
+import pytest
+
+from graphrag_mrkr_2_spark.operators.graphalgo import connected_components
+
+
+def _check(spark, edges):
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    for comp in nx.connected_components(g):
+        comp = sorted(comp)
+        labels = {got.get(n) for n in comp}
+        assert labels == {comp[0]}, f"component {comp} got labels {labels}"
+
+
+@pytest.mark.spark
+def test_random_graphs(spark):
+    for trial in range(3):
+        random.seed(trial)
+        edges = [
+            (f"n{random.randrange(50):03d}", f"n{random.randrange(50):03d}")
+            for _ in range(45)
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+        _check(spark, edges)
+
+
+@pytest.mark.spark
+def test_path_graph_worst_case_diameter(spark):
+    _check(spark, [(f"p{i:03d}", f"p{i + 1:03d}") for i in range(40)])
+
+
+@pytest.mark.spark
+def test_single_edge_and_star(spark):
+    _check(spark, [("a", "b")])
+    _check(spark, [("hub", f"leaf{i}") for i in range(10)])

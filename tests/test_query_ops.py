@@ -1,0 +1,128 @@
+"""Query-side operators: BM25, RRF, hybrid fusion, beam search, sentences."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_mrkr_2_spark.functions.sentences import (
+    get_sentence_window,
+    split_into_sentences,
+)
+from graphrag_mrkr_2_spark.operators.query import (
+    beam_expand,
+    bm25_search,
+    build_bm25_index,
+    rrf_fuse,
+    sentence_windows,
+    split_sentences,
+    weighted_fuse,
+)
+
+CHUNKS = [
+    ("c1", "spark shuffle partitions control parallelism in spark jobs"),
+    ("c2", "the proxy component routes requests to the mailstore"),
+    ("c3", "backup engine writes snapshots to object storage volumes"),
+    ("c4", "spark dataframes compile to catalyst plans with codegen"),
+]
+
+
+def test_sentence_split_abbreviations():
+    s = split_into_sentences("Dr. Smith runs the lab. The lab is in Bldg 4 today.")
+    assert len(s) == 2  # no split after "Dr."
+    # faithful reference quirk: case-insensitive protection substitutes the
+    # lowercase abbreviation back (sentence_chunker.py:40-44)
+    assert s[0] == "dr. Smith runs the lab."
+
+
+def test_sentence_split_min_length_and_fallback():
+    assert split_into_sentences("Hi. No.") == ["Hi. No."]  # whole-text fallback
+    assert split_into_sentences("") == []
+
+
+def test_sentence_window_bounds():
+    sents = [f"s{i}" for i in range(10)]
+    assert get_sentence_window(sents, 0, 2) == "s0 s1 s2"
+    assert get_sentence_window(sents, 9, 2) == "s7 s8 s9"
+    assert get_sentence_window(sents, 5, 1) == "s4 s5 s6"
+
+
+@pytest.fixture(scope="module")
+def chunks_df(spark):
+    return spark.createDataFrame(CHUNKS, ["chunk_id", "content"])
+
+
+@pytest.mark.spark
+def test_bm25_ranks_term_matches(chunks_df):
+    index = build_bm25_index(chunks_df)
+    res = bm25_search(index, ["spark"], top_k=4).collect()
+    got = [r["chunk"] for r in res]
+    assert set(got) == {"c1", "c4"}
+    assert got[0] == "c1"  # tf=2 beats tf=1
+
+
+@pytest.mark.spark
+def test_rrf_fusion(spark):
+    a = spark.createDataFrame([("c1", 1), ("c2", 2)], ["chunk", "rank"])
+    b = spark.createDataFrame([("c2", 1), ("c3", 2)], ["chunk", "rank"])
+    fused = {r["chunk"]: r["rrf_score"] for r in rrf_fuse([a, b]).collect()}
+    assert fused["c2"] == pytest.approx(1 / 61 + 1 / 62)
+    assert fused["c1"] == pytest.approx(1 / 61)
+    assert fused["c2"] > fused["c1"] > fused["c3"]
+
+
+@pytest.mark.spark
+def test_weighted_fusion(spark):
+    c = spark.createDataFrame([("c1", 10.0), ("c2", 0.0)], ["chunk", "score"])
+    e = spark.createDataFrame([("c2", 5.0), ("c3", 1.0)], ["chunk", "score"])
+    fused = {r["chunk"]: r["hybrid_score"] for r in weighted_fuse(c, e).collect()}
+    assert fused["c1"] == pytest.approx(0.7)  # top chunk score, no entity
+    assert fused["c2"] == pytest.approx(0.3)  # top entity score only
+    assert fused["c3"] < fused["c2"]
+
+
+@pytest.mark.spark
+def test_beam_expand_hops_and_pruning(spark):
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 0.9),
+            ("b", "c", 0.8),
+            ("a", "d", 0.5),
+            ("d", "e", 0.9),
+            ("x", "y", 0.9),  # disconnected from seed
+        ],
+        "source_id string, target_id string, strength double",
+    )
+    seeds = spark.createDataFrame([("a",)], ["seed_id"])
+    res = beam_expand(edges, seeds, max_hops=2, beam_size=8)
+    rows = {(r["node"]): (r["hop"], r["path_score"]) for r in res.collect()}
+    assert rows["a"][0] == 0
+    assert rows["b"] == (1, pytest.approx(0.9))
+    assert rows["c"] == (2, pytest.approx(0.72))
+    assert rows["e"] == (2, pytest.approx(0.45))
+    assert "x" not in rows and "y" not in rows
+
+
+@pytest.mark.spark
+def test_beam_size_limits_frontier(spark):
+    edges = spark.createDataFrame(
+        [("s", f"n{i:02d}", 0.5 + i / 100) for i in range(20)],
+        "source_id string, target_id string, strength double",
+    )
+    seeds = spark.createDataFrame([("s",)], ["seed_id"])
+    res = beam_expand(edges, seeds, max_hops=1, beam_size=8)
+    assert res.where(F.col("hop") == 1).count() == 8
+
+
+@pytest.mark.spark
+def test_split_sentences_and_windows(chunks_df, spark):
+    df = spark.createDataFrame(
+        [("c1", "First sentence is long enough. Second sentence is longer still. Third one rounds it out.")],
+        ["chunk_id", "content"],
+    )
+    sents = split_sentences(df)
+    rows = sents.orderBy("sentence_index").collect()
+    assert len(rows) == 3
+    assert all(len(r["sentence_id"]) == 16 for r in rows)
+    win = sentence_windows(sents, window_size=1).orderBy("sentence_index").collect()
+    assert win[0]["window_text"].startswith("First sentence")
+    assert "Second sentence" in win[0]["window_text"]
+    assert "Third" not in win[0]["window_text"]

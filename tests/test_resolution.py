@@ -1,0 +1,66 @@
+"""S7 entity resolution: LSH blocking + jaccard + CC mapping."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_mrkr_2_spark.operators.resolution import (
+    apply_mapping,
+    candidate_pairs,
+    entity_mapping,
+    score_pairs,
+)
+
+ENTS = [
+    ("e1", "ADMIN PANEL"),
+    ("e2", "ADMIN PANELS"),
+    ("e3", "ADMIN PANNEL"),  # typo variant
+    ("e4", "USER DATABASE"),
+    ("e5", "USER DATA BASE"),
+    ("e6", "COMPLETELY OTHER THING"),
+]
+
+
+@pytest.fixture(scope="module")
+def ents_df(spark):
+    return spark.createDataFrame(ENTS, ["entity_id", "name"])
+
+
+@pytest.mark.spark
+def test_candidates_contain_true_matches(ents_df):
+    cands = {
+        (r["id1"], r["id2"]) for r in candidate_pairs(ents_df).collect()
+    }
+    assert ("e1", "e2") in cands
+    assert ("e4", "e5") in cands
+
+
+@pytest.mark.spark
+def test_scores_and_mapping(ents_df):
+    mapping = {
+        r["entity_id"]: r["canonical_id"]
+        for r in entity_mapping(ents_df, threshold=0.55).collect()
+    }
+    # admin-panel family collapses to one canonical id
+    assert mapping["e1"] == mapping["e2"] == mapping["e3"]
+    assert mapping["e4"] == mapping["e5"]
+    assert mapping["e6"] == "e6"  # untouched
+    assert mapping["e1"] != mapping["e4"]
+
+
+@pytest.mark.spark
+def test_apply_mapping_rewrites_edges(spark, ents_df):
+    mapping = entity_mapping(ents_df, threshold=0.55)
+    edges = spark.createDataFrame(
+        [("e2", "e4", 0.5), ("e3", "e5", 0.7), ("e6", "e1", 0.6)],
+        "source_id string, target_id string, strength double",
+    )
+    rewritten = apply_mapping(edges, mapping, ["source_id", "target_id"])
+    rows = {(r["source_id"], r["target_id"]) for r in rewritten.collect()}
+    m = {r["entity_id"]: r["canonical_id"] for r in mapping.collect()}
+    assert rows == {
+        (m["e2"], m["e4"]),
+        (m["e3"], m["e5"]),
+        ("e6", m["e1"]),
+    }
+    # after rewriting, the two admin->user edges collapse under distinct()
+    assert rewritten.select("source_id", "target_id").distinct().count() == 2
