@@ -261,6 +261,22 @@ def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphrag_mrkr_2_spark.streaming.ingest import windowed_event_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        windowed_event_counts(events, window_duration="1 hour")
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -311,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_knn_join": q_ann_knn_join,
         "embedding_near_dupes": q_embedding_near_dupes,
+        "events_windowed": q_events_windowed,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
     }
@@ -454,6 +471,13 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
             ORDER BY id1, id2
+        """,
+        "events_windowed": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

