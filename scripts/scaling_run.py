@@ -51,14 +51,14 @@ spark.sparkContext.setLogLevel("ERROR")
 pages = spark.read.parquet({pages_dir!r})
 
 # warm-up: full pass (JIT + worker forks), excluded from measurement
-run_kg_pipeline(pages, num_partitions=cores * 2).triples.count()
+run_kg_pipeline(pages, num_partitions=cores * 6).triples.count()
 spark.catalog.clearCache()
 
 best = None
-for trial in range(2):
+for trial in range(3):
     b0, s0 = stat()
     t0 = time.time()
-    res = run_kg_pipeline(pages, num_partitions=cores * 2)
+    res = run_kg_pipeline(pages, num_partitions=cores * 6)
     n_triples = res.triples.count()
     dt = time.time() - t0
     b1, s1 = stat()
@@ -167,7 +167,7 @@ extraction plan) on {n_pages} pages, identical input bytes at both levels.
 - One full warm-up pass per level (JVM JIT + Python worker forks: measured
   ~30 s one-time at 32 workers) precedes measurement; steady-state
   throughput is the honest proxy for a 100 TB multi-hour job.
-- Best of 2 measured runs; per-run busy/steal core-seconds from /proc/stat
+- Best of 3 measured runs; per-run busy/steal core-seconds from /proc/stat
   are reported because this shared VM shows intermittent external slowdowns
   (steal spikes measured up to 5% of core-time during runs).
 - {low}→{high} cores (N→4N) leaves headroom on the 32-vCPU host so the high
