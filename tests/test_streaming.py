@@ -62,25 +62,33 @@ def test_windowed_event_counts_on_testdata(spark):
 @pytest.mark.spark
 def test_windowed_counts_streaming_semantics(spark, tmp_path):
     """Same rollup executed as an actual stream (availableNow over files)
-    equals the batch evaluation."""
+    equals the batch evaluation — complete output mode emits every window.
+
+    The testdata ts column is TIMESTAMP_NTZ; streaming watermarks require
+    TIMESTAMP, so both sides cast first (session TZ is UTC, so bucket
+    boundaries are identical)."""
     from graphrag_mrkr_2_spark.streaming.ingest import windowed_event_counts
 
     src = "/root/testdata/sf0.001/events.parquet"
-    events = spark.read.parquet(src)
+    events = spark.read.parquet(src).withColumn("ts", F.col("ts").cast("timestamp"))
     batch = {
         (r["window_start"], r["event_type"], r["n_events"])
         for r in windowed_event_counts(events, window_duration="1 hour").collect()
     }
 
+    # the file stream source requires a directory; re-write the events into
+    # several files so availableNow produces multiple micro-batches
+    stream_dir = str(tmp_path / "events")
+    spark.read.parquet(src).repartition(3).write.mode("overwrite").parquet(stream_dir)
     stream = (
-        spark.readStream.schema(events.schema)
+        spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+        .parquet(stream_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
-    out_dir = str(tmp_path / "out")
     q = (
         windowed_event_counts(stream, window_duration="1 hour")
-        .writeStream.outputMode("append")
+        .writeStream.outputMode("complete")
         .format("memory")
         .queryName("win_counts")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -92,6 +100,4 @@ def test_windowed_counts_streaming_semantics(spark, tmp_path):
         (r["window_start"], r["event_type"], r["n_events"])
         for r in spark.sql("select * from win_counts").collect()
     }
-    # append mode emits only watermark-closed windows; with availableNow over
-    # a finite source the last windows may be withheld — assert subset + any
-    assert got <= batch
+    assert got == batch and got
