@@ -96,12 +96,12 @@ def q_kg_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_chunk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphrag_mrkr_2_spark.operators.extract import chunk_pages, filter_chunks
     from graphrag_mrkr_2_spark.operators.similarity import (
-        chunk_similarity_edges,
+        chunk_similarity_edges_grams,
         with_embeddings,
     )
 
     chunks = with_embeddings(filter_chunks(chunk_pages(_pages(spark))))
-    return chunk_similarity_edges(chunks).orderBy("id1", "id2")
+    return chunk_similarity_edges_grams(chunks).orderBy("id1", "id2")
 
 
 def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:

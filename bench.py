@@ -4,7 +4,7 @@ local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 Headline workloads:
   kg_pipeline      full KG construction over the synthetic pages table
-                   (pages count scales with sf: 20000*sf, min 200) —
+                   (pages count scales with sf: 100000*sf, min 500) —
                    chunk → extract+glean → canonicalize → nodes/edges/triples
   kg_similarity    embeddings + per-doc SIMILAR_TO edges over the same chunks
   kg_communities   weight norm + CC + per-component Louvain over KG edges
@@ -42,7 +42,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_from_dir(sf_dir)
-    n_pages = max(200, int(20000 * sf))
+    n_pages = max(500, int(100000 * sf))
 
     spark = get_spark(
         app_name="bench",
@@ -95,13 +95,13 @@ def main() -> None:
 
     # --- chunk similarity edges -------------------------------------------
     from graphrag_mrkr_2_spark.operators.similarity import (
-        chunk_similarity_edges,
+        chunk_similarity_edges_grams,
         with_embeddings,
     )
 
     t0 = time.time()
     emb_chunks = with_embeddings(res.chunks)
-    chunk_edges = chunk_similarity_edges(emb_chunks)
+    chunk_edges = chunk_similarity_edges_grams(emb_chunks)
     extras["kg_similar_edges"] = chunk_edges.count()
     queries["kg_similarity"] = round(time.time() - t0, 3)
 

@@ -80,11 +80,45 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _local_components(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find for small edge lists.
+
+    The alternating-star loop costs ~10-20 Spark jobs of fixed scheduling
+    latency — pure waste on a graph that fits in one collect. Component ids
+    (min node id) are identical to the distributed result by construction.
+    """
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = edges.collect()
+    for r in rows:
+        u, v = r["u"], r["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by keeping the smaller id as root → component = min id
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    out = [(n, find(n)) for n in parent]
+    return edges.sparkSession.createDataFrame(out, "node string, component string")
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "u",
     dst_col: str = "v",
     max_iterations: int = 20,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Edge list → (node, component) with component = min node id (orderable).
 
@@ -92,13 +126,24 @@ def connected_components(
     are the caller's concern (left-join the node table afterwards and
     coalesce(component, node)).
 
-    Every iteration materializes via localCheckpoint: the loop's convergence
-    check is an action, so without truncation each iteration would recompute
-    the whole upstream lineage (and the plan would double per round).
+    ``local_threshold``: edge lists at or below this size are solved with
+    driver-side union-find (one collect) instead of the distributed loop —
+    the loop's per-iteration job latency dwarfs the work for small graphs.
+    Set 0 to force the distributed path (tests do). At 10^12-document scale
+    the global match graph far exceeds any sane threshold, so the
+    large-star/small-star path is the one that runs.
+
+    Every distributed iteration materializes via localCheckpoint: the loop's
+    convergence check is an action, so without truncation each iteration
+    would recompute the whole upstream lineage (and the plan would double
+    per round).
     """
     e = _symmetric(
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     ).localCheckpoint(eager=True)
+
+    if local_threshold > 0 and e.count() <= local_threshold:
+        return _local_components(e)
     prev = None
     for _ in range(max_iterations):
         e = _large_star(e)

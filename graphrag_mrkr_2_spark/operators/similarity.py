@@ -103,6 +103,84 @@ def chunk_similarity_edges(
     )
 
 
+def chunk_similarity_edges_grams(
+    chunks: DataFrame,
+    threshold: float = 0.7,
+    max_connections: int = 5,
+    id_col: str = "chunk_id",
+    doc_col: str = "document_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """J1 via per-document NumPy gram matrices (applyInPandas) — the plan
+    SURVEY §2.5 prescribes: documents are small (tens of chunks), so the
+    all-pairs cosine is one vectorized matmul per group instead of a
+    self-join with interpreted per-pair array folds (~10× at bench scale).
+    Output contract identical to chunk_similarity_edges (tests assert it).
+    """
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("document_id", StringType(), False),
+            StructField("id1", StringType(), False),
+            StructField("id2", StringType(), False),
+            StructField("score", DoubleType(), False),
+            StructField("rank", IntegerType(), False),
+        ]
+    )
+
+    def _gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(columns=["document_id", "id1", "id2", "score", "rank"])
+        ids = pdf[id_col].tolist()
+        doc = pdf[doc_col].iloc[0]
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        np.fill_diagonal(sims, -np.inf)
+        best: dict[tuple[str, str], tuple[float, int]] = {}
+        for i in range(n):
+            row = sims[i]
+            # per-source top-k by similarity, ties broken by id asc
+            order = sorted(range(n), key=lambda j: (-row[j], ids[j]))
+            rank = 0
+            for j in order:
+                if row[j] < threshold:
+                    break
+                rank += 1
+                if rank > max_connections:
+                    break
+                key = (min(ids[i], ids[j]), max(ids[i], ids[j]))
+                score = float(row[j])
+                prev = best.get(key)
+                if prev is None or (score, -rank) > (prev[0], -prev[1]):
+                    cur_rank = rank if prev is None else min(rank, prev[1])
+                    best[key] = (max(score, prev[0]) if prev else score, cur_rank)
+                else:
+                    best[key] = (prev[0], min(prev[1], rank))
+        rows = [
+            {"document_id": doc, "id1": k[0], "id2": k[1], "score": v[0], "rank": v[1]}
+            for k, v in best.items()
+        ]
+        return pd.DataFrame(rows, columns=["document_id", "id1", "id2", "score", "rank"])
+
+    out = chunks.select(doc_col, id_col, vec_col).groupBy(doc_col).applyInPandas(
+        _gram, schema
+    )
+    return out.withColumn("edge_type", F.lit("SIMILAR_TO"))
+
+
 def entity_similarity_edges(
     nodes: DataFrame,
     threshold: float = 0.7,

@@ -12,11 +12,19 @@ def _check(spark, edges):
     g = nx.Graph()
     g.add_edges_from(edges)
     df = spark.createDataFrame(edges, ["u", "v"])
-    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
-    for comp in nx.connected_components(g):
-        comp = sorted(comp)
-        labels = {got.get(n) for n in comp}
-        assert labels == {comp[0]}, f"component {comp} got labels {labels}"
+    # distributed large-star/small-star path (local_threshold=0) AND the
+    # small-graph union-find fallback must both match networkx
+    for threshold in (0, 100_000):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, local_threshold=threshold).collect()
+        }
+        for comp in nx.connected_components(g):
+            comp = sorted(comp)
+            labels = {got.get(n) for n in comp}
+            assert labels == {comp[0]}, (
+                f"threshold={threshold}: component {comp} got labels {labels}"
+            )
 
 
 @pytest.mark.spark

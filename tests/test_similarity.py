@@ -93,3 +93,28 @@ def test_with_embeddings_udf(spark):
     out = with_embeddings(df).collect()
     assert np.allclose(out[0]["embedding"], out[1]["embedding"])
     assert len(out[0]["embedding"]) == 32
+
+
+@pytest.mark.spark
+def test_gram_variant_matches_join_variant(spark):
+    """chunk_similarity_edges (JVM join) and chunk_similarity_edges_grams
+    (per-doc NumPy) must produce the same edges/ranks (scores approx)."""
+    from graphrag_mrkr_2_spark.operators.similarity import (
+        chunk_similarity_edges_grams,
+    )
+    from graphrag_mrkr_2_spark.sources.pages import generate_pages
+    from graphrag_mrkr_2_spark.operators.extract import chunk_pages, filter_chunks
+
+    chunks = with_embeddings(filter_chunks(chunk_pages(generate_pages(spark, 15))))
+    a = {
+        (r["document_id"], r["id1"], r["id2"]): (round(r["score"], 6), r["rank"])
+        for r in chunk_similarity_edges(chunks).collect()
+    }
+    b = {
+        (r["document_id"], r["id1"], r["id2"]): (round(r["score"], 6), r["rank"])
+        for r in chunk_similarity_edges_grams(chunks).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][0] == pytest.approx(b[k][0], abs=1e-5)
+        assert a[k][1] == b[k][1], f"rank mismatch at {k}"
