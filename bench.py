@@ -113,7 +113,10 @@ def main() -> None:
     )
 
     t0 = time.time()
-    kg_edges = res.edges.select(
+    # materialize once: three downstream actions (CC count/collect, membership
+    # count) would otherwise recompute the canonicalization chain each time
+    kg_edges_src = res.edges.localCheckpoint(eager=True)
+    kg_edges = kg_edges_src.select(
         F.col("source_id").alias("src"),
         F.col("target_id").alias("dst"),
         F.col("edge_type"),

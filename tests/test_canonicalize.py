@@ -176,3 +176,22 @@ def test_spark_orphans(spark):
     orphans = orphan_entities_per_doc(r_doc, e_doc).collect()
     assert len(orphans) == 1
     assert orphans[0]["name"] == "UNKNOWN Y" and orphans[0]["is_orphan"]
+
+
+@pytest.mark.spark
+def test_description_summarization_gate(spark):
+    """C7 — only long, frequently-mentioned descriptions are rewritten
+    (description_summarizer.py:347-373)."""
+    from graphrag_mrkr_2_spark.operators.summarize import summarize_descriptions
+
+    long_desc = "\n".join(f"line number {i} with some description text" for i in range(12))
+    rows = [
+        ("E LONG HOT", long_desc, 5),   # qualifies
+        ("E LONG COLD", long_desc, 2),  # too few mentions
+        ("E SHORT HOT", "short", 9),    # too short
+    ]
+    df = spark.createDataFrame(rows, "name string, description string, mention_count long")
+    out = {r["name"]: r["description"] for r in summarize_descriptions(df).collect()}
+    assert len(out["E LONG HOT"]) < len(long_desc)  # compressed
+    assert out["E LONG COLD"] == long_desc          # untouched
+    assert out["E SHORT HOT"] == "short"            # untouched

@@ -75,3 +75,37 @@ def test_gleaning_zero_passes():
     ents, _ = extract_chunk_with_gleaning("text", "c1", llm, max_gleanings=0)
     assert calls == [0]
     assert len(ents) == 1
+
+
+def test_pipe_fallback_parser():
+    """X5 — tuple parse finds nothing, response looks pipe-formatted ->
+    fallback (entity_extraction.py:612-615, :623-725)."""
+    from graphrag_mrkr_2_spark.functions.extraction import parse_extraction_response
+
+    pipe = (
+        "ENTITIES:\n"
+        "- Name: Admin Panel | Type: COMPONENT | Description: web ui | Importance: 0.9\n"
+        "- Name: the | Type: CONCEPT | Description: junk | Importance: 0.9\n"
+        "- Name: Widget (Legacy) | Type: UNKNOWN | Description: d | Importance: 0.7\n"
+        "RELATIONSHIPS:\n"
+        "- Source: Admin Panel | Target: User Database | Type: WEIRD_TYPE | Description: d | Strength: 0.7\n"
+        "- Source: Admin Panel | Target: User Database | Type: MENTIONS | Description: d | Strength: 0.6\n"
+    )
+    ents, rels = parse_extraction_response(pipe, "c1")
+    names = {(e["name"], e["type"]) for e in ents}
+    assert ("Admin Panel", "COMPONENT") in names
+    assert ("Widget", "CONCEPT") in names  # paren strip + unknown type
+    assert not any(e["name"] == "the" for e in ents)  # low-value filtered
+    assert rels[0]["relationship_type"] == "RELATED_TO"  # unknown predicate
+    assert rels[1]["relationship_type"] == "MENTIONS"  # known kept
+
+
+def test_pipe_fallback_not_triggered_when_tuples_parse():
+    from graphrag_mrkr_2_spark.functions.extraction import parse_extraction_response
+
+    mixed = (
+        '("entity"<|>Real Entity<|>COMPONENT<|>d<|>0.8)\n'
+        "- Name: Should Not Appear | Type: COMPONENT | Description: x | Importance: 0.9\n"
+    )
+    ents, _ = parse_extraction_response(mixed, "c1")
+    assert [e["name"] for e in ents] == ["REAL ENTITY"]
