@@ -58,6 +58,11 @@ def run_kg_pipeline(
     materialized between stages, e.g. plans/checkpoint.py). Both plans
     produce identical mentions (test_pipeline_parity).
     """
+    # prune before the repartition exchange: the shuffle otherwise carries
+    # warc_ts/lang bytes no downstream stage reads (Catalyst prunes scans,
+    # but an explicit repartition materializes whatever columns it is given)
+    keep = [c for c in ("url", "html", "text") if c in pages.columns]
+    pages = pages.select(*keep)
     if num_partitions:
         pages = repartition_by_url(pages, num_partitions)
 
