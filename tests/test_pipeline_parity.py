@@ -94,3 +94,24 @@ def test_pipeline_determinism(spark):
         for r in run_kg_pipeline(generate_pages(spark, 8), num_partitions=7).triples.collect()
     }
     assert t1 == t2  # partitioning must not change results
+
+
+@pytest.mark.spark
+def test_frozen_triples_regression(spark):
+    """The committed golden triple set (seed 42, 40 pages — the same run the
+    driver's entry() smoke uses) must reproduce exactly. Guards against
+    silent semantic drift between rounds; regenerate the fixture ONLY for an
+    intentional semantics change (and say so in the commit message)."""
+    import json
+    import os
+
+    from graphrag_mrkr_2_spark.plans.pipeline import run_kg_pipeline
+    from graphrag_mrkr_2_spark.sources.pages import generate_pages
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures_triples_seed42_40pages.json")
+    expected = {tuple(t) for t in json.load(open(fixture))}
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in run_kg_pipeline(generate_pages(spark, 40), num_partitions=8).triples.collect()
+    }
+    assert got == expected
