@@ -13,6 +13,12 @@ oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
 
 from __future__ import annotations
 
+import os
+import sys
+
+# make the engine importable regardless of the driver's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
