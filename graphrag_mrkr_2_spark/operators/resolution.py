@@ -95,18 +95,53 @@ def score_pairs(
     id_col: str = "entity_id",
     name_col: str = "name",
     n: int = 3,
+    vec_col: str | None = None,
 ) -> DataFrame:
-    """Exact name n-gram Jaccard on candidate pairs only."""
-    g = entities.select(
-        F.col(id_col).alias("id"), _char_ngrams_expr(F.col(name_col), n).alias("grams")
+    """Similarity scoring on candidate pairs only (never all-pairs).
+
+    Always computes exact name n-gram Jaccard; when ``vec_col`` names an
+    embedding column on ``entities``, also computes embedding cosine — the
+    north star's "TF-IDF/embedding cosine scoring" leg — so callers can
+    gate matches on either or both signals.
+    """
+    cols = [F.col(id_col).alias("id"), _char_ngrams_expr(F.col(name_col), n).alias("grams")]
+    if vec_col:
+        cols.append(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"))
+    g = entities.select(*cols)
+
+    def _side(side: str) -> DataFrame:
+        out = g.withColumnRenamed("id", side).withColumnRenamed("grams", f"g_{side}")
+        if vec_col:
+            out = out.withColumnRenamed("vec", f"v_{side}")
+        return out
+
+    scored = (
+        pairs.join(_side("id1"), "id1")
+        .join(_side("id2"), "id2")
+        .withColumn("inter", F.size(F.array_intersect("g_id1", "g_id2")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("g_id1") + F.size("g_id2") - F.col("inter")),
+        )
     )
-    return (
-        pairs.join(g.withColumnRenamed("id", "id1").withColumnRenamed("grams", "g1"), "id1")
-        .join(g.withColumnRenamed("id", "id2").withColumnRenamed("grams", "g2"), "id2")
-        .withColumn("inter", F.size(F.array_intersect("g1", "g2")))
-        .withColumn("jaccard", F.col("inter") / (F.size("g1") + F.size("g2") - F.col("inter")))
-        .select("id1", "id2", "jaccard")
-    )
+    out_cols = ["id1", "id2", "jaccard"]
+    if vec_col:
+        dot = F.aggregate(
+            F.zip_with(F.col("v_id1"), F.col("v_id2"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+        def norm(c):
+            return F.sqrt(
+                F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+            )
+
+        scored = scored.withColumn(
+            "cosine", dot / (norm(F.col("v_id1")) * norm(F.col("v_id2")))
+        )
+        out_cols.append("cosine")
+    return scored.select(*out_cols)
 
 
 def entity_mapping(
@@ -117,12 +152,19 @@ def entity_mapping(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    vec_col: str | None = None,
+    cosine_threshold: float | None = None,
 ) -> DataFrame:
-    """(entity_id → canonical_id) via LSH → Jaccard ≥ τ → CC (min id root)."""
+    """(entity_id → canonical_id) via LSH blocking → scoring → CC (min id root).
+
+    Match gate: name Jaccard ≥ threshold, OR (when ``vec_col`` +
+    ``cosine_threshold`` are given) embedding cosine ≥ cosine_threshold."""
     cands = candidate_pairs(entities, id_col, name_col, n, num_hashes, bands)
-    matches = score_pairs(cands, entities, id_col, name_col, n).where(
-        F.col("jaccard") >= threshold
-    )
+    scored = score_pairs(cands, entities, id_col, name_col, n, vec_col=vec_col)
+    gate = F.col("jaccard") >= threshold
+    if vec_col and cosine_threshold is not None:
+        gate = gate | (F.col("cosine") >= cosine_threshold)
+    matches = scored.where(gate)
     comp = connected_components(matches, "id1", "id2")
     all_ids = entities.select(F.col(id_col).alias("node")).distinct()
     return (

@@ -64,3 +64,33 @@ def test_apply_mapping_rewrites_edges(spark, ents_df):
     }
     # after rewriting, the two admin->user edges collapse under distinct()
     assert rewritten.select("source_id", "target_id").distinct().count() == 2
+
+
+@pytest.mark.spark
+def test_embedding_cosine_scoring_leg(spark):
+    """score_pairs with vec_col adds cosine; entity_mapping can merge on
+    the embedding signal even when name Jaccard is below threshold."""
+    from graphrag_mrkr_2_spark.functions.embeddings import pseudo_embedding
+
+    def vec(text):
+        return [float(x) for x in pseudo_embedding(text)]
+
+    rows = [
+        # same bag of words -> cosine 1.0, but different order changes
+        # nothing for BOW; names share enough 3-grams to block together
+        ("e1", "DATABASE BACKUP ENGINE", vec("database backup engine")),
+        ("e2", "BACKUP ENGINE DATABASE", vec("database backup engine")),
+        ("e3", "TOTALLY OTHER THING", vec("totally other thing")),
+    ]
+    df = spark.createDataFrame(rows, "entity_id string, name string, embedding array<float>")
+    scored = score_pairs(candidate_pairs(df), df, vec_col="embedding")
+    assert "cosine" in scored.columns
+    m = {
+        r["entity_id"]: r["canonical_id"]
+        for r in entity_mapping(
+            df, threshold=0.99, vec_col="embedding", cosine_threshold=0.95
+        ).collect()
+    }
+    # jaccard gate alone (0.99) would not merge e1/e2; cosine does
+    assert m["e1"] == m["e2"]
+    assert m["e3"] == "e3"
