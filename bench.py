@@ -14,7 +14,7 @@ Headline workloads:
   text_analysis    content filter + lang-id + token counts over documents
 
 Also reports docs_per_sec and triples_per_sec for the KG pipeline (the
-BASELINE.json throughput metric). Scaling runs (local[8] vs local[32]) are
+BASELINE.json throughput metric). Scaling runs (taskset-pinned N vs 4N cores) are
 produced by scripts/scaling_run.py into BENCH/BASELINE.md.
 """
 
