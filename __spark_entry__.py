@@ -230,7 +230,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphrag_mrkr_2_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy("doc1", "doc2")
+    return (
+        simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+        .select("doc1", "doc2", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("doc1", "doc2")
+    )
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,11 +385,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT {_FILTER_REASON_SQL} AS reason FROM documents
             ) GROUP BY reason ORDER BY reason
         """,
+        # SUM(BIGINT) is HUGEINT in DuckDB — cast back to BIGINT so the
+        # driver's value hash canonicalizes identically to Spark's bigint
         "doc_token_counts": """
             SELECT lang,
-                   SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS total_ws_tokens,
-                   SUM(GREATEST(CAST(floor(length(trim(text)) / 4) AS BIGINT), 1)) AS total_approx_tokens,
+                   CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_ws_tokens,
+                   CAST(SUM(GREATEST(CAST(floor(length(trim(text)) / 4) AS BIGINT), 1)) AS BIGINT) AS total_approx_tokens,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang
         """,
@@ -450,6 +456,37 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jaccard
             FROM pairs
             WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5
+            ORDER BY doc1, doc2
+        """,
+        # simhash: word hash = md5_number_lower (bit-identical to the Spark
+        # UDF's md5-digest[8:16] little-endian); the banded join in Spark has
+        # exact recall at hamming<=3 by pigeonhole, so a full O(n^2) SQL
+        # verify is the same pair set. Empty docs vote on no bits -> fp 0.
+        "dedup_simhash": """
+            WITH w AS (
+              SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS word
+              FROM documents
+              WHERE length(trim(text)) > 0
+            ),
+            votes AS (
+              SELECT doc_id, t.bit,
+                     SUM(CASE WHEN ((md5_number_lower(word) >> t.bit) & 1) = 1
+                              THEN 1 ELSE -1 END) AS vote
+              FROM w, generate_series(0, 63) t(bit)
+              GROUP BY doc_id, t.bit
+            ),
+            fp AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(SUM(CASE WHEN v.vote > 0
+                                            THEN (1::UBIGINT << v.bit)
+                                            ELSE 0::UBIGINT END), 0) AS UBIGINT) AS simhash
+              FROM documents d LEFT JOIN votes v USING (doc_id)
+              GROUP BY d.doc_id
+            )
+            SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
             ORDER BY doc1, doc2
         """,
         "ann_topk": """

@@ -66,14 +66,18 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 2000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (doc1 < doc2, jaccard >= τ).
 
     Shuffles: one explode+groupBy per pair. ``max_shingle_df`` drops
     shingles appearing in more than that many docs before pairing —
-    boilerplate protection; at web scale always set it (a shingle present in
-    m docs yields m² pair rows).
+    boilerplate protection: a shingle present in m docs yields m² candidate
+    rows, so an uncapped run on web text with a boilerplate footer is a
+    quadratic explosion. The DEFAULT cap (2000 → ≤ ~2M pair rows per hot
+    shingle) is the scale-safe posture; pass None explicitly to force the
+    exact uncapped semantics (only sane on small corpora / test oracles —
+    a capped shingle lowers the measured intersection, never the union).
     """
     sh = with_shingles(df, text_col, n).select(
         F.col(id_col).alias("doc"), F.col("shingles")
@@ -217,7 +221,10 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """64-bit SimHash via vectorized bit voting in an Arrow-batched UDF.
 
-    bit_k(doc) = 1 if sum over distinct words of sign(bit_k(sha1(word))) > 0.
+    bit_k(doc) = 1 if sum over distinct words of sign(bit_k(h(word))) > 0,
+    with h(word) = little-endian uint64 of md5(word) bytes 8..16 — chosen to
+    be bit-identical to DuckDB's ``md5_number_lower`` so the driver can run
+    an exact SQL oracle for this operator (VERDICT r1 next-step #4).
 
     Implementation note: this was first written as 64 JVM aggregate() folds,
     but Catalyst/codegen choked on the 64 giant expression trees (minutes of
@@ -238,7 +245,7 @@ def simhash_fingerprints(
                 continue
             hs = np.frombuffer(
                 b"".join(
-                    hashlib.sha1(w.encode("utf-8", "replace")).digest()[:8]
+                    hashlib.md5(w.encode("utf-8", "replace")).digest()[8:]
                     for w in words
                 ),
                 dtype="<u8",
@@ -316,32 +323,114 @@ def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
 
 
+def _multiband_hyperplane_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bands: int,
+    planes_per_band: int,
+    seed: int,
+) -> DataFrame:
+    """(id, band, bucket) rows from banded random-hyperplane signatures.
+
+    All bands*planes sign bits are computed in ONE Arrow-batched numpy
+    matmul per batch (a per-plane JVM fold expression tree at 72+ planes
+    stalls Catalyst codegen — same lesson as simhash_fingerprints). Plane
+    matrix is seeded → deterministic across runs and partitionings.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_planes = bands * planes_per_band
+    weights = (1 << np.arange(planes_per_band, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        dim = mat.shape[1]
+        planes = np.random.RandomState(seed).normal(size=(n_planes, dim))
+        bits = (mat @ planes.T >= 0).astype(np.int64)  # (rows, n_planes)
+        per_band = bits.reshape(len(mat), bands, planes_per_band) @ weights
+        return pd.Series(list(per_band))
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_buckets(F.col(vec_col))).alias("band", "bucket"),
+    )
+
+
 def embedding_near_dupes(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    method: str = "lsh",
+    bands: int = 12,
+    planes_per_band: int = 6,
+    seed: int = 7,
 ) -> DataFrame:
-    """Exact cosine-similar pairs (id1 < id2, cosine >= τ) via self-join.
+    """Cosine-similar pairs (id1 < id2, cosine >= τ).
 
-    Quadratic — correct baseline for tests/small n. The scale path buckets
-    by random-hyperplane LSH first (see ann.hyperplane_buckets) and runs
-    this join within buckets.
+    method="lsh" (DEFAULT — the scale path): banded random-hyperplane
+    buckets generate candidates (equi-join on (band, bucket), one shuffle
+    keyed by bucket, AQE covers bucket skew), then every candidate is
+    EXACT-verified with the JVM cosine fold — so false positives are
+    impossible and recall is the only approximation. At τ=0.95 the default
+    12 bands × 6 planes give P(miss) = (1 - p^6)^12 ≈ 1e-4 for a pair at
+    exactly τ (p = 1 - acos(τ)/π ≈ 0.899), and less for anything closer.
+    Tighten by adding bands; cheapen by adding planes per band.
+
+    method="exact": the quadratic self-join — the correctness baseline for
+    tests and small n (tests assert lsh ≡ exact on planted fixtures).
     """
     v = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
-    a, b = v.alias("a"), v.alias("b")
     cos = _dot(F.col("a.vec"), F.col("b.vec")) / (
         _norm(F.col("a.vec")) * _norm(F.col("b.vec"))
     )
+    if method == "exact":
+        a, b = v.alias("a"), v.alias("b")
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id1"),
+                F.col("b.id").alias("id2"),
+                cos.alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
+        )
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r} (use 'lsh' or 'exact')")
+
+    bb = _multiband_hyperplane_buckets(df, id_col, vec_col, bands, planes_per_band, seed)
+    ba, bcol = bb.alias("ba"), bb.alias("bb")
+    candidates = (
+        ba.join(
+            bcol,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bucket") == F.col("bb.bucket"))
+            & (F.col("ba.id") < F.col("bb.id")),
+        )
+        .select(F.col("ba.id").alias("id1"), F.col("bb.id").alias("id2"))
+        .distinct()
+    )
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
+        candidates.join(
+            v.select(F.col("id").alias("id1"), F.col("vec").alias("v1")), "id1"
+        )
+        .join(v.select(F.col("id").alias("id2"), F.col("vec").alias("v2")), "id2")
         .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            cos.alias("cosine"),
+            "id1",
+            "id2",
+            (
+                _dot(F.col("v1"), F.col("v2"))
+                / (_norm(F.col("v1")) * _norm(F.col("v2")))
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

