@@ -81,6 +81,17 @@ def main() -> None:
     run_kg_pipeline(pages.limit(max(50, n_pages // 10)), num_partitions=cpus * 6).triples.count()
     spark.catalog.clearCache()
 
+    # marginal-rate methodology (VERDICT r1 #9): time a warm half-size run
+    # and the warm full run; the marginal rate (Δdocs/Δsec) strips the fixed
+    # scheduling/startup overhead that flatters small absolute runs.
+    half_pages = n_pages // 2
+    t0 = time.time()
+    res_half = run_kg_pipeline(pages.limit(half_pages), num_partitions=cpus * 6)
+    res_half.triples.count()
+    dt_half = time.time() - t0
+    res_half.mentions.unpersist()
+    spark.catalog.clearCache()
+
     t0 = time.time()
     res = run_kg_pipeline(pages, num_partitions=cpus * 6)
     n_triples = res.triples.count()
@@ -91,16 +102,27 @@ def main() -> None:
     extras["kg_triples"] = n_triples
     extras["kg_nodes"] = n_nodes
     extras["docs_per_sec"] = round(n_pages / dt, 2)
+    extras["kg_pipeline_half_sec"] = round(dt_half, 3)
+    if dt > dt_half:
+        extras["marginal_docs_per_sec"] = round((n_pages - half_pages) / (dt - dt_half), 2)
     extras["triples_per_sec"] = round(n_triples / dt, 2)
 
-    # --- chunk similarity edges -------------------------------------------
+    # --- chunk materialization + similarity edges ---------------------------
+    # chunks are materialized ONCE (as plans/checkpoint.py does between
+    # stages in a real deployment) so the similarity timing measures
+    # embedding + gram-matrix work, not a second HTML parse of every page
+    # (VERDICT r1 #6). The parse cost is reported as its own line.
     from graphrag_mrkr_2_spark.operators.similarity import (
         chunk_similarity_edges_grams,
         with_embeddings,
     )
 
     t0 = time.time()
-    emb_chunks = with_embeddings(res.chunks)
+    chunks_mat = res.chunks.localCheckpoint(eager=True)
+    queries["kg_chunk_materialize"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    emb_chunks = with_embeddings(chunks_mat)
     chunk_edges = chunk_similarity_edges_grams(emb_chunks)
     extras["kg_similar_edges"] = chunk_edges.count()
     queries["kg_similarity"] = round(time.time() - t0, 3)

@@ -36,7 +36,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .graphalgo import connected_components
+from .graphalgo import connected_components, label_propagation
 
 
 def normalize_edge_weights(
@@ -103,9 +103,18 @@ def detect_communities(
 ) -> DataFrame:
     """G3 — CC then per-component Louvain/Leiden-style modularity clustering.
 
-    Returns (node, community_id, level). Community ids are globally unique:
-    xxhash64 of (component, local community min node) — deterministic across
-    runs and cluster sizes (no driver-side counters).
+    Returns (node, community_id, level). Community ids are globally unique
+    and deterministic (hash of the community's minimum node id — no
+    driver-side counters).
+
+    Components small enough to fit one executor are clustered inside
+    applyInPandas (modularity — the reference's semantics). Components whose
+    edge count exceeds ``max_component_size`` — at web scale exactly the
+    giant component that matters most — are routed to distributed weighted
+    label propagation (graphalgo.label_propagation) instead of being
+    collapsed into a single community, so a giant component still yields
+    real sub-communities (VERDICT r1 'What's missing' #4; reference behavior
+    core/graph_clustering.py:158-176 is single-process Leiden).
     """
     cc = connected_components(edges, src_col, dst_col)
 
@@ -114,17 +123,19 @@ def detect_communities(
         .join(cc.withColumnRenamed("node", "src"), "src")
     )
 
+    comp_sizes = tagged.groupBy("component").agg(F.count(F.lit(1)).alias("n_edges"))
+    tagged = tagged.join(
+        comp_sizes.select(
+            F.col("component"), (F.col("n_edges") > max_component_size).alias("is_giant")
+        ),
+        "component",
+    )
+    small = tagged.where(~F.col("is_giant")).drop("is_giant")
+    giant = tagged.where(F.col("is_giant")).drop("is_giant")
+
     def _cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         import networkx as nx
 
-        if len(pdf) > max_component_size:
-            # degrade gracefully: component = one community
-            nodes = pd.unique(pd.concat([pdf["src"], pdf["dst"]]))
-            comp = pdf["component"].iloc[0]
-            cid = pd.util.hash_pandas_object(pd.Series([comp])).iloc[0] % (2**62)
-            return pd.DataFrame(
-                {"node": nodes, "community_id": int(cid), "level": level}
-            )
         g = nx.Graph()
         for s, d, w in zip(pdf["src"], pdf["dst"], pdf["weight"]):
             prev = g.get_edge_data(s, d, default={"weight": 0.0})["weight"]
@@ -140,7 +151,26 @@ def detect_communities(
                 rows.append({"node": m, "community_id": cid, "level": level})
         return pd.DataFrame(rows, columns=["node", "community_id", "level"])
 
-    return tagged.groupBy("component").applyInPandas(_cluster, _MEMBERSHIP_SCHEMA)
+    small_mem = small.groupBy("component").applyInPandas(_cluster, _MEMBERSHIP_SCHEMA)
+
+    # cheap scalar gate: LPA's iterative loop runs actions, so don't enter it
+    # when there is no giant component (the overwhelmingly common case)
+    if giant.limit(1).isEmpty():
+        return small_mem
+
+    lpa = label_propagation(giant, "src", "dst", "weight")
+    # community id = hash of the community's min node id (same determinism
+    # contract as _stable_id on the applyInPandas path)
+    anchors = lpa.groupBy("label").agg(F.min("node").alias("anchor"))
+    giant_mem = (
+        lpa.join(anchors, "label")
+        .select(
+            "node",
+            F.pmod(F.xxhash64("anchor"), F.lit(2**62)).alias("community_id"),
+            F.lit(level).cast("long").alias("level"),
+        )
+    )
+    return small_mem.unionByName(giant_mem)
 
 
 def _stable_id(anchor: str) -> int:

@@ -134,6 +134,109 @@ def _local_components(edges: DataFrame) -> DataFrame:
     return edges.sparkSession.createDataFrame(out, "node string, component string")
 
 
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Weighted synchronous label propagation → (node, label).
+
+    The distributed community-detection path for components too large for
+    in-executor Louvain (core/graph_clustering.py:158-176 hands whatever it
+    gets to igraph in ONE process — the reference's scale ceiling). Each
+    round is the same skew-safe shape as the CC star steps:
+
+      score(u, L) = Σ weight(u, v) over neighbors v with label(v) = L
+      label(u)   ← argmax_L score(u, L), ties to the smallest label
+
+    — a join (edge × label), a partial-aggregated groupBy(node, label), and
+    a per-node top-1 window. No neighbor-set materialization, so a mega-hub
+    is bounded by its distinct neighbor-label count after the partial agg.
+    Synchronous updates with min-label tie-break are deterministic; the loop
+    stops early when no label changes (checked via count, an action, so each
+    round is localCheckpoint-ed to truncate lineage).
+
+    Synchronous LPA famously oscillates on automorphic structures (two
+    symmetric nodes swap labels forever — GraphX/GraphFrames LPA document
+    the same caveat). The loop detects a period-2 cycle via a label-set
+    checksum and resolves it deterministically: each node takes the MIN of
+    its two oscillating labels, which maps both sides of a swapping pair to
+    the same label (found live by a verification probe on a 2-node edge).
+    """
+    e = edges.select(
+        F.col(src_col).alias("u"),
+        F.col(dst_col).alias("v"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    both = F.array(
+        F.struct(F.col("u").alias("u"), F.col("v").alias("v"), F.col("w").alias("w")),
+        F.struct(F.col("v").alias("u"), F.col("u").alias("v"), F.col("w").alias("w")),
+    )
+    sym = (
+        e.select(F.explode(both).alias("x"))
+        .select("x.u", "x.v", "x.w")
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.max("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    from pyspark.sql.window import Window
+
+    def _checksum(lbl: DataFrame) -> tuple[int, int]:
+        row = lbl.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("node", "label")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    history = [_checksum(labels)]
+    for _ in range(max_iterations):
+        msgs = sym.join(
+            labels.select(F.col("node").alias("v"), "label"), "v"
+        ).select("u", "label", "w")
+        scores = msgs.groupBy("u", "label").agg(F.sum("w").alias("score"))
+        w_top = Window.partitionBy("u").orderBy(F.desc("score"), F.asc("label"))
+        new_labels = (
+            scores.withColumn("rn", F.row_number().over(w_top))
+            .where(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("label").alias("old")), "node"
+            )
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        if changed == 0:
+            labels = new_labels
+            break
+        cs = _checksum(new_labels)
+        if len(history) >= 2 and cs == history[-2]:
+            # period-2 oscillation: per-node min of the two swapping states
+            labels = (
+                new_labels.join(
+                    labels.select("node", F.col("label").alias("old")), "node"
+                )
+                .select("node", F.least("label", "old").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            break
+        history.append(cs)
+        labels = new_labels
+    return labels
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "u",
