@@ -201,6 +201,29 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 classification + category gate over the documents table (each doc
+    treated as a single chunk; the 20-chunk assembly path is exercised by
+    the KG pipeline tests)."""
+    from graphrag_mrkr_2_spark.operators.docsummary import (
+        classify_documents,
+        propagate_category,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("document_id"),
+        F.lit(0).alias("chunk_index"),
+        F.col("text").alias("content"),
+    )
+    classified = classify_documents(docs)
+    tagged = propagate_category(docs, classified)
+    return (
+        tagged.groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("category")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphrag_mrkr_2_spark.operators.dedup import exact_duplicates
 
@@ -330,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_counts": q_doc_token_counts,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
+        "doc_classify": q_doc_classify,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
         "dedup_minhash": q_dedup_minhash,
@@ -457,6 +481,36 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5
             ORDER BY doc1, doc2
+        """,
+        # T10 classification: the deterministic classifier stand-in hashes
+        # with md5-lower-64 == DuckDB md5_number_lower; category applies at
+        # confidence >= 0.7 i.e. (h % 50) >= 20. Truncation mirrors
+        # document_summarizer.py:248-258.
+        "doc_classify": """
+            WITH doc AS (
+              SELECT CAST(doc_id AS VARCHAR) AS document_id, COALESCE(text, '') AS t
+              FROM documents
+            ),
+            trunc AS (
+              SELECT document_id,
+                CASE WHEN length(t) > 15000 THEN
+                  CASE WHEN strpos(reverse(substr(t, 1, 12000)), '.') > 0
+                        AND (12001 - strpos(reverse(substr(t, 1, 12000)), '.')) > 10000
+                    THEN substr(t, 1, 12001 - strpos(reverse(substr(t, 1, 12000)), '.'))
+                    ELSE substr(t, 1, 12000) END
+                ELSE t END AS content
+              FROM doc
+            ),
+            cls AS (
+              SELECT document_id, md5_number_lower(substr(content, 1, 1200)) AS h
+              FROM trunc
+            )
+            SELECT CASE WHEN (h % 50) >= 20
+                        THEN list_element(['install','admin','security','api','general'],
+                                          CAST(h % 5 AS INT) + 1)
+                        ELSE 'general' END AS category,
+                   COUNT(*) AS n_docs
+            FROM cls GROUP BY 1 ORDER BY category
         """,
         # simhash: word hash = md5_number_lower (bit-identical to the Spark
         # UDF's md5-digest[8:16] little-endian); the banded join in Spark has
