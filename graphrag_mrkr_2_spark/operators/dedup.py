@@ -266,13 +266,25 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= r via 4-band blocking.
+    """Near-dup pairs with hamming(simhash) <= r via (r+1)-band blocking.
 
-    Pigeonhole: fingerprints within hamming r<=3 agree on at least one of 4
-    16-bit bands → equi-join per band, then exact popcount verify
-    (bit_count of xor).
+    Pigeonhole: fingerprints within hamming r agree exactly on at least one
+    of r+1 disjoint bit bands → equi-join per band gives EXACT recall for
+    any r, then exact popcount verify (bit_count of xor). The 64 bits split
+    as evenly as possible across bands (r=3 → four 16-bit bands). Cost note:
+    large r means narrow bands and fatter buckets — the candidate join grows
+    accordingly; web-scale dedup wants r<=4.
     """
     fp = simhash_fingerprints(df, id_col, text_col)
+    nbands = max_hamming + 1
+    assert 1 <= nbands <= 64, "max_hamming must be in [0, 63]"
+    base, rem = divmod(64, nbands)
+    specs = []  # (band, offset, width)
+    off = 0
+    for b in range(nbands):
+        width = base + (1 if b < rem else 0)
+        specs.append((b, off, width))
+        off += width
     bands = fp.select(
         "doc",
         "simhash",
@@ -281,11 +293,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), offset)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("chunk"),
                     )
-                    for b in range(4)
+                    for b, offset, width in specs
                 ]
             )
         ).alias("bb"),

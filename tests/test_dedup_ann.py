@@ -61,9 +61,38 @@ def test_minhash_verified_equals_exact(docs_df):
 
 @pytest.mark.spark
 def test_simhash_near_dupes(docs_df):
-    pairs = {(r["doc1"], r["doc2"]): r["hamming"] for r in simhash_pairs(docs_df, max_hamming=10).collect()}
+    """One word changed in a 10-word doc flips many vote bits (hamming 13
+    under the md5 word hash), so the near-dup assertion uses a threshold
+    that covers it; banding is exact-recall for any threshold by
+    construction (r+1 bands)."""
+    pairs = {(r["doc1"], r["doc2"]): r["hamming"] for r in simhash_pairs(docs_df, max_hamming=16).collect()}
     assert pairs[(0, 1)] == 0  # identical text -> identical fingerprint
-    assert (0, 2) in pairs  # one-word change -> small hamming distance
+    assert (0, 2) in pairs and 0 < pairs[(0, 2)] <= 16
+    assert (3, 4) not in pairs  # unrelated docs stay apart
+
+
+@pytest.mark.spark
+def test_simhash_banding_exact_recall_vs_bruteforce(spark):
+    """Band-join pair set == brute-force hamming filter (recall 1.0 by
+    pigeonhole) on a corpus of small perturbations of one long doc."""
+    base_words = [f"word{i}" for i in range(120)]
+    rows = [(0, " ".join(base_words))]
+    for j in range(1, 8):
+        w = list(base_words)
+        w[j] = f"changed{j}"  # 1-word delta on a 120-word doc -> small hamming
+        rows.append((j, " ".join(w)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from graphrag_mrkr_2_spark.operators.dedup import simhash_fingerprints
+
+    fps = {r["doc"]: r["simhash"] for r in simhash_fingerprints(df).collect()}
+    expected = {
+        (a, b)
+        for a in fps
+        for b in fps
+        if a < b and bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 6
+    }
+    got = {(r["doc1"], r["doc2"]) for r in simhash_pairs(df, max_hamming=6).collect()}
+    assert got == expected and expected, f"expected {len(expected)} pairs"
 
 
 @pytest.mark.spark
