@@ -170,6 +170,109 @@ def weighted_fuse(
 # ---------------------------------------------------------------------------
 
 
+def find_scored_paths(
+    edges: DataFrame,
+    nodes: DataFrame,
+    seed_ids: list[str],
+    max_hops: int = 2,
+    beam_size: int = 8,
+    min_strength: float = 0.0,
+    src_col: str = "source_id",
+    dst_col: str = "target_id",
+    weight_col: str = "strength",
+    node_id_col: str = "entity_id",
+    importance_col: str = "importance_score",
+) -> DataFrame:
+    """Q5 exact reference semantics (core/graph_db.py:4788-4967
+    find_scored_paths):
+
+    - a path starts at each seed with score = the seed's importance_score;
+    - each hop expands the path's LAST entity over undirected edges with
+      strength >= min_strength, excluding nodes already on that path
+      (per-path visited set — an array column, bounded by max_hops+1);
+    - per path, only the top ``beam_size*2`` candidate edges by strength are
+      considered (the reference's ORDER BY r.strength DESC LIMIT beam*2;
+      ties broken by target id for determinism where Neo4j is arbitrary);
+    - new_score = 0.5*path_score + 0.3*strength + 0.2*target_importance
+      (:4935-4940);
+    - after each hop, a GLOBAL top-``beam_size`` prune over all paths
+      (:4950-4952) — per query, not per seed;
+    - a hop that yields no expansions terminates the loop keeping the
+      previous frontier (:4955-4956).
+
+    Returns (path array<string>, last, hop, score) sorted by score desc.
+    Each hop is one join + two windows; per-hop frontier is <= beam_size
+    rows, so the loop's cost is dominated by the edge probe join — at scale,
+    broadcast the tiny frontier against the bucketed edge table.
+    """
+    sym = (
+        edges.select(
+            F.col(src_col).alias("a"),
+            F.col(dst_col).alias("b"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("a"),
+                F.col(src_col).alias("b"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+        )
+        .where(F.col("w") >= min_strength)
+    )
+    imp = nodes.select(
+        F.col(node_id_col).alias("b"),
+        F.coalesce(F.col(importance_col).cast("double"), F.lit(0.5)).alias("imp_b"),
+    )
+
+    spark = edges.sparkSession
+    seeds = spark.createDataFrame([(s,) for s in seed_ids], "last string")
+    frontier = (
+        seeds.join(
+            nodes.select(
+                F.col(node_id_col).alias("last"),
+                F.coalesce(F.col(importance_col).cast("double"), F.lit(0.5)).alias("score"),
+            ),
+            "last",
+        )
+        .select(F.array("last").alias("path"), "last", F.lit(0).alias("hop"), "score")
+        .localCheckpoint(eager=True)
+    )
+
+    result = frontier
+    for hop in range(1, max_hops + 1):
+        cand = (
+            frontier.join(sym, frontier["last"] == sym["a"])
+            .where(~F.array_contains(F.col("path"), F.col("b")))
+            .join(imp, "b", "left")
+            .fillna({"imp_b": 0.5})
+        )
+        w_path = Window.partitionBy("path").orderBy(F.desc("w"), F.asc("b"))
+        capped = cand.withColumn("cand_rn", F.row_number().over(w_path)).where(
+            F.col("cand_rn") <= beam_size * 2
+        )
+        expanded = capped.select(
+            F.concat(F.col("path"), F.array(F.col("b"))).alias("path"),
+            F.col("b").alias("last"),
+            F.lit(hop).alias("hop"),
+            (
+                F.col("score") * 0.5 + F.col("w") * 0.3 + F.col("imp_b") * 0.2
+            ).alias("score"),
+        )
+        w_global = Window.orderBy(F.desc("score"), F.asc(F.to_json(F.struct("path"))))
+        pruned = (
+            expanded.withColumn("rn", F.row_number().over(w_global))
+            .where(F.col("rn") <= beam_size)
+            .drop("rn")
+            .localCheckpoint(eager=True)
+        )
+        if pruned.isEmpty():
+            break
+        frontier = pruned
+        result = frontier
+    return result.orderBy(F.desc("score"), F.asc(F.to_json(F.struct("path"))))
+
+
 def beam_expand(
     edges: DataFrame,
     seeds: DataFrame,
@@ -180,12 +283,14 @@ def beam_expand(
     dst_col: str = "target_id",
     weight_col: str = "strength",
 ) -> DataFrame:
-    """Multi-hop beam search (core/graph_db.py:4788-4967).
+    """Frontier-expansion variant of Q5 (engine extension, NOT the
+    reference's path semantics — use find_scored_paths for exact parity).
 
     seeds: (seed_id). Returns (seed_id, node, hop, path_score) — per seed,
     each hop keeps the top ``beam_size`` frontier nodes by accumulated path
-    score (product of edge weights, the reference's path scoring), expanding
-    RELATED_TO/SIMILAR_TO edges in both directions.
+    score (product of edge weights), expanding edges in both directions.
+    Useful as a retrieval expander when per-node reach matters more than
+    enumerated paths.
     """
     sym = (
         edges.select(

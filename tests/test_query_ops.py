@@ -80,6 +80,82 @@ def test_weighted_fusion(spark):
 
 
 @pytest.mark.spark
+def test_find_scored_paths_matches_reference_semantics(spark):
+    """Q5 exact parity: sequential mirror of graph_db.py:4788-4967
+    (seed score = importance; per-path visited; per-path 2*beam candidate
+    cap by strength; new = 0.5*path + 0.3*strength + 0.2*importance; GLOBAL
+    beam prune per hop; empty hop keeps previous frontier)."""
+    import random
+
+    from graphrag_mrkr_2_spark.operators.query import find_scored_paths
+
+    rng = random.Random(7)
+    node_ids = [f"n{i:02d}" for i in range(14)]
+    importance = {n: round(rng.uniform(0.1, 1.0), 3) for n in node_ids}
+    edge_set = set()
+    while len(edge_set) < 30:
+        a, b = rng.sample(node_ids, 2)
+        edge_set.add((min(a, b), max(a, b)))
+    edges = [(a, b, round(rng.uniform(0.05, 1.0), 3)) for a, b in sorted(edge_set)]
+
+    seeds = ["n00", "n01"]
+    max_hops, beam, min_s = 2, 4, 0.2
+
+    # --- sequential oracle (the reference's loop, dicts and lists) ---------
+    adj = {}
+    for a, b, w in edges:
+        if w >= min_s:
+            adj.setdefault(a, []).append((b, w))
+            adj.setdefault(b, []).append((a, w))
+    paths = [([s], importance[s]) for s in seeds]
+    for _hop in range(max_hops):
+        nxt = []
+        for path, score in paths:
+            last = path[-1]
+            cands = [(b, w) for b, w in adj.get(last, []) if b not in path]
+            cands.sort(key=lambda t: (-t[1], t[0]))  # strength desc, id asc
+            for b, w in cands[: beam * 2]:
+                nxt.append((path + [b], score * 0.5 + w * 0.3 + importance[b] * 0.2))
+        nxt.sort(key=lambda t: (-t[1], t[0]))
+        nxt = nxt[:beam]
+        if not nxt:
+            break
+        paths = nxt
+    expected = {(tuple(p), round(s, 6)) for p, s in paths}
+
+    nodes_df = spark.createDataFrame(
+        [(n, importance[n]) for n in node_ids], "entity_id string, importance_score double"
+    )
+    edges_df = spark.createDataFrame(
+        edges, "source_id string, target_id string, strength double"
+    )
+    got = {
+        (tuple(r["path"]), round(r["score"], 6))
+        for r in find_scored_paths(
+            edges_df, nodes_df, seeds, max_hops=max_hops, beam_size=beam, min_strength=min_s
+        ).collect()
+    }
+    assert got == expected
+
+
+@pytest.mark.spark
+def test_find_scored_paths_dead_end_keeps_previous_frontier(spark):
+    from graphrag_mrkr_2_spark.operators.query import find_scored_paths
+
+    nodes = spark.createDataFrame(
+        [("a", 0.8), ("b", 0.6)], "entity_id string, importance_score double"
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", 0.9)], "source_id string, target_id string, strength double"
+    )
+    # hop 1 reaches b; hop 2 has no unvisited neighbors -> keep hop-1 paths
+    res = find_scored_paths(edges, nodes, ["a"], max_hops=2, beam_size=4).collect()
+    assert len(res) == 1
+    assert list(res[0]["path"]) == ["a", "b"]
+    assert res[0]["score"] == pytest.approx(0.8 * 0.5 + 0.9 * 0.3 + 0.6 * 0.2)
+
+
+@pytest.mark.spark
 def test_beam_expand_hops_and_pruning(spark):
     edges = spark.createDataFrame(
         [
