@@ -294,6 +294,40 @@ def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ["data", "report", "system", "quick"]
+
+
+def q_query_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 BM25 over the documents table (doc == chunk for the driver check)."""
+    from graphrag_mrkr_2_spark.operators.query import bm25_search, build_bm25_index
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("chunk_id"), F.col("text").alias("content")
+    )
+    idx = build_bm25_index(docs)
+    top = bm25_search(idx, _BM25_TERMS, top_k=10)
+    return top.select("chunk", F.round("score", 6).alias("score"))
+
+
+def q_query_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 RRF fusion of two deterministic rankings of the documents table
+    (by text length desc, by doc_id asc) — rank semantics of
+    rag/retriever.py:41-62."""
+    from graphrag_mrkr_2_spark.operators.query import rrf_fuse
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("chunk"), "text")
+    w1 = Window.orderBy(F.desc(F.length("text")), F.asc("chunk"))
+    w2 = Window.orderBy(F.asc("chunk"))
+    l1 = docs.withColumn("rank", F.row_number().over(w1)).where(F.col("rank") <= 20).select("chunk", "rank")
+    l2 = docs.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= 20).select("chunk", "rank")
+    return (
+        rrf_fuse([l1, l2])
+        .select("chunk", F.round("rrf_score", 6).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc("chunk"))
+        .limit(15)
+    )
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphrag_mrkr_2_spark.streaming.ingest import windowed_event_counts
 
@@ -361,6 +395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_knn_join": q_ann_knn_join,
         "embedding_near_dupes": q_embedding_near_dupes,
+        "query_bm25": q_query_bm25,
+        "query_rrf": q_query_rrf,
         "events_windowed": q_events_windowed,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
@@ -568,6 +604,50 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
             ORDER BY id1, id2
+        """,
+        # Okapi BM25 — identical formula order to operators/query.py
+        # (ln == F.log natural log; k1=1.2, b=0.75); round(6) after the
+        # unrounded top-k cut on both sides
+        "query_bm25": """
+            WITH toks AS (
+              SELECT CAST(doc_id AS VARCHAR) AS chunk,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+                       x -> x <> '')) AS term
+              FROM documents
+            ),
+            postings AS (SELECT term, chunk, COUNT(*) AS tf FROM toks GROUP BY term, chunk),
+            doc_len AS (SELECT chunk, COUNT(*) AS dl FROM toks GROUP BY chunk),
+            stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                             COALESCE(AVG(dl), 1.0) AS avgdl FROM doc_len),
+            q AS (SELECT unnest(['data','report','system','quick']) AS term),
+            matched AS (SELECT p.term, p.chunk, p.tf FROM postings p JOIN q USING (term)),
+            dfs AS (SELECT term, COUNT(DISTINCT chunk) AS df FROM matched GROUP BY term),
+            scored AS (
+              SELECT m.chunk,
+                     ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                     * (m.tf * (1.2 + 1))
+                     / (m.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS part
+              FROM matched m JOIN dfs d USING (term) JOIN doc_len l USING (chunk), stats s
+            )
+            SELECT chunk, ROUND(SUM(part), 6) AS score
+            FROM scored GROUP BY chunk
+            ORDER BY SUM(part) DESC, chunk ASC LIMIT 10
+        """,
+        "query_rrf": """
+            WITH docs AS (SELECT CAST(doc_id AS VARCHAR) AS chunk, text FROM documents),
+            l1 AS (SELECT chunk, ROW_NUMBER() OVER (ORDER BY length(text) DESC, chunk ASC) AS rank
+                   FROM docs QUALIFY rank <= 20),
+            l2 AS (SELECT chunk, ROW_NUMBER() OVER (ORDER BY chunk ASC) AS rank
+                   FROM docs QUALIFY rank <= 20),
+            parts AS (
+              SELECT chunk, 1.0 / (60 + rank) AS part FROM l1
+              UNION ALL
+              SELECT chunk, 1.0 / (60 + rank) AS part FROM l2
+            )
+            SELECT chunk, ROUND(SUM(part), 6) AS rrf_score
+            FROM parts GROUP BY chunk
+            ORDER BY rrf_score DESC, chunk ASC LIMIT 15
         """,
         "events_windowed": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
