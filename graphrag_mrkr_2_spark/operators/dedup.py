@@ -35,10 +35,17 @@ from pyspark.sql import functions as F
 def with_shingles(
     df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "shingles"
 ) -> DataFrame:
-    """Distinct word n-gram shingles, built with JVM higher-order functions.
+    """Distinct word n-gram shingles AS AN ARRAY column (per-doc), built
+    with JVM higher-order functions.
 
     words = split(trim(text), '\\s+'); shingle_i = words[i..i+n-1] joined by
     ' '. Docs with fewer than n words get their whole text as one shingle.
+
+    Note: higher-order transform/slice are interpreted per-element by
+    Catalyst (no codegen) — fine for bounded inputs (e.g. verifying a
+    candidate set), but the corpus-wide scan path should use
+    ``shingle_tokens`` (exploded + window leads, whole-stage codegen,
+    ~4x measured at sf0.1).
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
@@ -46,6 +53,35 @@ def with_shingles(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
     )
     return df.withColumn(out_col, shingles)
+
+
+def shingle_tokens(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct (doc, shingle) ROWS — the scan-path twin of with_shingles.
+
+    posexplode the word array once, then build each n-gram with window
+    lead()s (concat_ws skips trailing nulls, which exactly reproduces the
+    slice-shortening of with_shingles for the sub-n-word tail). Everything
+    stays in whole-stage codegen; the only exchange is the window hash by
+    doc — the same key the downstream groupBys use. Output set is
+    identical to exploding with_shingles (tests assert it).
+    """
+    from pyspark.sql.window import Window
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("doc"), F.posexplode(words).alias("pos", "w"), F.size(words).alias("nw")
+    )
+    w_spec = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(w_spec) for j in range(1, n)]
+    keep = (F.col("pos") <= F.col("nw") - n) | ((F.col("pos") == 0) & (F.col("nw") < n))
+    return (
+        base.select("doc", "pos", "nw", F.concat_ws(" ", *parts).alias("shingle"))
+        .where(keep)
+        .select("doc", "shingle")
+        .distinct()
+    )
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -79,11 +115,8 @@ def ngram_jaccard_pairs(
     exact uncapped semantics (only sane on small corpora / test oracles —
     a capped shingle lowers the measured intersection, never the union).
     """
-    sh = with_shingles(df, text_col, n).select(
-        F.col(id_col).alias("doc"), F.col("shingles")
-    )
-    sizes = sh.select("doc", F.size("shingles").alias("n_shingles"))
-    exploded = sh.select("doc", F.explode("shingles").alias("shingle"))
+    exploded = shingle_tokens(df, id_col, text_col, n)
+    sizes = exploded.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     if max_shingle_df is not None:
         hot = (
@@ -125,18 +158,34 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature, entirely JVM-side.
 
-    h_i(s) = xxhash64(shingle, seed=i); sig[i] = min over shingles.
-    One narrow projection — no shuffle, no Python.
+    ONE string hash per shingle (xxhash64 over the ~n-word text), then the
+    k permutations re-hash that fixed 8-byte long with per-permutation
+    seeds: h_i(s) = xxhash64(xxhash64(s), seed=i). (A multiply-shift family
+    would be cheaper still, but Spark 4 ANSI mode throws on the deliberate
+    64-bit wraparound.)
+
+    Plan shape: explode shingles → k min() aggregates in ONE groupBy(doc).
+    Simple min/xxhash aggregate expressions stay inside whole-stage codegen
+    with map-side partial aggregation (one partial row per doc per
+    partition), unlike the k array_min(transform(...)) higher-order
+    expressions of the round-1 design, which Catalyst interprets
+    per-element with an array allocation per transform (~2x wall measured
+    at sf0.1). The shuffle moves only (doc, k longs).
     """
-    sh = with_shingles(df, text_col, n)
-
-    def _minhash(i: int):
-        # closure factory — a `lambda s, i=i:` would be treated by pyspark as
-        # a 2-arg (element, index) lambda, silently shadowing the seed
-        return F.array_min(F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i))))
-
-    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
-    return sh.select(F.col(id_col).alias("doc"), sig.alias("signature"))
+    toks = shingle_tokens(df, id_col, text_col, n).select(
+        "doc", F.xxhash64("shingle").alias("h")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        toks.groupBy("doc")
+        .agg(*aggs)
+        .select(
+            "doc", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("signature")
+        )
+    )
 
 
 def minhash_lsh_pairs(
@@ -196,7 +245,19 @@ def minhash_lsh_pairs(
     if not verify:
         return candidates
 
-    sh = with_shingles(df, text_col, n).select(F.col(id_col).alias("doc"), "shingles")
+    # verify only candidate docs: semi-join before shingling so the exact
+    # jaccard pass re-shingles O(candidates) docs, not the whole corpus.
+    # Candidates feed two consumers (the id set and the pair join) —
+    # materialize once or the banding path runs twice.
+    candidates = candidates.localCheckpoint(eager=True)
+    cand_ids = (
+        candidates.select(F.col("doc1").alias(id_col))
+        .unionByName(candidates.select(F.col("doc2").alias(id_col)))
+        .distinct()
+    )
+    sh = with_shingles(df.join(cand_ids, id_col, "left_semi"), text_col, n).select(
+        F.col(id_col).alias("doc"), "shingles"
+    )
     verified = (
         candidates.join(sh.withColumnRenamed("doc", "doc1").withColumnRenamed("shingles", "s1"), "doc1")
         .join(sh.withColumnRenamed("doc", "doc2").withColumnRenamed("shingles", "s2"), "doc2")

@@ -96,6 +96,33 @@ def test_simhash_banding_exact_recall_vs_bruteforce(spark):
 
 
 @pytest.mark.spark
+def test_shingle_tokens_equals_with_shingles(spark):
+    """The codegen scan path (posexplode + window leads) must produce the
+    exact (doc, shingle) set of the array path — including the sub-n-word
+    tail, empty strings, and multi-space collapse."""
+    from graphrag_mrkr_2_spark.operators.dedup import shingle_tokens, with_shingles
+
+    rows = [
+        (0, "one two three four five"),
+        (1, "two words"),
+        (2, "single"),
+        (3, ""),
+        (4, "  spaced   out   tokens   here  "),
+        (5, "dup dup dup dup"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    via_arrays = {
+        (r["doc_id"], s)
+        for r in with_shingles(df).collect()
+        for s in r["shingles"]
+    }
+    via_tokens = {
+        (r["doc"], r["shingle"]) for r in shingle_tokens(df).collect()
+    }
+    assert via_tokens == via_arrays
+
+
+@pytest.mark.spark
 def test_hot_shingle_cap(spark):
     df = spark.createDataFrame(
         [(i, "same boilerplate everywhere common") for i in range(10)], ["doc_id", "text"]
