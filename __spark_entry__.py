@@ -344,6 +344,26 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6h gap) over the events table; the
+    streaming twin (applyInPandasWithState) is pinned stream≡batch by
+    tests/test_sessions.py."""
+    from graphrag_mrkr_2_spark.operators.sessions import sessionize_events
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        sessionize_events(events, gap_seconds=21600)
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -398,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_bm25": q_query_bm25,
         "query_rrf": q_query_rrf,
         "events_windowed": q_events_windowed,
+        "events_sessions": q_events_sessions,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
     }
@@ -655,6 +676,29 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 6) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_sessions": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 21600
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            indexed AS (
+              SELECT user_id, ts, value,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sidx
+              FROM flagged
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS total_value
+            FROM indexed GROUP BY user_id, sidx
+            ORDER BY user_id, session_start
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

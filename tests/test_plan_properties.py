@@ -1,0 +1,109 @@
+"""Physical-plan regression tests — the 100 TB properties, asserted.
+
+Correctness tests prove the operators compute the right answers at small
+scale; these pin the PLAN properties that decide whether the same code
+survives a 1000-executor cluster (task brief: "explain('formatted') the
+plan and iterate until it's the plan you'd want"):
+
+- predicate pushdown + column pruning reach the parquet scan,
+- the small side of a kNN join broadcasts,
+- corpus aggregations partial-aggregate map-side (HashAggregate pairs),
+- the dedup scan path contains no Python (BatchEvalPython) stages,
+- no accidental CartesianProduct anywhere it isn't explicitly designed
+  (knn_join's broadcast cross is the one deliberate exception).
+
+A refactor that silently regresses one of these still passes the value
+oracles — this file makes the regression loud.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+@pytest.mark.spark
+def test_filter_and_projection_reach_parquet_scan(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = docs.where(F.col("lang") == "en").select("doc_id")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:200]
+    # ReadSchema must not include the wide text column for a doc_id projection
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "text" not in read_schema
+
+
+@pytest.mark.spark
+def test_knn_join_broadcasts_query_side(spark):
+    from graphrag_mrkr_2_spark.operators.ann import knn_join
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    plan = _plan(knn_join(emb, q, k=3))
+    assert "BroadcastExchange" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+@pytest.mark.spark
+def test_exact_dedup_partial_aggregates(spark):
+    from graphrag_mrkr_2_spark.operators.dedup import exact_duplicates
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(exact_duplicates(docs))
+    # partial + final HashAggregate around one Exchange: map-side combine
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.spark
+def test_minhash_scan_path_is_jvm_only(spark):
+    from graphrag_mrkr_2_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(minhash_lsh_pairs(docs, threshold=0.5, verify=False))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the candidate join is an equi-join on (band, bucket), never a cross
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+@pytest.mark.spark
+def test_content_filter_is_codegen_no_python(spark):
+    from graphrag_mrkr_2_spark.operators.extract import with_content_filter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(with_content_filter(docs, content_col="text"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the repetition check carries one filter() higher-order expression
+    # (interpreted, still JVM) — the projection itself must stay a single
+    # narrow Project over the scan with no exchange
+    assert "Exchange" not in plan
+
+
+@pytest.mark.spark
+def test_bm25_single_plan_no_cartesian_blowup(spark):
+    from graphrag_mrkr_2_spark.operators.query import bm25_search, build_bm25_index
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("chunk_id"), F.col("text").alias("content")
+    )
+    plan = _plan(bm25_search(build_bm25_index(docs), ["data", "report"], top_k=5))
+    # corpus scalars ride as a broadcast 1-row aggregate: a single broadcast
+    # nested-loop join against one row is fine, a shuffled cartesian is not
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+@pytest.mark.spark
+def test_ngram_pairs_join_is_equi_join(spark):
+    from graphrag_mrkr_2_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(ngram_jaccard_pairs(docs, threshold=0.5))
+    assert "CartesianProduct" not in plan
