@@ -4,11 +4,13 @@ entry(spark)    — flagship KG-construction run on a deterministic synthetic
                   pages table (BASELINE.json input_hint shape) → triples DF.
 queries()       — one entry per implemented operator family (SURVEY.md §2 +
                   the training-data suite); each callable (spark, sf_dir) →
-                  DataFrame.
+                  DataFrame. 27 queries, 20 with exact DuckDB oracles.
 oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
                   KG-pipeline queries (chunking/extraction/canonicalization/
                   communities) are not ANSI-SQL-expressible → rows-only check
-                  per the driver contract.
+                  per the driver contract; their hard correctness signal is
+                  tests/test_reference_oracle_parity.py, which runs the
+                  ACTUAL reference code from /root/reference as the oracle.
 """
 
 from __future__ import annotations
@@ -224,6 +226,39 @@ def q_doc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 chunk-quality scoring over the documents table (doc == chunk for
+    the driver check; formula of core/ocr.py:162-258)."""
+    from graphrag_mrkr_2_spark.operators.extract import with_quality_score
+
+    return (
+        with_quality_score(_docs(spark, sf_dir), content_col="text")
+        .select("doc_id", F.round("quality_score", 6).alias("quality_score"))
+        .orderBy("doc_id")
+    )
+
+
+def q_top_nations_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics join path: orders ⋈ customer ⋈ broadcast(nation) with a
+    date filter pushed to the scan — the bread-and-butter star-join shape
+    the engine must also serve (dims broadcast, fact never re-shuffled
+    except for the final rollup)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.where(F.col("o_orderdate") >= F.lit("1995-01-01"))
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphrag_mrkr_2_spark.operators.dedup import exact_duplicates
 
@@ -408,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_classify": q_doc_classify,
+        "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
         "dedup_minhash": q_dedup_minhash,
@@ -421,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
+        "top_nations_revenue": q_top_nations_revenue,
     }
 
 
@@ -498,6 +535,40 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs, MIN(doc_id) AS representative
             FROM documents
             GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fingerprint
+        """,
+        # T5 quality score — mirrors operators/extract.with_quality_score
+        # term by term in the same arithmetic order (IEEE doubles agree)
+        "doc_quality": """
+            WITH base AS (
+              SELECT doc_id, text AS c, CAST(length(text) AS DOUBLE) AS total,
+                     list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                                 x -> x <> '') AS lines
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, c, total, lines,
+                     length(regexp_replace(c, '[^\\p{L}\\p{N}]', '', 'g')) / total AS text_ratio,
+                     length(regexp_replace(c, '[^\\s]', '', 'g')) / total AS ws_ratio,
+                     CASE WHEN len(lines) > 0 THEN
+                       CAST(list_sum(list_transform(lines,
+                            x -> len(regexp_split_to_array(x, '\\s+')))) AS DOUBLE) / len(lines)
+                     ELSE 0.0 END AS avg_wpl,
+                     regexp_matches(c, '[^\\x00-\\x7F]') AS has_artifacts,
+                     len(list_filter(regexp_split_to_array(c, '[^\\p{L}\\p{N}_]+'),
+                         w -> length(w) >= 1 AND length(w) <= 2)) > total * 0.1 AS has_fragmented,
+                     contains(c, '   ') AS has_triple_space
+              FROM base
+            )
+            SELECT doc_id,
+                   ROUND(CASE WHEN length(trim(c)) < 5 THEN 0.0 ELSE
+                     (text_ratio * 0.4 + (1.0 - ws_ratio) * 0.3
+                      + LEAST(avg_wpl / 5, 1.0) * 0.3)
+                     * (CASE WHEN has_artifacts THEN 0.8 ELSE 1.0 END)
+                     * (CASE WHEN has_fragmented THEN 0.7 ELSE 1.0 END)
+                     * (CASE WHEN has_triple_space THEN 0.9 ELSE 1.0 END)
+                     * (CASE WHEN total < 30 THEN 0.6 ELSE 1.0 END)
+                   END, 6) AS quality_score
+            FROM m ORDER BY doc_id
         """,
         "dedup_exact": """
             SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS representative
@@ -707,6 +778,17 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_nations_revenue": """
+            SELECT n_name,
+                   ROUND(SUM(o_totalprice), 4) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= DATE '1995-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
         """,
         "top_orders_per_customer": """
             SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey FROM (
