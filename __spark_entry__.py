@@ -149,6 +149,34 @@ def q_kg_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_structured_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 NL→SQL over the constructed KG (rows-only: inputs come from
+    extraction). Fixed natural-language question through the full executor
+    pipeline — risk gate, type detection, embedding entity-linking,
+    template SQL generation, read-only validation."""
+    from graphrag_mrkr_2_spark.operators.structured_query import (
+        default_sql_generator,
+        detect_query_type,
+        extract_mentions_default,
+        link_entities,
+        validate_readonly_sql,
+    )
+
+    res = _kg(spark)
+    question = 'Which are associated with "Admin Panel"?'
+    res.nodes.createOrReplaceTempView("kg_nodes")
+    res.edges.select("subj", "obj", "rel_type", "strength").createOrReplaceTempView(
+        "kg_edges"
+    )
+    qtype = detect_query_type(question)
+    entities = link_entities(extract_mentions_default(question), res.nodes)
+    sql = default_sql_generator(question, entities, qtype)
+    assert validate_readonly_sql(sql)
+    return spark.sql(sql).select(
+        "neighbor", "rel_type", F.round("strength", 6).alias("strength")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL-checked queries over the driver's parquet views
 # ---------------------------------------------------------------------------
@@ -437,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_chunk_similarity": q_kg_chunk_similarity,
         "kg_communities": q_kg_communities,
         "kg_entity_resolution": q_kg_entity_resolution,
+        "kg_structured_query": q_kg_structured_query,
         # SQL-checked operators
         "doc_content_filter": q_doc_content_filter,
         "doc_token_counts": q_doc_token_counts,

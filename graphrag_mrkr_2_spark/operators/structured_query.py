@@ -1,0 +1,314 @@
+"""Q8: natural-language → structured KG query (Text-to-SQL).
+
+Re-expresses rag/nodes/structured_kg_executor.py (670 LoC, Text-to-Cypher
+against Neo4j) for Spark: the generated artifact is READ-ONLY Spark SQL over
+registered ``kg_nodes`` / ``kg_edges`` temp views, with the same staged
+pipeline and the same deterministic guards:
+
+  1. input risk gate          assess_input_risk (:53-62, regex ported)
+  2. query-type detection     detect_query_type (:192-227, keyword heuristics
+                              ported verbatim)
+  3. suitability gate         is_suitable_for_structured (:230-241)
+  4. entity linking           mention embeddings vs node-name embeddings,
+                              best match per mention at threshold 0.85
+                              (:243-346; embeddings via the same injectable
+                              seam as T8)
+  5. SQL generation           injectable LLM callable; the deterministic
+                              default renders per-query-type templates
+                              (:349-450 generates Cypher via LLM — the seam
+                              is identical, the default is network-free)
+  6. read-only validation     validate_readonly_sql — the SQL analog of
+                              validate_readonly_cypher (:65-78): no ';', no
+                              DML/DDL keywords, SELECT required, LIMIT
+                              required unless aggregating
+  7. execution w/ correction  max 2 correction attempts, validation re-run
+                              on every corrected query (:483-585)
+
+Scale note: everything the SQL touches executes as ordinary Spark plans over
+the KG tables (Catalyst optimizes the generated SQL like any other query);
+the driver-side work is O(linked mentions).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.embeddings import pseudo_embedding
+
+# structured_kg_executor.py:42-46 (ported constant)
+INJECTION_RE = re.compile(
+    r"(ignore (all|previous) instructions|system prompt|developer message|reveal|jailbreak|DAN|prompt injection)",
+    re.IGNORECASE,
+)
+
+# SQL analog of FORBIDDEN_CYPHER_RE (:48-51)
+FORBIDDEN_SQL_RE = re.compile(
+    r"\b(INSERT|UPDATE|DELETE|MERGE|DROP|CREATE|ALTER|TRUNCATE|GRANT|REVOKE|CALL|COPY|SET)\b",
+    re.IGNORECASE,
+)
+
+_AGG_TOKENS = ("COUNT(", "SUM(", "AVG(", "MIN(", "MAX(")
+
+
+def assess_input_risk(text: str) -> str:
+    """structured_kg_executor.py:53-62, ported verbatim."""
+    t = (text or "").strip()
+    if not t or len(t) > 4000:
+        return "high"
+    if INJECTION_RE.search(t):
+        return "high"
+    if t.count("```") >= 2 or t.count("<") > 200 or t.count("{") > 200:
+        return "medium"
+    return "low"
+
+
+def detect_query_type(query: str) -> str:
+    """structured_kg_executor.py:192-227, keyword heuristics ported."""
+    q = query.lower()
+    if any(w in q for w in ("how many", "count", "total", "number of", "sum of")):
+        return "aggregation"
+    if any(w in q for w in ("relationship between", "connect", "path from", "link between", "relates to")):
+        return "path"
+    if any(w in q for w in ("both", "compare", "versus", "vs", "difference between", "similar to")):
+        return "comparison"
+    if any(w in q for w in ("hierarchy", "parent", "child", "descendants", "ancestors", "tree")):
+        return "hierarchical"
+    if any(w in q for w in ("what does", "which are", "related to", "associated with", "mentions", "mention")):
+        return "relationship"
+    if any(p in q for p in ("find document", "search document", "documents that", "docs that", "which document")):
+        return "relationship"
+    return "general"
+
+
+def is_suitable_for_structured(query_type: str) -> bool:
+    """structured_kg_executor.py:230-241."""
+    return query_type in ("aggregation", "path", "comparison", "hierarchical", "relationship")
+
+
+def validate_readonly_sql(sql: str) -> bool:
+    """SQL analog of validate_readonly_cypher (:65-78): single read-only
+    SELECT, bounded unless aggregating."""
+    if not sql or ";" in sql:
+        return False
+    if FORBIDDEN_SQL_RE.search(sql):
+        return False
+    u = sql.upper()
+    if "SELECT" not in u:
+        return False
+    is_agg = any(k in u for k in _AGG_TOKENS)
+    if (not is_agg) and ("LIMIT" not in u):
+        return False
+    return True
+
+
+_MENTION_RE = re.compile(r'"([^"]+)"|\'([^\']+)\'|((?:[A-Z][\w\-]*)(?:\s+[A-Z][\w\-]*)*)')
+
+
+def extract_mentions_default(query: str) -> list[str]:
+    """Deterministic stand-in for the LLM mention extractor (:262-299):
+    quoted spans plus maximal Title-Case runs, capped at 5 like the
+    reference. An LLM client drops into the same seam."""
+    out: list[str] = []
+    for m in _MENTION_RE.finditer(query or ""):
+        s = next(g for g in m.groups() if g is not None).strip()
+        if len(s) >= 3 and s.lower() not in ("what", "which", "how", "show", "the"):
+            out.append(s)
+    seen: set[str] = set()
+    uniq = []
+    for s in out:
+        if s.lower() not in seen:
+            seen.add(s.lower())
+            uniq.append(s)
+    return uniq[:5]
+
+
+def link_entities(
+    mentions: list[str],
+    nodes: DataFrame,
+    name_col: str = "name",
+    threshold: float = 0.85,
+) -> list[dict]:
+    """Best embedding match per mention at the reference's 0.85 threshold
+    (:304-346). Node-name embeddings are computed Spark-side through the T8
+    seam; the handful of mention vectors are driver-side numpy (the
+    reference likewise embeds mentions one by one)."""
+    if not mentions:
+        return []
+    from pyspark.sql import functions as F
+
+    from .similarity import with_embeddings
+
+    cand = [
+        (r[name_col], list(r["embedding"]))
+        for r in with_embeddings(
+            nodes.select(name_col).distinct(), text_col=name_col
+        ).collect()
+    ]
+    if not cand:
+        return []
+    names = [c[0] for c in cand]
+    mat = np.asarray([c[1] for c in cand], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    linked = []
+    for mention in mentions:
+        v = pseudo_embedding(mention, dim=mat.shape[1])
+        sims = mat @ (v / np.linalg.norm(v))
+        best = int(np.argmax(sims))
+        if sims[best] >= threshold:
+            linked.append(
+                {
+                    "query_mention": mention,
+                    "name": names[best],
+                    "confidence": float(sims[best]),
+                }
+            )
+    return linked
+
+
+def _q(name: str) -> str:
+    return name.replace("'", "''")
+
+
+def default_sql_generator(query: str, entities: list[dict], query_type: str) -> str:
+    """Deterministic Text-to-SQL templates per query type — the network-free
+    default for the LLM seam (:349-450). Views: kg_nodes(name, ...),
+    kg_edges(subj, obj, rel_type, strength)."""
+    e = [_q(x["name"]) for x in entities]
+    if query_type == "aggregation":
+        if e:
+            return (
+                "SELECT COUNT(*) AS n FROM kg_edges "
+                f"WHERE subj = '{e[0]}' OR obj = '{e[0]}'"
+            )
+        return "SELECT COUNT(*) AS n FROM kg_nodes"
+    if query_type in ("relationship", "hierarchical"):
+        if not e:
+            return "SELECT name FROM kg_nodes ORDER BY importance_score DESC LIMIT 50"
+        return (
+            f"SELECT CASE WHEN subj = '{e[0]}' THEN obj ELSE subj END AS neighbor, "
+            "rel_type, strength FROM kg_edges "
+            f"WHERE subj = '{e[0]}' OR obj = '{e[0]}' "
+            "ORDER BY strength DESC, neighbor ASC LIMIT 50"
+        )
+    if query_type == "path" and len(e) >= 2:
+        return (
+            f"SELECT '{e[0]}' AS a, rel_type, '{e[1]}' AS b, strength, 1 AS hops "
+            "FROM kg_edges WHERE "
+            f"(subj = '{e[0]}' AND obj = '{e[1]}') OR (subj = '{e[1]}' AND obj = '{e[0]}') "
+            "UNION ALL "
+            "SELECT x.anchor AS a, CONCAT(x.rt, ' / ', y.rt) AS rel_type, y.anchor AS b, "
+            "x.strength * y.strength AS strength, 2 AS hops FROM "
+            f"(SELECT CASE WHEN subj = '{e[0]}' THEN '{e[0]}' ELSE '{e[0]}' END AS anchor, "
+            f" CASE WHEN subj = '{e[0]}' THEN obj ELSE subj END AS mid, rel_type AS rt, strength "
+            f" FROM kg_edges WHERE subj = '{e[0]}' OR obj = '{e[0]}') x "
+            "JOIN "
+            f"(SELECT CASE WHEN subj = '{e[1]}' THEN '{e[1]}' ELSE '{e[1]}' END AS anchor, "
+            f" CASE WHEN subj = '{e[1]}' THEN obj ELSE subj END AS mid, rel_type AS rt, strength "
+            f" FROM kg_edges WHERE subj = '{e[1]}' OR obj = '{e[1]}') y "
+            "ON x.mid = y.mid ORDER BY hops ASC, strength DESC LIMIT 50"
+        )
+    if query_type == "comparison" and len(e) >= 2:
+        return (
+            f"SELECT n1.x AS common_neighbor FROM "
+            f"(SELECT DISTINCT CASE WHEN subj = '{e[0]}' THEN obj ELSE subj END AS x "
+            f" FROM kg_edges WHERE subj = '{e[0]}' OR obj = '{e[0]}') n1 "
+            f"JOIN (SELECT DISTINCT CASE WHEN subj = '{e[1]}' THEN obj ELSE subj END AS x "
+            f" FROM kg_edges WHERE subj = '{e[1]}' OR obj = '{e[1]}') n2 "
+            "ON n1.x = n2.x ORDER BY common_neighbor LIMIT 50"
+        )
+    # under-linked path/comparison degrade to the relationship shape
+    return default_sql_generator(query, entities, "relationship")
+
+
+SqlGenerator = Callable[[str, list[dict], str], str]
+SqlCorrector = Callable[[str, str], str]
+
+
+def default_sql_corrector(failed_sql: str, error: str) -> str:
+    """Deterministic correction stand-in (:586-660 uses the LLM): degrade to
+    the safest bounded query rather than retrying a broken artifact."""
+    return "SELECT name FROM kg_nodes ORDER BY importance_score DESC LIMIT 50"
+
+
+class StructuredQueryExecutor:
+    """The execute_query pipeline (:89-190) over Spark SQL."""
+
+    def __init__(
+        self,
+        max_correction_attempts: int = 2,
+        entity_linking_threshold: float = 0.85,
+        sql_generator: SqlGenerator = default_sql_generator,
+        sql_corrector: SqlCorrector = default_sql_corrector,
+        mention_extractor: Callable[[str], list[str]] = extract_mentions_default,
+    ) -> None:
+        self.max_correction_attempts = max_correction_attempts
+        self.entity_linking_threshold = entity_linking_threshold
+        self.sql_generator = sql_generator
+        self.sql_corrector = sql_corrector
+        self.mention_extractor = mention_extractor
+
+    def execute(
+        self,
+        spark: SparkSession,
+        query: str,
+        nodes: DataFrame,
+        edges: DataFrame,
+    ) -> dict:
+        risk = assess_input_risk(query)
+        if risk == "high":
+            return {"success": False, "error": "input blocked by risk policy", "risk": risk}
+
+        query_type = detect_query_type(query)
+        if not is_suitable_for_structured(query_type):
+            return {"success": False, "fallback": True, "query_type": query_type}
+
+        nodes.createOrReplaceTempView("kg_nodes")
+        edges.createOrReplaceTempView("kg_edges")
+
+        entities = link_entities(
+            self.mention_extractor(query), nodes, threshold=self.entity_linking_threshold
+        )
+        sql = self.sql_generator(query, entities, query_type)
+
+        corrections = 0
+        current = sql
+        for attempt in range(self.max_correction_attempts + 1):
+            if not validate_readonly_sql(current):
+                return {
+                    "success": False,
+                    "error": "SQL blocked by security policy",
+                    "final_sql": current,
+                    "corrections": corrections,
+                }
+            try:
+                df = spark.sql(current)
+                records = [r.asDict() for r in df.collect()]
+                return {
+                    "success": True,
+                    "results": records,
+                    "final_sql": current,
+                    "query_type": query_type,
+                    "entities": entities,
+                    "corrections": corrections,
+                }
+            except Exception as exc:  # noqa: BLE001 — reference catches all (:537)
+                if attempt >= self.max_correction_attempts:
+                    return {
+                        "success": False,
+                        "error": str(exc),
+                        "final_sql": current,
+                        "corrections": corrections,
+                    }
+                current = self.sql_corrector(current, str(exc))
+                corrections += 1
+        return {
+            "success": False,
+            "error": "max correction attempts exceeded",
+            "final_sql": current,
+            "corrections": corrections,
+        }
