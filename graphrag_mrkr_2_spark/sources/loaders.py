@@ -1,0 +1,159 @@
+"""S1: source loaders → the canonical pages(url, warc_ts, html, text, lang) table.
+
+The reference ingests uploaded files through per-format Python loaders
+(ingestion/document_processor.py + docling; PDF/DOCX/HTML/MD). This engine's
+input contract is the web-crawl pages table (BASELINE input_hint), so the
+Spark-first loader set targets crawl-scale sources:
+
+- JSONL   one JSON object per line ({url, html|text, ...}) — spark.read.json
+          with an explicit schema (never inference at 100 TB), malformed
+          lines quarantined via PERMISSIVE + _corrupt_record.
+- CSV     header + explicit schema, same quarantine story.
+- WARC    Common-Crawl shape: concatenated WARC/1.0 records, optionally
+          .gz. Parsed per FILE via binaryFile + mapInPandas — the standard
+          CC processing unit is one ~1 GB WARC file per task, so file
+          granularity IS the partition granularity; no record-splitting
+          shuffle. Pure-stdlib parser (warcio is not vendored): 'response'
+          records only, URL from WARC-Target-URI, timestamp from WARC-Date,
+          HTML = HTTP payload after the first CRLFCRLF.
+
+Binary document formats (PDF/DOCX) follow the multimodal pattern: the
+container ships no codec libraries, so their decode step is an explicit
+seam (operators/multimodal.py), not a silent fake.
+
+Every loader emits the same schema so the KG pipeline composes unchanged:
+run_kg_pipeline(read_warc_pages(spark, path)).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", StringType(), True),
+        StructField("html", BinaryType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+    ]
+)
+
+
+def _conform(df: DataFrame) -> DataFrame:
+    cols = {f.name: f.dataType for f in PAGES_SCHEMA.fields}
+    out = df
+    for name, dtype in cols.items():
+        if name not in out.columns:
+            out = out.withColumn(name, F.lit(None).cast(dtype))
+        else:
+            out = out.withColumn(name, F.col(name).cast(dtype))
+    return out.select(*cols.keys())
+
+
+def read_jsonl_pages(
+    spark: SparkSession, path: str, quarantine_col: str = "_corrupt_record"
+) -> DataFrame:
+    """JSONL → pages. PERMISSIVE mode keeps malformed lines in a quarantine
+    column instead of failing the 100 TB job on one bad row; callers can
+    split them off with ``where(col('_corrupt_record').isNotNull())``."""
+    schema = StructType(
+        [*PAGES_SCHEMA.fields, StructField(quarantine_col, StringType(), True)]
+    )
+    raw = spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+    return _conform(raw.where(F.col(quarantine_col).isNull())).where(
+        F.col("url").isNotNull()
+    )
+
+
+def read_csv_pages(spark: SparkSession, path: str) -> DataFrame:
+    """CSV (header row) → pages; explicit schema, no inference pass."""
+    schema = StructType(
+        [
+            StructField("url", StringType(), True),
+            StructField("warc_ts", StringType(), True),
+            StructField("html", StringType(), True),
+            StructField("text", StringType(), True),
+            StructField("lang", StringType(), True),
+        ]
+    )
+    raw = spark.read.schema(schema).option("header", "true").csv(path)
+    return _conform(
+        raw.withColumn("html", F.encode(F.coalesce(F.col("html"), F.lit("")), "utf-8"))
+    ).where(F.col("url").isNotNull())
+
+
+def parse_warc_bytes(data: bytes) -> list[dict]:
+    """Pure-stdlib WARC/1.0 parser: 'response' records → page dicts.
+
+    Record grammar (ISO 28500): header block terminated by CRLFCRLF,
+    Content-Length octets of payload, CRLFCRLF separator. The HTTP payload's
+    own headers are stripped at the first CRLFCRLF inside the payload.
+    """
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    pages: list[dict] = []
+    buf = io.BytesIO(data)
+    while True:
+        # skip inter-record blank lines
+        line = buf.readline()
+        if not line:
+            break
+        if line.strip() == b"":
+            continue
+        if not line.startswith(b"WARC/"):
+            # not a record boundary — skip to next line
+            continue
+        headers: dict[str, str] = {}
+        while True:
+            hl = buf.readline()
+            if not hl or hl.strip() == b"":
+                break
+            if b":" in hl:
+                k, v = hl.split(b":", 1)
+                headers[k.decode("ascii", "replace").strip().lower()] = v.decode(
+                    "utf-8", "replace"
+                ).strip()
+        length = int(headers.get("content-length", "0"))
+        payload = buf.read(length)
+        if headers.get("warc-type") == "response":
+            http_end = payload.find(b"\r\n\r\n")
+            body = payload[http_end + 4 :] if http_end >= 0 else payload
+            pages.append(
+                {
+                    "url": headers.get("warc-target-uri", ""),
+                    "warc_ts": headers.get("warc-date"),
+                    "html": body,
+                    "text": None,
+                    "lang": None,
+                }
+            )
+    return pages
+
+
+def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
+    """WARC(.gz) files → pages; one file per task (the CC processing unit)."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for content in pdf["content"]:
+                rows.extend(parse_warc_bytes(bytes(content)))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return files.mapInPandas(_parse, PAGES_SCHEMA).where(F.col("url") != "")
