@@ -80,9 +80,8 @@ def main() -> None:
     # a 1/10-size warm-up leaves the steady state ~3x slower than after a
     # full pass (C2 compilation thresholds + Arrow/Python worker reuse);
     # a multi-hour 100 TB job runs warm, so the warm rate is the honest one.
-    warm = run_kg_pipeline(pages, num_partitions=cpus * 6)
+    warm = run_kg_pipeline(pages, num_partitions=cpus * 6, materialize_chunks=True)
     warm.triples.count()
-    warm.mentions.unpersist()
     spark.catalog.clearCache()
 
     # marginal-rate methodology (VERDICT r1 #9): time a warm half-size run
@@ -94,8 +93,12 @@ def main() -> None:
     half_pages = n_pages // 2
 
     def _timed_kg(df, n):
+        # materialize_chunks: ONE fused pass emits mentions AND chunk rows
+        # (checkpointed) — the similarity stage below reads the chunk table
+        # without a second HTML parse, and the timing here covers the full
+        # materialization honestly.
         t0 = time.time()
-        r = run_kg_pipeline(df, num_partitions=cpus * 6)
+        r = run_kg_pipeline(df, num_partitions=cpus * 6, materialize_chunks=True)
         r.triples.count()
         dt = time.time() - t0
         return r, dt
@@ -137,8 +140,12 @@ def main() -> None:
         with_embeddings,
     )
 
+    # chunks were materialized by the unified fused pass inside kg_pipeline —
+    # this line now just measures the (cheap) projection of the checkpointed
+    # rows instead of a second full HTML parse (was 7-8s in round 1/2a)
     t0 = time.time()
-    chunks_mat = res.chunks.localCheckpoint(eager=True)
+    chunks_mat = res.chunks
+    chunks_mat.count()
     queries["kg_chunk_materialize"] = round(time.time() - t0, 3)
 
     def best_of_2(fn):

@@ -51,6 +51,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -134,6 +135,21 @@ def extract_mentions(
     )
 
 
+UNIFIED_EXTRA_FIELDS = [
+    StructField("url", StringType(), True),
+    StructField("content", StringType(), True),
+    StructField("page", IntegerType(), True),
+    StructField("start_offset", LongType(), True),
+    StructField("end_offset", LongType(), True),
+    StructField("chunk_index", IntegerType(), True),
+    StructField("content_hash", StringType(), True),
+    StructField("heading_path", StringType(), True),
+    StructField("section_title", StringType(), True),
+]
+
+UNIFIED_SCHEMA = StructType([*MENTION_SCHEMA.fields, *UNIFIED_EXTRA_FIELDS])
+
+
 def extract_mentions_fused(
     pages: DataFrame,
     strategy: str = "html_heading",
@@ -144,6 +160,7 @@ def extract_mentions_fused(
     id_col: str = "url",
     html_col: str = "html",
     text_col: str = "text",
+    emit_chunks: bool = False,
 ) -> DataFrame:
     """Fused S2+S3+S4+S5: pages → mention rows in ONE mapInPandas stage.
 
@@ -155,6 +172,12 @@ def extract_mentions_fused(
     end-to-end pipeline. The content filter runs as the pure-Python oracle
     (functions/quality.should_embed_chunk), which unit tests pin equal to
     the JVM column-expression variant.
+
+    ``emit_chunks=True`` widens the output to UNIFIED_SCHEMA and also emits
+    one kind='chunk' row per surviving TextUnit — so a consumer that needs
+    BOTH the mentions and the chunk table (similarity, checkpointing) pays
+    the HTML parse exactly once instead of running chunk_pages again
+    (round-1 bench showed that second parse as its own 7s line).
     """
     from ..config import ChunkingConfig, ContentFilterConfig
     from ..functions.chunking import assign_text_units, chunk_document
@@ -189,6 +212,7 @@ def extract_mentions_fused(
             # cheaper than from list-of-dicts in the hot path
             kind, chunk_ids, doc_ids, names, types, targets = [], [], [], [], [], []
             descriptions, importances, strengths, provs = [], [], [], []
+            chunk_rows: list[dict] = []
 
             def emit(k, cid, did, nm, ty, tg, de, im, st, pv):
                 kind.append(k)
@@ -217,17 +241,46 @@ def extract_mentions_fused(
                         getattr(rec, text_col, None) if text_col in pdf.columns else None
                     ) or extract_plain_text(html)
                     units = assign_text_units(doc_id, base_text, [p["text"] for p in pieces])
+                    metas = [p["metadata"] for p in pieces]
                 else:
                     text = getattr(rec, text_col) or ""
                     units = chunk_document(
                         doc_id, text, chunk_cfg.chunk_size, chunk_cfg.chunk_overlap
                     )
-                for unit in units:
+                    metas = [{} for _ in units]
+                for unit, meta in zip(units, metas):
                     content = unit["content"]
                     ok, _reason = should_embed_chunk(content, **fkw)
                     if not ok:
                         continue
                     chunk_id = unit["chunk_id"]
+                    if emit_chunks:
+                        chunk_rows.append(
+                            {
+                                "kind": "chunk",
+                                "chunk_id": chunk_id,
+                                "document_id": doc_id,
+                                # explicit Nones: a column absent from the
+                                # dicts would concat as float NaN, which
+                                # Arrow cannot convert for ArrayType
+                                "name": None,
+                                "type": None,
+                                "target": None,
+                                "description": None,
+                                "importance": None,
+                                "strength": None,
+                                "source_chunks": None,
+                                "url": url,
+                                "content": content,
+                                "page": unit["page"],
+                                "start_offset": unit["start_offset"],
+                                "end_offset": unit["end_offset"],
+                                "chunk_index": unit["chunk_index"],
+                                "content_hash": unit["content_hash"],
+                                "heading_path": meta.get("heading_path"),
+                                "section_title": meta.get("section_title"),
+                            }
+                        )
                     entities, relationships = extract_chunk_with_gleaning(
                         content, chunk_id, llm, max_gleanings=max_gleanings
                     )
@@ -243,7 +296,7 @@ def extract_mentions_fused(
                             r["relationship_type"], r["target_entity"],
                             r["description"], None, r["strength"], r["source_chunks"],
                         )
-            yield pd.DataFrame(
+            mentions_pdf = pd.DataFrame(
                 {
                     "kind": kind,
                     "chunk_id": chunk_ids,
@@ -257,8 +310,24 @@ def extract_mentions_fused(
                     "source_chunks": provs,
                 }
             )
+            if not emit_chunks:
+                yield mentions_pdf
+                continue
+            out_cols = [f.name for f in UNIFIED_SCHEMA.fields]
+            for c in out_cols:
+                if c not in mentions_pdf.columns:
+                    mentions_pdf[c] = None
+            chunks_pdf = pd.DataFrame(chunk_rows, columns=out_cols)
+            both = pd.concat([mentions_pdf[out_cols], chunks_pdf], ignore_index=True)
+            # nullable integer dtypes: a float64-with-NaN column does not
+            # convert to Arrow int; pandas' Int32/Int64 do
+            for c, dt in (("page", "Int32"), ("chunk_index", "Int32"),
+                          ("start_offset", "Int64"), ("end_offset", "Int64")):
+                both[c] = pd.array(both[c], dtype=dt)
+            yield both
 
-    return pages.select(*cols).mapInPandas(_run, MENTION_SCHEMA)
+    schema = UNIFIED_SCHEMA if emit_chunks else MENTION_SCHEMA
+    return pages.select(*cols).mapInPandas(_run, schema)
 
 
 def entity_mentions(mentions: DataFrame) -> DataFrame:

@@ -44,6 +44,7 @@ def run_kg_pipeline(
     num_partitions: int | None = None,
     cache_mentions: bool = True,
     fused: bool = True,
+    materialize_chunks: bool = False,
 ) -> KgResult:
     """pages(url, warc_ts, html, text, lang) → KG tables.
 
@@ -57,6 +58,11 @@ def run_kg_pipeline(
     the modular three-stage plan (used when the chunks table itself must be
     materialized between stages, e.g. plans/checkpoint.py). Both plans
     produce identical mentions (test_pipeline_parity).
+    ``materialize_chunks`` (fused only): the fused stage ALSO emits the
+    chunk rows and the unified output is localCheckpoint-ed once — so a
+    consumer needing mentions AND the chunk table (similarity, export)
+    pays the HTML parse exactly once. result.chunks then reads from the
+    checkpoint instead of re-running chunk_pages.
     """
     # prune before the repartition exchange: the shuffle otherwise carries
     # warc_ts/lang bytes no downstream stage reads (Catalyst prunes scans,
@@ -78,13 +84,35 @@ def run_kg_pipeline(
     if fused:
         from ..operators.triples import extract_mentions_fused
 
-        mentions = extract_mentions_fused(
-            pages,
-            strategy=strategy,
-            chunk_cfg=cfg.chunking,
-            filter_cfg=cfg.content_filter,
-            max_gleanings=cfg.extraction.max_gleanings,
-        )
+        if materialize_chunks:
+            from pyspark.sql import functions as F
+
+            unified = extract_mentions_fused(
+                pages,
+                strategy=strategy,
+                chunk_cfg=cfg.chunking,
+                filter_cfg=cfg.content_filter,
+                max_gleanings=cfg.extraction.max_gleanings,
+                emit_chunks=True,
+            ).localCheckpoint(eager=True)
+            from ..operators.triples import MENTION_SCHEMA
+
+            mention_cols = [f.name for f in MENTION_SCHEMA.fields]
+            mentions = unified.where(F.col("kind") != "chunk").select(*mention_cols)
+            chunks = unified.where(F.col("kind") == "chunk").select(
+                "chunk_id", "document_id", "content", "page", "start_offset",
+                "end_offset", "chunk_index", "content_hash", "url",
+                "heading_path", "section_title",
+            )
+            cache_mentions = False  # the checkpoint already materializes
+        else:
+            mentions = extract_mentions_fused(
+                pages,
+                strategy=strategy,
+                chunk_cfg=cfg.chunking,
+                filter_cfg=cfg.content_filter,
+                max_gleanings=cfg.extraction.max_gleanings,
+            )
     else:
         mentions = extract_mentions(chunks, max_gleanings=cfg.extraction.max_gleanings)
     if cache_mentions:

@@ -97,6 +97,29 @@ def test_pipeline_determinism(spark):
 
 
 @pytest.mark.spark
+def test_materialize_chunks_unified_pass_parity(spark):
+    """materialize_chunks=True (one fused pass emitting mentions AND chunk
+    rows, checkpointed once) must produce the same triples and the same
+    chunk table as the default plan that re-runs chunk_pages."""
+    from graphrag_mrkr_2_spark.plans.pipeline import run_kg_pipeline
+    from graphrag_mrkr_2_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 12)
+    base = run_kg_pipeline(pages, num_partitions=3)
+    uni = run_kg_pipeline(pages, num_partitions=3, materialize_chunks=True)
+
+    t_base = {(r["subj"], r["pred"], r["obj"]) for r in base.triples.collect()}
+    t_uni = {(r["subj"], r["pred"], r["obj"]) for r in uni.triples.collect()}
+    assert t_uni == t_base and t_uni
+
+    cols = ["chunk_id", "document_id", "chunk_index", "content_hash", "heading_path", "content"]
+    c_base = {tuple(r[c] for c in cols) for r in base.chunks.select(*cols).collect()}
+    c_uni = {tuple(r[c] for c in cols) for r in uni.chunks.select(*cols).collect()}
+    assert c_uni == c_base and c_uni
+    base.mentions.unpersist()
+
+
+@pytest.mark.spark
 def test_frozen_triples_regression(spark):
     """The committed golden triple set (seed 42, 40 pages — the same run the
     driver's entry() smoke uses) must reproduce exactly. Guards against
