@@ -42,13 +42,17 @@ _KG_CACHE: dict[int, object] = {}
 
 def _kg(spark: SparkSession):
     """Memoized per-session KG pipeline result — several queries() entries
-    project different tables of the same run; the mentions DF is cached in
-    run_kg_pipeline so the extraction UDF executes once."""
+    project different tables of the same run; materialize_chunks=True runs
+    the unified fused pass (mentions + chunk rows from ONE parse,
+    checkpointed), so the chunk-table queries below reuse it instead of
+    re-chunking (parity pinned by test_materialize_chunks_unified_pass)."""
     key = id(spark)
     if key not in _KG_CACHE:
         from graphrag_mrkr_2_spark.plans.pipeline import run_kg_pipeline
 
-        _KG_CACHE[key] = run_kg_pipeline(_pages(spark), num_partitions=8)
+        _KG_CACHE[key] = run_kg_pipeline(
+            _pages(spark), num_partitions=8, materialize_chunks=True
+        )
     return _KG_CACHE[key]
 
 
@@ -93,22 +97,22 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from graphrag_mrkr_2_spark.operators.extract import chunk_pages, filter_chunks
-
-    chunks = filter_chunks(chunk_pages(_pages(spark)))
-    return chunks.select(
-        "chunk_id", "document_id", "chunk_index", "content_hash", "heading_path"
-    ).orderBy("chunk_id")
+    return (
+        _kg(spark)
+        .chunks.select(
+            "chunk_id", "document_id", "chunk_index", "content_hash", "heading_path"
+        )
+        .orderBy("chunk_id")
+    )
 
 
 def q_kg_chunk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from graphrag_mrkr_2_spark.operators.extract import chunk_pages, filter_chunks
     from graphrag_mrkr_2_spark.operators.similarity import (
         chunk_similarity_edges_grams,
         with_embeddings,
     )
 
-    chunks = with_embeddings(filter_chunks(chunk_pages(_pages(spark))))
+    chunks = with_embeddings(_kg(spark).chunks)
     return chunk_similarity_edges_grams(chunks).orderBy("id1", "id2")
 
 
