@@ -327,6 +327,32 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: exact-jaccard near-dup pairs → connected
+    components → (doc, cluster) with cluster = min doc id. local_threshold=0
+    forces the distributed large-star/small-star loop, so the driver's
+    DuckDB oracle (recursive-CTE transitive closure) is a hard external
+    check on the distributed CC itself, not just on the pair generation."""
+    from graphrag_mrkr_2_spark.operators.dedup import ngram_jaccard_pairs
+    from graphrag_mrkr_2_spark.operators.graphalgo import connected_components
+
+    # CC orders by STRING id — zero-pad so lexicographic min == numeric min
+    pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.5, max_shingle_df=None
+    ).select(
+        F.lpad(F.col("doc1").cast("string"), 12, "0").alias("u"),
+        F.lpad(F.col("doc2").cast("string"), 12, "0").alias("v"),
+    )
+    cc = connected_components(pairs, local_threshold=0)
+    return (
+        cc.select(
+            F.col("node").cast("bigint").alias("doc"),
+            F.col("component").cast("bigint").alias("cluster"),
+        )
+        .orderBy("doc")
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphrag_mrkr_2_spark.operators.ann import brute_force_topk
 
@@ -481,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "ann_topk": q_ann_topk,
         "ann_knn_join": q_ann_knn_join,
         "embedding_near_dupes": q_embedding_near_dupes,
@@ -703,6 +730,35 @@ def oracle_sql() -> dict[str, str]:
             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
             ORDER BY doc1, doc2
+        """,
+        # distributed-CC oracle: recursive-CTE transitive closure over the
+        # same exact-jaccard pair set; component = min reachable doc id
+        "dedup_clusters": f"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id AS doc, {_SHINGLES_SQL} AS shingles FROM documents
+            ),
+            p0 AS (
+              SELECT a.doc AS doc1, b.doc AS doc2,
+                     len(list_intersect(a.shingles, b.shingles)) AS inter,
+                     len(a.shingles) AS n1, len(b.shingles) AS n2
+              FROM sh a JOIN sh b ON a.doc < b.doc
+              WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+            ),
+            pairs AS (
+              SELECT doc1, doc2 FROM p0
+              WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5
+            ),
+            edges AS (
+              SELECT doc1 AS u, doc2 AS v FROM pairs
+              UNION ALL SELECT doc2, doc1 FROM pairs
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+            SELECT u AS doc, LEAST(u, MIN(v)) AS cluster
+            FROM reach GROUP BY u ORDER BY doc
         """,
         "ann_topk": """
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank,
