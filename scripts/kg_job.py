@@ -2,14 +2,17 @@
 
 Usage:
   spark-submit --py-files graphrag_mrkr_2_spark.zip scripts/kg_job.py \
-      --pages <parquet-or-synthetic:N> --output /path/to/catalog \
-      [--partitions 64] [--strategy html_heading]
+      --pages <input> --output /path/to/catalog \
+      [--partitions 64] [--strategy html_heading] [--format parquet]
+
+--pages accepts:
+  parquet path          input_hint schema (url, warc_ts, html, text, lang)
+  synthetic:N           deterministic generated pages (smoke/scale runs)
+  --format warc         a directory of WARC(.gz) files (Common-Crawl shape)
+  --format jsonl|csv    crawl dumps via sources/loaders.py
 
 On a cluster the same invocation runs unmodified with --master yarn/k8s; the
-engine code arrives via --py-files (no install step). Synthetic input
-(`synthetic:2000`) generates the deterministic pages table in-place for
-smoke/scale runs; otherwise --pages is any parquet path with the input_hint
-schema (url, warc_ts, html, text, lang).
+engine code arrives via --py-files (no install step).
 """
 
 from __future__ import annotations
@@ -28,6 +31,12 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--strategy", default="html_heading")
     ap.add_argument("--fingerprint", default=None, help="input lineage fingerprint")
+    ap.add_argument(
+        "--format",
+        default="parquet",
+        choices=["parquet", "warc", "jsonl", "csv"],
+        help="input format (non-parquet routed through sources/loaders.py)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("kg-construct").getOrCreate()
@@ -43,6 +52,16 @@ def main() -> None:
         n = int(args.pages.split(":", 1)[1])
         pages = generate_pages(spark, n, partitions=args.partitions)
         fingerprint = args.fingerprint or f"synthetic-{n}-seed42"
+    elif args.format != "parquet":
+        from graphrag_mrkr_2_spark.sources import loaders
+
+        reader = {
+            "warc": loaders.read_warc_pages,
+            "jsonl": loaders.read_jsonl_pages,
+            "csv": loaders.read_csv_pages,
+        }[args.format]
+        pages = reader(spark, args.pages)
+        fingerprint = args.fingerprint or f"{args.format}:{args.pages}"
     else:
         pages = spark.read.parquet(args.pages)
         fingerprint = args.fingerprint or args.pages

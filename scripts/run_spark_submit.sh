@@ -8,6 +8,7 @@ MASTER="${MASTER:-local[32]}"
 PAGES="${PAGES:-synthetic:500}"
 OUT="${OUT:-/tmp/kg_catalog}"
 PARTITIONS="${PARTITIONS:-64}"
+FORMAT="${FORMAT:-parquet}"
 
 ZIP=/tmp/graphrag_mrkr_2_spark.zip
 rm -f "$ZIP"
@@ -28,4 +29,4 @@ exec spark-submit \
   --conf spark.sql.shuffle.partitions="$PARTITIONS" \
   --conf spark.sql.adaptive.enabled=true \
   --py-files "$ZIP" \
-  scripts/kg_job.py --pages "$PAGES" --output "$OUT" --partitions "$PARTITIONS"
+  scripts/kg_job.py --pages "$PAGES" --output "$OUT" --partitions "$PARTITIONS" --format "$FORMAT" "$@"
