@@ -227,6 +227,116 @@ def test_builder_port_matches_actual_reference():
     )
 
 
+def _run_actual_reference_tables(docs):
+    """Per-document node/edge ATTRIBUTE tables from the reference's own code
+    (gate + EntityGraph exactly as _run_actual_reference)."""
+    ee, EntityGraph, settings, manager = _REF
+    saved_random = ee.random
+    ee.random = types.SimpleNamespace(uniform=lambda a, b: 0.0)
+    try:
+        extractor = ee.EntityExtractor()
+        nodes: dict = {}
+        edges: dict = {}
+        for doc_id, chunks in docs:
+            for cid, text in chunks:
+                manager.register(cid, text)
+            chunk_dicts = [{"chunk_id": cid, "content": text} for cid, text in chunks]
+            entity_dict, rels_by_pair = asyncio.run(
+                extractor.extract_from_chunks_with_gleaning(chunk_dicts, max_gleanings=1)
+            )
+            graph = EntityGraph()
+            for entity in entity_dict.values():
+                if entity.importance_score >= settings.importance_score_threshold:
+                    graph.add_entity(
+                        name=entity.name, type=entity.type,
+                        description=entity.description,
+                        importance_score=entity.importance_score,
+                        source_chunks=entity.source_chunks or [],
+                    )
+            for rels in rels_by_pair.values():
+                for rel in rels:
+                    if rel.strength >= settings.strength_threshold:
+                        graph.add_relationship(
+                            source=rel.source_entity, target=rel.target_entity,
+                            rel_type=rel.relationship_type or "RELATED_TO",
+                            description=rel.description or "",
+                            strength=rel.strength,
+                            source_chunks=rel.source_chunks or [],
+                        )
+            for _nid, nd in graph.graph.nodes(data=True):
+                if nd.get("is_orphan"):
+                    continue
+                # provenance compared as a SET: the reference's list order
+                # is asyncio completion order (nondeterministic even across
+                # its own runs); this engine canonicalizes by sorting
+                nodes[(doc_id, nd["name"].upper())] = (
+                    nd["type"],
+                    round(nd["importance_score"], 9),
+                    nd["description"],
+                    frozenset(nd["source_chunks"]),
+                )
+            for s, t, d in graph.graph.edges(data=True):
+                edges[
+                    (doc_id, graph.graph.nodes[s]["name"].upper(),
+                     graph.graph.nodes[t]["name"].upper(), d["relationship_type"])
+                ] = (
+                    round(d["strength"], 9),
+                    d["mention_count"],
+                    d["description"],
+                    frozenset(d["source_chunks"]),
+                )
+        return nodes, edges
+    finally:
+        ee.random = saved_random
+
+
+@needs_reference
+@pytest.mark.spark
+def test_spark_attributes_match_actual_reference(spark):
+    """Beyond (subj, pred, obj): per-document entity/relationship ATTRIBUTES
+    — mean importance, summed strength, relationship mention counts,
+    newline-set-union descriptions, sorted provenance — must equal what the
+    reference's EntityGraph computes on identical mock responses."""
+    from graphrag_mrkr_2_spark.plans.pipeline import run_kg_pipeline
+    from graphrag_mrkr_2_spark.sources.pages import generate_pages
+
+    docs = _reference_docs(N_PAGES)
+    ref_nodes, ref_edges = _run_actual_reference_tables(docs)
+
+    res = run_kg_pipeline(generate_pages(spark, N_PAGES), num_partitions=4)
+    got_nodes = {
+        (r["document_id"], r["name"].upper()): (
+            r["type"],
+            round(r["importance_score"], 9),
+            r["description"],
+            frozenset(r["source_chunks"]),
+        )
+        for r in res.entities_doc.collect()
+    }
+    got_edges = {
+        (
+            r["document_id"], r["source_entity"].upper(),
+            r["target_entity"].upper(), r["relationship_type"],
+        ): (
+            round(r["strength"], 9),
+            r["mention_count"],
+            r["description"],
+            frozenset(r["source_chunks"]),
+        )
+        for r in res.rels_doc.collect()
+    }
+    res.mentions.unpersist()
+
+    assert got_nodes.keys() == ref_nodes.keys()
+    mismatched = {k: (got_nodes[k], ref_nodes[k]) for k in ref_nodes if got_nodes[k] != ref_nodes[k]}
+    assert not mismatched, dict(list(mismatched.items())[:3])
+
+    assert got_edges.keys() == ref_edges.keys()
+    mismatched_e = {k: (got_edges[k], ref_edges[k]) for k in ref_edges if got_edges[k] != ref_edges[k]}
+    assert not mismatched_e, dict(list(mismatched_e.items())[:3])
+    assert ref_nodes and ref_edges
+
+
 @needs_reference
 @pytest.mark.spark
 def test_spark_pipeline_matches_actual_reference(spark):
