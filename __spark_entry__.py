@@ -437,6 +437,31 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 20 docs per lang by seeded md5
+    order (pure function of data+seed — reproducible at any cluster size)."""
+    from graphrag_mrkr_2_spark.operators.sampling import stratified_sample
+
+    return (
+        stratified_sample(_docs(spark, sf_dir), "lang", 20, seed=42)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+def q_sample_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (50k-char budget proxy) per language."""
+    from graphrag_mrkr_2_spark.operators.sampling import token_budget_shards
+
+    docs = _docs(spark, sf_dir).withColumn("n_chars_doc", F.length("text"))
+    sh = token_budget_shards(docs, "n_chars_doc", 50_000, stratum_col="lang")
+    return (
+        sh.groupBy("lang", "shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars_doc").alias("total_chars"))
+        .orderBy("lang", "shard")
+    )
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (6h gap) over the events table; the
     streaming twin (applyInPandasWithState) is pinned stream≡batch by
@@ -513,6 +538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dupes": q_embedding_near_dupes,
         "query_bm25": q_query_bm25,
         "query_rrf": q_query_rrf,
+        "sample_stratified": q_sample_stratified,
+        "sample_shards": q_sample_shards,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -836,6 +863,34 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 6) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # sampling key = md5_number_lower(concat(id, ':', seed)) — bit-equal
+        # to the Spark operator's conv(reversed-hex) construction
+        "sample_stratified": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5_number_lower(concat(CAST(doc_id AS VARCHAR), ':42')) ASC,
+                                doc_id ASC) AS rn
+              FROM documents
+            ) WHERE rn <= 20 ORDER BY lang, doc_id
+        """,
+        "sample_shards": """
+            WITH t AS (
+              SELECT lang, doc_id, length(text) AS n_chars_doc FROM documents
+            ),
+            packed AS (
+              SELECT lang, n_chars_doc,
+                     CAST(floor((SUM(n_chars_doc) OVER (
+                            PARTITION BY lang ORDER BY doc_id ASC
+                            ROWS UNBOUNDED PRECEDING) - n_chars_doc) / 50000.0)
+                          AS BIGINT) AS shard
+              FROM t
+            )
+            SELECT lang, shard, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars_doc) AS BIGINT) AS total_chars
+            FROM packed GROUP BY lang, shard ORDER BY lang, shard
         """,
         "events_sessions": """
             WITH flagged AS (

@@ -1,0 +1,113 @@
+"""Deterministic sampling / data-mixing operators for training pipelines.
+
+Not in the reference (its corpus is curated uploads); these are the
+data-mixing primitives a 100 TB pretraining pipeline needs (task brief:
+"the operations a large-scale training-data pipeline would need"):
+
+- stratified_sample:     exact per-stratum quotas (e.g. N docs per lang),
+                         selection by a SEEDED deterministic hash order —
+                         reproducible across runs/cluster sizes, no
+                         Bernoulli variance like DataFrame.sampleBy.
+- weighted_sample:       quality-weighted top-k via the exponential-key
+                         trick (Efraimidis-Spirakis A-Res): key =
+                         -ln(u)/w with u a deterministic per-doc uniform —
+                         one global TakeOrdered, no multi-pass reservoir.
+- token_budget_shards:   pack documents into fixed token-budget shards by
+                         running token sums — the "fill 1B-token shards"
+                         step before tokenizer jobs; a window cumsum, one
+                         exchange.
+
+All randomness derives from md5-lower-64 of (id, seed) — bit-identical to
+DuckDB's md5_number_lower, so each operator has an EXACT SQL oracle in the
+driver (same trick as simhash / doc_classify). No RNG state, no
+partition-order dependence: the sample is a pure function of (data, seed).
+
+Scale shape: stratified and shard packing exchange once on the stratum key
+(window functions); weighted_sample is a global top-k
+(TakeOrderedAndProject — no full sort). Skewed strata cost what their
+row counts cost; quotas bound the output, not the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _hash_key(id_col, seed: int):
+    """Deterministic uniform-ish 64-bit sampling key: md5 lower-64 of
+    "{id}:{seed}" — reproducible anywhere, mirrorable in DuckDB as
+    md5_number_lower(concat(id, ':', seed))."""
+    payload = F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    hex16 = F.substring(F.md5(payload), 17, 16)
+    # md5_number_lower = little-endian of digest bytes 8..16; reverse the
+    # hex pairs so conv() sees the same integer DuckDB produces
+    le_hex = F.concat(
+        *[F.substring(hex16, i, 2) for i in range(15, 0, -2)]
+    )
+    return F.conv(le_hex, 16, 10).cast("decimal(20,0)")
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, chosen by seeded hash
+    order (ties impossible at 64 bits for distinct ids)."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        _hash_key(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Top-k by the A-Res exponential key: key = -ln(u)/w (smaller = better
+    here, so we take ascending). P(doc in sample) increases with weight;
+    weights <= 0 are excluded (zero-quality docs can't be drawn)."""
+    u = (_hash_key(id_col, seed) % F.lit(2**53).cast("decimal(20,0)")).cast(
+        "double"
+    ) / F.lit(float(2**53))
+    # guard u=0 (ln(0)) — one ulp above zero
+    u = F.greatest(u, F.lit(1e-16))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__key", key)
+        .orderBy(F.col("__key").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__key")
+    )
+
+
+def token_budget_shards(
+    df: DataFrame,
+    tokens_col: str,
+    shard_budget: int,
+    order_col: str = "doc_id",
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Assign each doc a shard id such that every shard's cumulative token
+    count stays within ~budget: shard = floor((cumsum - tokens) / budget)
+    over a deterministic order. Optional ``stratum_col`` packs per stratum
+    (e.g. per-language shards). One exchange on the (stratum) ordering."""
+    parts = [stratum_col] if stratum_col else []
+    w = Window.partitionBy(*parts).orderBy(F.col(order_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(F.col(tokens_col).cast("long")).over(w)
+    shard = F.floor((cum - F.col(tokens_col)) / F.lit(shard_budget))
+    return df.withColumn("shard", shard.cast("long"))

@@ -1,0 +1,76 @@
+"""Deterministic sampling / data-mixing operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_mrkr_2_spark.operators.sampling import (
+    stratified_sample,
+    token_budget_shards,
+    weighted_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3], float((i % 10) + 1), 100 + (i % 7) * 50) for i in range(300)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, quality double, n_tokens int")
+
+
+@pytest.mark.spark
+def test_stratified_exact_quotas_and_determinism(corpus):
+    s = stratified_sample(corpus, "lang", 15)
+    counts = {r["lang"]: r["n"] for r in s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 15, "de": 15, "fr": 15}
+    # pure function of (data, seed): same ids regardless of partitioning
+    ids1 = {r["doc_id"] for r in s.collect()}
+    ids2 = {r["doc_id"] for r in stratified_sample(corpus.repartition(7), "lang", 15).collect()}
+    assert ids1 == ids2
+    # a different seed draws a different sample
+    ids3 = {r["doc_id"] for r in stratified_sample(corpus, "lang", 15, seed=7).collect()}
+    assert ids1 != ids3
+
+
+@pytest.mark.spark
+def test_stratified_small_stratum_takes_all(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")], "doc_id long, lang string")
+    s = stratified_sample(df, "lang", 10)
+    assert s.count() == 3
+
+
+@pytest.mark.spark
+def test_weighted_sample_respects_weights(corpus):
+    k = 60
+    s = weighted_sample(corpus, "quality", k)
+    assert s.count() == k
+    # mean quality of the sample must exceed the corpus mean (weights bias)
+    mean_all = corpus.agg(F.avg("quality")).collect()[0][0]
+    mean_s = s.agg(F.avg("quality")).collect()[0][0]
+    assert mean_s > mean_all
+    # zero/negative weights can never be drawn
+    with_zero = corpus.withColumn(
+        "quality", F.when(F.col("doc_id") < 100, 0.0).otherwise(F.col("quality"))
+    )
+    s2 = weighted_sample(with_zero, "quality", k)
+    assert s2.where(F.col("doc_id") < 100).count() == 0
+
+
+@pytest.mark.spark
+def test_token_budget_shards_bounded(corpus):
+    budget = 2000
+    sh = token_budget_shards(corpus, "n_tokens", budget)
+    per = sh.groupBy("shard").agg(
+        F.sum("n_tokens").alias("tok"), F.count("*").alias("n")
+    ).collect()
+    max_doc = corpus.agg(F.max("n_tokens")).collect()[0][0]
+    assert all(r["tok"] <= budget + max_doc for r in per)
+    shards = sorted(r["shard"] for r in per)
+    assert shards == list(range(len(shards)))  # contiguous ids from 0
+    assert sh.count() == corpus.count()  # partition of the corpus
+
+
+@pytest.mark.spark
+def test_token_budget_shards_per_stratum(corpus):
+    sh = token_budget_shards(corpus, "n_tokens", 2000, stratum_col="lang")
+    # shard ids restart per language
+    firsts = sh.groupBy("lang").agg(F.min("shard").alias("m")).collect()
+    assert all(r["m"] == 0 for r in firsts)
