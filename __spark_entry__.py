@@ -600,19 +600,29 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang
         """,
+        # same ASCII-only profiles + CJK char-ratio branch as
+        # operators/textstats.py (Java \b is Unicode-aware, RE2 \b is not —
+        # hence no accented profile words on either side)
         "doc_lang_id": """
             WITH scored AS (
               SELECT
                 len(regexp_extract_all(lower(text), '\\b(?:the|and|of|to|in|is|for|with|that|are)\\b')) AS en,
                 len(regexp_extract_all(lower(text), '\\b(?:il|la|di|che|e|per|con|del|una|sono)\\b')) AS it,
-                len(regexp_extract_all(lower(text), '\\b(?:der|die|und|das|ist|mit|von|für|ein|nicht)\\b')) AS de
+                len(regexp_extract_all(lower(text), '\\b(?:der|die|und|das|ist|mit|von|ein|nicht|auch)\\b')) AS de,
+                len(regexp_extract_all(lower(text), '\\b(?:el|los|las|una|por|como|pero|sus|este|entre)\\b')) AS es,
+                len(regexp_extract_all(lower(text), '\\b(?:les|des|est|dans|pour|qui|pas|sur|avec|cette)\\b')) AS fr,
+                length(text) AS n,
+                length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk
               FROM documents
             )
             SELECT lang_pred, COUNT(*) AS n_docs FROM (
               SELECT CASE
-                WHEN en > it AND en > de THEN 'en'
-                WHEN it > en AND it > de THEN 'it'
-                WHEN de > en AND de > it THEN 'de'
+                WHEN n > 0 AND cjk > n * 0.05 THEN 'zh'
+                WHEN en > it AND en > de AND en > es AND en > fr THEN 'en'
+                WHEN it > en AND it > de AND it > es AND it > fr THEN 'it'
+                WHEN de > en AND de > it AND de > es AND de > fr THEN 'de'
+                WHEN es > en AND es > it AND es > de AND es > fr THEN 'es'
+                WHEN fr > en AND fr > it AND fr > de AND fr > es THEN 'fr'
                 ELSE 'und' END AS lang_pred
               FROM scored
             ) GROUP BY lang_pred ORDER BY lang_pred

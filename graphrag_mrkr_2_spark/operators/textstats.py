@@ -12,11 +12,23 @@ from pyspark.sql import functions as F
 
 # Small, fixed stopword profiles. Word-boundary regex counting keeps the
 # heuristic SQL-portable (same regexes run in the DuckDB oracle).
+# ASCII-only words on purpose: Java's \b is Unicode-aware while DuckDB's
+# RE2 \b is ASCII-only, so a profile word ending in an accented char (the
+# round-1 "für") silently never matches on the oracle side.
 LANG_PROFILES: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "for", "with", "that", "are"],
     "it": ["il", "la", "di", "che", "e", "per", "con", "del", "una", "sono"],
-    "de": ["der", "die", "und", "das", "ist", "mit", "von", "für", "ein", "nicht"],
+    "de": ["der", "die", "und", "das", "ist", "mit", "von", "ein", "nicht", "auch"],
+    "es": ["el", "los", "las", "una", "por", "como", "pero", "sus", "este", "entre"],
+    "fr": ["les", "des", "est", "dans", "pour", "qui", "pas", "sur", "avec", "cette"],
 }
+
+# deterministic priority when strictly greater than every other profile
+_LANG_PRIORITY = ["en", "it", "de", "es", "fr"]
+
+# CJK scripts have no whitespace-delimited stopwords — classify by char ratio
+CJK_RANGE = "[一-鿿]"
+CJK_MIN_RATIO = 0.05
 
 
 def _stopword_hits(text_col, words: list[str]):
@@ -25,21 +37,34 @@ def _stopword_hits(text_col, words: list[str]):
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
-    """Stopword-profile language ID: argmax over per-language hit counts.
+    """Language ID: CJK char-ratio branch ('zh' when >5% of chars are in the
+    unified-ideograph block), else argmax over stopword-profile hit counts.
 
-    Ties or zero hits → 'und'. Deterministic tie-break: en > it > de priority
-    only when strictly greater, else 'und'.
+    Ties or zero hits → 'und'. A language wins only when strictly greater
+    than every other profile (priority order deterministic, see
+    _LANG_PRIORITY). Pure column expressions; the DuckDB oracle runs the
+    same regexes.
     """
     c = F.col(text_col)
     scores = {lang: _stopword_hits(c, ws) for lang, ws in LANG_PROFILES.items()}
-    en, it, de = scores["en"], scores["it"], scores["de"]
-    pred = (
-        F.when((en > it) & (en > de), F.lit("en"))
-        .when((it > en) & (it > de), F.lit("it"))
-        .when((de > en) & (de > it), F.lit("de"))
-        .otherwise(F.lit("und"))
-    )
-    return df.withColumn(out_col, pred)
+    cjk = F.length(c) - F.length(F.regexp_replace(c, CJK_RANGE, ""))
+    is_zh = (F.length(c) > 0) & (cjk > F.length(c) * F.lit(CJK_MIN_RATIO))
+
+    pred = None
+    for lang in _LANG_PRIORITY:
+        cond = None
+        for other in _LANG_PRIORITY:
+            if other == lang:
+                continue
+            c2 = scores[lang] > scores[other]
+            cond = c2 if cond is None else (cond & c2)
+        pred = (
+            F.when(cond, F.lit(lang))
+            if pred is None
+            else pred.when(cond, F.lit(lang))
+        )
+    pred = pred.otherwise(F.lit("und"))
+    return df.withColumn(out_col, F.when(is_zh, F.lit("zh")).otherwise(pred))
 
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
