@@ -437,6 +437,33 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 incremental diff driven on two deterministic 'crawls' derived from
+    the documents table: the re-crawl drops doc_id%7==0, rewrites the text
+    of doc_id%5==0 (content-hash change), and keeps the rest — diff states
+    per doc via the anti/semi-join machinery."""
+    from graphrag_mrkr_2_spark.operators.incremental import diff_counts
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("document_id"),
+        F.md5(F.col("text")).alias("content_hash"),
+    )
+    old = docs.where(F.col("document_id").cast("long") % 7 != 0)
+    new = docs.where(F.col("document_id").cast("long") % 5 != 0).withColumn(
+        "content_hash",
+        F.when(
+            F.col("document_id").cast("long") % 3 == 0,
+            F.md5(F.concat(F.col("content_hash"), F.lit(":v2"))),
+        ).otherwise(F.col("content_hash")),
+    )
+    return (
+        diff_counts(old, new)
+        .groupBy("state")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_chunks"))
+        .orderBy("state")
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: 20 docs per lang by seeded md5
     order (pure function of data+seed — reproducible at any cluster size)."""
@@ -540,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_rrf": q_query_rrf,
         "sample_stratified": q_sample_stratified,
         "sample_shards": q_sample_shards,
+        "incremental_diff": q_incremental_diff,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -873,6 +901,37 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 6) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "incremental_diff": """
+            WITH docs AS (
+              SELECT CAST(doc_id AS VARCHAR) AS document_id, md5(text) AS content_hash,
+                     doc_id AS i
+              FROM documents
+            ),
+            old AS (SELECT document_id, content_hash FROM docs WHERE i % 7 <> 0),
+            new AS (
+              SELECT document_id,
+                     CASE WHEN i % 3 = 0 THEN md5(concat(content_hash, ':v2'))
+                          ELSE content_hash END AS content_hash
+              FROM docs WHERE i % 5 <> 0
+            ),
+            states AS (
+              SELECT n.document_id, 'unchanged' AS state FROM new n
+              JOIN old o ON n.document_id = o.document_id AND n.content_hash = o.content_hash
+              UNION ALL
+              SELECT n.document_id, 'added' FROM new n
+              WHERE NOT EXISTS (SELECT 1 FROM old o
+                                WHERE o.document_id = n.document_id
+                                  AND o.content_hash = n.content_hash)
+              UNION ALL
+              SELECT o.document_id, 'removed' FROM old o
+              WHERE NOT EXISTS (SELECT 1 FROM new n
+                                WHERE n.document_id = o.document_id
+                                  AND n.content_hash = o.content_hash)
+            )
+            SELECT state, COUNT(DISTINCT document_id) AS n_docs,
+                   COUNT(*) AS n_chunks
+            FROM states GROUP BY state ORDER BY state
         """,
         # sampling key = md5_number_lower(concat(id, ':', seed)) — bit-equal
         # to the Spark operator's conv(reversed-hex) construction
