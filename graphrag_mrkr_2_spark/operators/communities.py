@@ -193,24 +193,33 @@ def community_summaries(
     """G5 (non-LLM core) — per-community aggregates feeding the summarizer
     (core/community_summarizer.py:21-175): member count, top entities by
     mention_count, mean importance. The LLM text generation is an optional
-    mapInPandas stage at deployment (out of the P/R-critical path)."""
-    return (
-        nodes_with_membership.where(F.col("community_id").isNotNull())
+    mapInPandas stage at deployment (out of the P/R-critical path).
+
+    Skew-safe top-k: the top entities come from a window row_number pruned
+    BEFORE any collect_list, so a web-scale mega-community never
+    materializes its full member list in one aggregation buffer (the
+    sort-comparator collect_list of round 1 did)."""
+    from pyspark.sql.window import Window
+
+    base = nodes_with_membership.where(F.col("community_id").isNotNull())
+    stats = base.groupBy("community_id", "level").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.avg("importance_score").alias("avg_importance"),
+    )
+    w = Window.partitionBy("community_id", "level").orderBy(
+        F.col("mention_count").cast("long").desc(), F.col("name").asc()
+    )
+    tops = (
+        base.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= top_entities)
         .groupBy("community_id", "level")
         .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.avg("importance_score").alias("avg_importance"),
-            F.slice(
+            F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct(F.col("mention_count").cast("long").alias("mc"), F.col("name"))),
-                    lambda a, b: F.when(a["mc"] > b["mc"], -1).when(a["mc"] < b["mc"], 1).otherwise(
-                        F.when(a["name"] < b["name"], -1).when(a["name"] > b["name"], 1).otherwise(0)
-                    ),
+                    F.collect_list(F.struct(F.col("__rn").alias("rn"), F.col("name")))
                 ),
-                1,
-                top_entities,
-            ).alias("top_members"),
+                lambda s: s["name"],
+            ).alias("top_entities")
         )
-        .withColumn("top_entities", F.transform(F.col("top_members"), lambda s: s["name"]))
-        .drop("top_members")
     )
+    return stats.join(tops, ["community_id", "level"], "left")

@@ -529,47 +529,108 @@ def canonicalize(
 # ---------------------------------------------------------------------------
 
 
-def build_nodes(entities_doc: DataFrame, provenance_cap: int | None = None) -> DataFrame:
+# global tables default to a bounded provenance union: an uncapped
+# collect_list for a mega-entity ("THE" across 10^12 docs) materializes the
+# whole provenance in ONE aggregation buffer — the same trap class as the
+# round-1 CC collect_set. Per-doc consolidations stay uncapped by default
+# (bounded by chunks-per-document).
+DEFAULT_GLOBAL_PROVENANCE_CAP = 1000
+
+
+def capped_provenance(
+    df: DataFrame,
+    key_cols: list[str],
+    chunk_col: str = "source_chunks",
+    cap: int = DEFAULT_GLOBAL_PROVENANCE_CAP,
+    buckets: int = 32,
+) -> DataFrame:
+    """(key_cols..., source_chunks) with the lexicographically-first ``cap``
+    distinct chunk ids per key, computed with BOUNDED aggregation buffers.
+
+    Slice-after-collect_list still materializes the full set in one reduce
+    buffer; this instead distincts exploded (key, chunk) rows, pre-reduces
+    per (key, hash-bucket) with a per-bucket slice (buffer <= cap), then
+    merges the <= buckets*cap survivors per key (buffer <= buckets*cap).
+    Result is identical to slice(sorted_union, cap) because the global
+    lexicographic minimum cap elements survive their buckets."""
+    exploded = (
+        df.select(*key_cols, F.explode_outer(F.col(chunk_col)).alias("__chunk"))
+        .where(F.col("__chunk").isNotNull())
+        .distinct()
+    )
+    per_bucket = (
+        exploded.withColumn("__b", F.pmod(F.xxhash64("__chunk"), F.lit(buckets)))
+        .groupBy(*key_cols, "__b")
+        .agg(F.slice(F.array_sort(F.collect_list("__chunk")), 1, cap).alias("__part"))
+    )
+    return per_bucket.groupBy(*key_cols).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("__part"))), 1, cap
+        ).alias(chunk_col)
+    )
+
+
+def build_nodes(
+    entities_doc: DataFrame,
+    provenance_cap: int = DEFAULT_GLOBAL_PROVENANCE_CAP,
+) -> DataFrame:
     """Global entity table: MERGE-by-name across documents (graph_db MERGE
     (e:Entity {name}) — entity_graph.py:445-458); id = md5(lower(name))[:16]
     (entity_graph.py:400-404). Same-name/different-type collapses here, as in
-    the reference's persistence layer."""
-    return (
+    the reference's persistence layer. Provenance is union-sorted and capped
+    through bounded buffers (capped_provenance)."""
+    main = (
         entities_doc.groupBy(F.col("name"))
         .agg(
             F.max("type").alias("type"),
             F.max_by("description", F.length("description")).alias("description"),
             F.avg("importance_score").alias("importance_score"),
             F.sum("mention_count").alias("mention_count"),
-            _union_sorted_chunks("source_chunks", provenance_cap).alias("source_chunks"),
             F.min(F.col("is_orphan").cast("int")).cast("boolean").alias("is_orphan"),
             F.countDistinct("document_id").alias("doc_count"),
         )
         .withColumn("entity_id", F.substring(F.md5(F.lower(F.col("name"))), 1, 16))
     )
+    prov = capped_provenance(entities_doc, ["name"], cap=provenance_cap)
+    return main.join(prov, "name", "left").withColumn(
+        "source_chunks",
+        F.coalesce(F.col("source_chunks"), F.array().cast("array<string>")),
+    )
 
 
-def build_edges(rels_doc: DataFrame, provenance_cap: int | None = None) -> DataFrame:
+def build_edges(
+    rels_doc: DataFrame,
+    provenance_cap: int = DEFAULT_GLOBAL_PROVENANCE_CAP,
+) -> DataFrame:
     """Global RELATED_TO edges keyed on (source, target, type) — directed, as
     entity_graph MERGE (source)-[r:RELATED_TO {type}]->(target)
     (entity_graph.py:461-473). Cross-document strength is summed (the
     reference's SET-last-writer is doc-order-dependent; sum is the
     deterministic, associative choice — triple identity unaffected)."""
-    return (
-        rels_doc.groupBy(
-            F.col("source_entity").alias("subj"),
-            F.col("target_entity").alias("obj"),
-            F.col("relationship_type").alias("rel_type"),
-        )
+    keyed = rels_doc.select(
+        F.col("source_entity").alias("subj"),
+        F.col("target_entity").alias("obj"),
+        F.col("relationship_type").alias("rel_type"),
+        "strength",
+        "mention_count",
+        "document_id",
+        "source_chunks",
+    )
+    main = (
+        keyed.groupBy("subj", "obj", "rel_type")
         .agg(
             F.sum("strength").alias("strength"),
             F.sum("mention_count").alias("mention_count"),
-            _union_sorted_chunks("source_chunks", provenance_cap).alias("source_chunks"),
             F.countDistinct("document_id").alias("doc_count"),
         )
         .withColumn("edge_type", F.lit("RELATED_TO"))
         .withColumn("source_id", F.substring(F.md5(F.lower(F.col("subj"))), 1, 16))
         .withColumn("target_id", F.substring(F.md5(F.lower(F.col("obj"))), 1, 16))
+    )
+    prov = capped_provenance(keyed, ["subj", "obj", "rel_type"], cap=provenance_cap)
+    return main.join(prov, ["subj", "obj", "rel_type"], "left").withColumn(
+        "source_chunks",
+        F.coalesce(F.col("source_chunks"), F.array().cast("array<string>")),
     )
 
 

@@ -116,6 +116,8 @@ def compact_stream_batches(spark: SparkSession, catalog_root: str) -> dict[str, 
 
     nodes_raw = _union("nodes_batches")
     edges_raw = _union("edges_batches")
+    from ..operators.triples import capped_provenance
+
     nodes = (
         nodes_raw.groupBy("name")
         .agg(
@@ -123,21 +125,29 @@ def compact_stream_batches(spark: SparkSession, catalog_root: str) -> dict[str, 
             F.max_by("description", F.length("description")).alias("description"),
             F.avg("importance_score").alias("importance_score"),
             F.sum("mention_count").alias("mention_count"),
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("source_chunks")))).alias("source_chunks"),
             F.min(F.col("is_orphan").cast("int")).cast("boolean").alias("is_orphan"),
             F.sum("doc_count").alias("doc_count"),
         )
         .withColumn("entity_id", F.substring(F.md5(F.lower(F.col("name"))), 1, 16))
+        .join(capped_provenance(nodes_raw, ["name"]), "name", "left")
+        .withColumn(
+            "source_chunks",
+            F.coalesce(F.col("source_chunks"), F.array().cast("array<string>")),
+        )
     )
     edges = (
         edges_raw.groupBy("subj", "obj", "rel_type")
         .agg(
             F.sum("strength").alias("strength"),
             F.sum("mention_count").alias("mention_count"),
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("source_chunks")))).alias("source_chunks"),
             F.sum("doc_count").alias("doc_count"),
         )
         .withColumn("edge_type", F.lit("RELATED_TO"))
+        .join(capped_provenance(edges_raw, ["subj", "obj", "rel_type"]), ["subj", "obj", "rel_type"], "left")
+        .withColumn(
+            "source_chunks",
+            F.coalesce(F.col("source_chunks"), F.array().cast("array<string>")),
+        )
     )
     return {"nodes": nodes, "edges": edges, "triples": build_triples(edges)}
 
