@@ -188,12 +188,24 @@ def entity_similarity_edges(
     id_col: str = "entity_id",
     vec_col: str = "embedding",
     bucket_col: str | None = None,
+    method: str = "lsh",
+    bands: int = 12,
+    planes_per_band: int = 4,
+    seed: int = 7,
 ) -> DataFrame:
     """J2 — entity SIMILAR_TO edges (global).
 
-    ``bucket_col``: when set (e.g. from ann.hyperplane_buckets), the
-    self-join runs within buckets — the scale path. Without it the join is
-    exact-quadratic (tests / small graphs only).
+    method="lsh" (DEFAULT — the scale path): candidates from banded
+    random-hyperplane buckets (equi-join keyed by (band, bucket), AQE covers
+    bucket skew) then exact cosine verification, so false positives are
+    impossible and recall is the only approximation (P(miss) ≈ 1% for a
+    pair at exactly τ=0.7 with 12×4 bands, less above it). The quadratic
+    crossJoin is reachable only as the explicitly named method="exact"
+    baseline (round-1's trap default, now inverted — same posture as
+    dedup.embedding_near_dupes).
+
+    ``bucket_col``: a precomputed coarse bucket (e.g. ann.hyperplane_buckets)
+    restricts the join to that bucketing instead (overrides method).
     """
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")] + (
         [F.col(bucket_col).alias("b")] if bucket_col else []
@@ -203,8 +215,35 @@ def entity_similarity_edges(
     cond = F.col("a.id") != F.col("b.id")
     if bucket_col:
         join = a.join(b, F.col("a.b") == F.col("b.b")).where(cond)
-    else:
+    elif method == "exact":
         join = a.crossJoin(b).where(cond)
+    elif method == "lsh":
+        from .dedup import _multiband_hyperplane_buckets
+
+        bb = _multiband_hyperplane_buckets(
+            nodes, id_col, vec_col, bands, planes_per_band, seed
+        )
+        cand = (
+            bb.alias("ba")
+            .join(
+                bb.alias("bb"),
+                (F.col("ba.band") == F.col("bb.band"))
+                & (F.col("ba.bucket") == F.col("bb.bucket"))
+                & (F.col("ba.id") != F.col("bb.id")),
+            )
+            .select(F.col("ba.id").alias("cid1"), F.col("bb.id").alias("cid2"))
+            .distinct()
+        )
+        join = (
+            cand.join(v.select(F.col("id").alias("cid1"), F.col("v").alias("v1")), "cid1")
+            .join(v.select(F.col("id").alias("cid2"), F.col("v").alias("v2")), "cid2")
+            .select(
+                F.struct(F.col("cid1").alias("id"), F.col("v1").alias("v")).alias("a"),
+                F.struct(F.col("cid2").alias("id"), F.col("v2").alias("v")).alias("b"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown method {method!r} (use 'lsh' or 'exact')")
     pairs = join.select(
         F.col("a.id").alias("src"),
         F.col("b.id").alias("dst"),

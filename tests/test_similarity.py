@@ -82,9 +82,32 @@ def test_entity_similarity_edges(spark):
         ("e3", _vec(3, 0.0)),
     ]
     df = spark.createDataFrame(rows, "entity_id string, embedding array<float>")
-    edges = entity_similarity_edges(df, threshold=0.7)
+    edges = entity_similarity_edges(df, threshold=0.7)  # default lsh path
     got = [(r["id1"], r["id2"]) for r in edges.collect()]
     assert got == [("e1", "e2")]
+
+
+@pytest.mark.spark
+def test_entity_similarity_lsh_equals_exact(spark):
+    """The default banded-LSH candidate path must reproduce the quadratic
+    baseline on planted high-similarity pairs (same posture as
+    dedup.embedding_near_dupes: verify-exact, recall-only approximation)."""
+    rng = np.random.RandomState(5)
+    base = rng.normal(size=(30, 32))
+    rows = [(f"e{i:02d}", [float(x) for x in base[i]]) for i in range(30)]
+    for j in range(8):
+        pert = base[j] + rng.normal(scale=0.05, size=32)
+        rows.append((f"p{j:02d}", [float(x) for x in pert]))
+    df = spark.createDataFrame(rows, "entity_id string, embedding array<float>")
+    exact = {
+        (r["id1"], r["id2"], round(r["similarity"], 6))
+        for r in entity_similarity_edges(df, threshold=0.9, method="exact").collect()
+    }
+    lsh = {
+        (r["id1"], r["id2"], round(r["similarity"], 6))
+        for r in entity_similarity_edges(df, threshold=0.9, method="lsh").collect()
+    }
+    assert exact and lsh == exact
 
 
 @pytest.mark.spark
