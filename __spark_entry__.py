@@ -476,6 +476,17 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sample (Efraimidis-Spirakis exponential key, doc
+    length as the weight proxy): deterministic top-25."""
+    from graphrag_mrkr_2_spark.operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir).where(F.length("text") > 0).withColumn(
+        "w", F.length("text").cast("double")
+    )
+    return weighted_sample(docs, "w", 25).select("doc_id").orderBy("doc_id")
+
+
 def q_sample_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing (50k-char budget proxy) per language."""
     from graphrag_mrkr_2_spark.operators.sampling import token_budget_shards
@@ -566,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_bm25": q_query_bm25,
         "query_rrf": q_query_rrf,
         "sample_stratified": q_sample_stratified,
+        "sample_weighted": q_sample_weighted,
         "sample_shards": q_sample_shards,
         "incremental_diff": q_incremental_diff,
         "events_windowed": q_events_windowed,
@@ -944,6 +956,19 @@ def oracle_sql() -> dict[str, str]:
                                 doc_id ASC) AS rn
               FROM documents
             ) WHERE rn <= 20 ORDER BY lang, doc_id
+        """,
+        # weighted sample: -ln(u)/w keys — verified bit-identical orderings
+        # across Spark/DuckDB on this data (keys are well-separated randoms)
+        "sample_weighted": """
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     -ln(GREATEST(
+                        (md5_number_lower(concat(CAST(doc_id AS VARCHAR), ':42'))
+                         % 9007199254740992) / 9007199254740992.0, 1e-16))
+                     / CAST(length(text) AS DOUBLE) AS key
+              FROM documents WHERE length(text) > 0
+              ORDER BY key ASC, doc_id ASC LIMIT 25
+            ) ORDER BY doc_id
         """,
         "sample_shards": """
             WITH t AS (
