@@ -464,6 +464,31 @@ def q_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_er_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8/S7 entity resolution driven end-to-end (LSH blocking → n-gram
+    jaccard scoring → distributed CC → canonical mapping) on entity-like
+    names derived from the documents table (first 3 words). At τ=0.999 the
+    match gate is exactly gram-SET equality (names have < 1000 grams, so no
+    jaccard lands in [0.999, 1)) — which both makes the DuckDB oracle exact
+    AND guarantees LSH recall 1.0 (identical gram sets hash to identical
+    buckets)."""
+    from graphrag_mrkr_2_spark.operators.resolution import entity_mapping
+
+    ents = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("entity_id"),
+        F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 3), " ").alias("name"),
+    )
+    mapping = entity_mapping(ents, threshold=0.999)
+    return (
+        mapping.select(
+            F.col("entity_id").cast("bigint").alias("doc"),
+            F.col("canonical_id").cast("bigint").alias("canonical"),
+        )
+        .withColumn("merged", (F.col("doc") != F.col("canonical")).cast("int"))
+        .orderBy("doc")
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: 20 docs per lang by seeded md5
     order (pure function of data+seed — reproducible at any cluster size)."""
@@ -580,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "sample_shards": q_sample_shards,
         "incremental_diff": q_incremental_diff,
+        "er_name_clusters": q_er_name_clusters,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -913,6 +939,30 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 6) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # ER at τ=0.999 ⇔ identical padded char-3-gram SETS (see
+        # q_er_name_clusters docstring) → cluster = min doc id per gram-set
+        "er_name_clusters": """
+            WITH names AS (
+              SELECT doc_id,
+                     concat(' ', lower(trim(array_to_string(
+                       regexp_split_to_array(trim(text), '\\s+')[1:3], ' '))), ' ') AS padded
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     array_to_string(list_sort(list_distinct(
+                       CASE WHEN length(padded) >= 3 THEN
+                         list_transform(generate_series(1, length(padded) - 2),
+                                        i -> substr(padded, i, 3))
+                       ELSE [padded] END)), chr(1)) AS gkey
+              FROM names
+            )
+            SELECT doc_id AS doc,
+                   MIN(doc_id) OVER (PARTITION BY gkey) AS canonical,
+                   CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY gkey)
+                        THEN 1 ELSE 0 END AS merged
+            FROM grams ORDER BY doc
         """,
         "incremental_diff": """
             WITH docs AS (
