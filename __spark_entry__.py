@@ -806,7 +806,10 @@ def oracle_sql() -> dict[str, str]:
         # simhash: word hash = md5_number_lower (bit-identical to the Spark
         # UDF's md5-digest[8:16] little-endian); the banded join in Spark has
         # exact recall at hamming<=3 by pigeonhole, so a full O(n^2) SQL
-        # verify is the same pair set. Empty docs vote on no bits -> fp 0.
+        # verify is the same pair set. min_words=1 guard mirrored: docs with
+        # no whitespace tokens emit NO fingerprint (the w CTE's
+        # length(trim)>0 filter is exactly ">=1 token", and fp now inner-
+        # aggregates votes instead of left-joining all documents).
         "dedup_simhash": """
             WITH w AS (
               SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS word
@@ -821,12 +824,12 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY doc_id, t.bit
             ),
             fp AS (
-              SELECT d.doc_id,
-                     CAST(COALESCE(SUM(CASE WHEN v.vote > 0
-                                            THEN (1::UBIGINT << v.bit)
-                                            ELSE 0::UBIGINT END), 0) AS UBIGINT) AS simhash
-              FROM documents d LEFT JOIN votes v USING (doc_id)
-              GROUP BY d.doc_id
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN vote > 0
+                                   THEN (1::UBIGINT << bit)
+                                   ELSE 0::UBIGINT END) AS UBIGINT) AS simhash
+              FROM votes
+              GROUP BY doc_id
             )
             SELECT a.doc_id AS doc1, b.doc_id AS doc2,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming

@@ -166,10 +166,15 @@ def main() -> None:
             times.append(time.time() - t0)
         return round(min(times), 3)
 
-    emb_chunks = with_embeddings(chunks_mat)
-    chunk_edges = chunk_similarity_edges_grams(emb_chunks)
-    extras["kg_similar_edges"] = chunk_edges.count()
-    queries["kg_similarity"] = best_of_2(lambda: chunk_edges.count())
+    # fresh lineage per trial (ADVICE r2): re-counting the SAME DataFrame
+    # lets Spark reuse the existing shuffle map outputs (skipped stages) and
+    # under-reports the operator — each timed run rebuilds the plan from the
+    # checkpointed chunks so the embedding UDF + gram matrices re-execute.
+    def _similarity_run():
+        return chunk_similarity_edges_grams(with_embeddings(chunks_mat)).count()
+
+    extras["kg_similar_edges"] = _similarity_run()
+    queries["kg_similarity"] = best_of_2(_similarity_run)
 
     # --- communities -------------------------------------------------------
     from graphrag_mrkr_2_spark.operators.communities import (

@@ -84,6 +84,34 @@ def shingle_tokens(
     )
 
 
+def char_ngram_tokens(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct (id, char-n-gram) ROWS over space-padded lower(trim(text)) —
+    the character-gram generalization of ``shingle_tokens`` (VERDICT r2
+    'Next round' #3, for entity-resolution blocking over names).
+
+    Shape: explode(sequence(1, len-n+1)) + substr — every expression stays in
+    whole-stage codegen with NO window (char grams are fixed-width, so the
+    i-th gram is a direct substring; word shingles needed lead() because
+    words vary in length). Gram set is identical to
+    resolution._char_ngrams_expr's array form (padding included; inputs
+    shorter than n yield the whole padded string), so minhash built on these
+    rows is hash-identical to the interpreted array_min(transform(...)) form.
+    """
+    padded = F.concat(F.lit(" "), F.lower(F.trim(F.col(text_col))), F.lit(" "))
+    npos = F.greatest(F.length(padded) - (n - 1), F.lit(1))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            padded.alias("__p"),
+            F.explode(F.sequence(F.lit(1), npos)).alias("__i"),
+        )
+        .select("id", F.col("__p").substr(F.col("__i"), F.lit(n)).alias("gram"))
+        .distinct()
+    )
+
+
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup groups: md5(text) → group size + representative (min id)."""
     return (
@@ -278,7 +306,7 @@ def minhash_lsh_pairs(
 
 
 def simhash_fingerprints(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_words: int = 1
 ) -> DataFrame:
     """64-bit SimHash via vectorized bit voting in an Arrow-batched UDF.
 
@@ -286,6 +314,12 @@ def simhash_fingerprints(
     with h(word) = little-endian uint64 of md5(word) bytes 8..16 — chosen to
     be bit-identical to DuckDB's ``md5_number_lower`` so the driver can run
     an exact SQL oracle for this operator (VERDICT r1 next-step #4).
+
+    Docs with fewer than ``min_words`` whitespace tokens emit NO fingerprint
+    (VERDICT r2 'Next round' #4): with no floor, every empty/whitespace doc
+    fingerprints to 0 and a garbage-heavy crawl produces a quadratic
+    hamming-0 clique. The DEFAULT floor of 1 removes exactly the degenerate
+    no-signal docs; the filter is a codegen JVM expression ahead of the UDF.
 
     Implementation note: this was first written as 64 JVM aggregate() folds,
     but Catalyst/codegen choked on the 64 giant expression trees (minutes of
@@ -317,7 +351,11 @@ def simhash_fingerprints(
             out[i] = fp
         return pd.Series(out.astype(np.int64))
 
-    return df.select(F.col(id_col).alias("doc"), _simhash(F.col(text_col)).alias("simhash"))
+    n_words = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != ""))
+    return (
+        df.where(n_words >= min_words)
+        .select(F.col(id_col).alias("doc"), _simhash(F.col(text_col)).alias("simhash"))
+    )
 
 
 
@@ -326,6 +364,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    min_words: int = 1,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= r via (r+1)-band blocking.
 
@@ -336,7 +375,7 @@ def simhash_pairs(
     large r means narrow bands and fatter buckets — the candidate join grows
     accordingly; web-scale dedup wants r<=4.
     """
-    fp = simhash_fingerprints(df, id_col, text_col)
+    fp = simhash_fingerprints(df, id_col, text_col, min_words)
     nbands = max_hamming + 1
     assert 1 <= nbands <= 64, "max_hamming must be in [0, 63]"
     base, rem = divmod(64, nbands)
@@ -346,18 +385,19 @@ def simhash_pairs(
         width = base + (1 if b < rem else 0)
         specs.append((b, off, width))
         off += width
+    def _chunk(offset: int, width: int):
+        # width == 64 (max_hamming=0, one band): the all-ones mask (1<<64)-1
+        # does not fit LongType — and the unshifted value IS the band.
+        c = F.shiftrightunsigned(F.col("simhash"), offset)
+        return c if width == 64 else c.bitwiseAND(F.lit((1 << width) - 1))
+
     bands = fp.select(
         "doc",
         "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), offset)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("chunk"),
-                    )
+                    F.struct(F.lit(b).alias("band"), _chunk(offset, width).alias("chunk"))
                     for b, offset, width in specs
                 ]
             )
@@ -417,6 +457,11 @@ def _multiband_hyperplane_buckets(
 
     n_planes = bands * planes_per_band
     weights = (1 << np.arange(planes_per_band, dtype=np.int64))
+    # lazy per-worker plane cache keyed on dim (seed is fixed per closure):
+    # the seeded matrix is deterministic, so hoisting it out of the per-batch
+    # body changes nothing but drops one RandomState + normal() allocation
+    # per Arrow batch (VERDICT r2 'Next round' #8)
+    plane_cache: dict[int, np.ndarray] = {}
 
     @F.pandas_udf(ArrayType(LongType()))
     def _buckets(vecs: pd.Series) -> pd.Series:
@@ -424,7 +469,10 @@ def _multiband_hyperplane_buckets(
         if mat.size == 0:
             return pd.Series([], dtype=object)
         dim = mat.shape[1]
-        planes = np.random.RandomState(seed).normal(size=(n_planes, dim))
+        planes = plane_cache.get(dim)
+        if planes is None:
+            planes = np.random.RandomState(seed).normal(size=(n_planes, dim))
+            plane_cache[dim] = planes
         bits = (mat @ planes.T >= 0).astype(np.int64)  # (rows, n_planes)
         per_band = bits.reshape(len(mat), bands, planes_per_band) @ weights
         return pd.Series(list(per_band))

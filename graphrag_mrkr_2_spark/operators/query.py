@@ -197,8 +197,11 @@ def find_scored_paths(
       (:4935-4940);
     - after each hop, a GLOBAL top-``beam_size`` prune over all paths
       (:4950-4952) — per query, not per seed;
-    - a hop that yields no expansions terminates the loop keeping the
-      previous frontier (:4955-4956).
+    - a hop that yields no expansions terminates the loop with an EMPTY
+      result: the reference assigns current_paths = next_paths[:beam_size]
+      BEFORE its empty check (:4950-4956), and seed/intermediate paths are
+      never carried forward, so only the deepest reached frontier survives —
+      and a dead-end hop (even from an unexpandable seed) returns nothing.
 
     Returns (path array<string>, last, hop, score) sorted by score desc.
     Each hop is one join + two windows; per-hop frontier is <= beam_size
@@ -266,10 +269,13 @@ def find_scored_paths(
             .drop("rn")
             .localCheckpoint(eager=True)
         )
-        if pruned.isEmpty():
-            break
+        # reference order (:4950-4956): frontier becomes the pruned set FIRST,
+        # then the empty check breaks — so a dead-end hop leaves an empty
+        # result rather than keeping the previous frontier.
         frontier = pruned
         result = frontier
+        if pruned.isEmpty():
+            break
     return result.orderBy(F.desc("score"), F.asc(F.to_json(F.struct("path"))))
 
 

@@ -49,12 +49,20 @@ def sessionize_events(
     value_col: str = "value",
     gap_seconds: int = DEFAULT_GAP_SECONDS,
 ) -> DataFrame:
-    """Batch sessionization: lag-gap flag → running session index → groupBy."""
+    """Batch sessionization: lag-gap flag → running session index → groupBy.
+
+    The gap compares FULL-precision timestamps (timestamp_diff in exact
+    integer microseconds; works on TIMESTAMP and TIMESTAMP_NTZ alike with no
+    timezone round-trip) — unix_timestamp() truncates to whole seconds and
+    would sessionize sub-second boundary straddlers differently from the
+    streaming twin's (ts - last).total_seconds() and from a fractional-epoch
+    oracle (ADVICE r2)."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
     prev_ts = F.lag(ts_col).over(w)
+    gap_us = int(gap_seconds * 1_000_000)
     new_session = F.when(
         prev_ts.isNull()
-        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_seconds),
+        | (F.timestamp_diff("MICROSECOND", prev_ts, F.col(ts_col)) > gap_us),
         F.lit(1),
     ).otherwise(F.lit(0))
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

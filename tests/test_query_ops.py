@@ -84,7 +84,8 @@ def test_find_scored_paths_matches_reference_semantics(spark):
     """Q5 exact parity: sequential mirror of graph_db.py:4788-4967
     (seed score = importance; per-path visited; per-path 2*beam candidate
     cap by strength; new = 0.5*path + 0.3*strength + 0.2*importance; GLOBAL
-    beam prune per hop; empty hop keeps previous frontier)."""
+    beam prune per hop; an empty hop empties the result — the reference
+    assigns current_paths = next_paths[:beam] BEFORE its empty check)."""
     import random
 
     from graphrag_mrkr_2_spark.operators.query import find_scored_paths
@@ -117,10 +118,9 @@ def test_find_scored_paths_matches_reference_semantics(spark):
             for b, w in cands[: beam * 2]:
                 nxt.append((path + [b], score * 0.5 + w * 0.3 + importance[b] * 0.2))
         nxt.sort(key=lambda t: (-t[1], t[0]))
-        nxt = nxt[:beam]
-        if not nxt:
+        paths = nxt[:beam]  # assigned BEFORE the empty check (:4950-4956)
+        if not paths:
             break
-        paths = nxt
     expected = {(tuple(p), round(s, 6)) for p, s in paths}
 
     nodes_df = spark.createDataFrame(
@@ -139,7 +139,10 @@ def test_find_scored_paths_matches_reference_semantics(spark):
 
 
 @pytest.mark.spark
-def test_find_scored_paths_dead_end_keeps_previous_frontier(spark):
+def test_find_scored_paths_dead_end_returns_empty(spark):
+    """Reference (graph_db.py:4950-4956) sets current_paths = next_paths[:beam]
+    BEFORE the empty check, so a hop with zero expansions empties the result —
+    even when earlier hops found paths."""
     from graphrag_mrkr_2_spark.operators.query import find_scored_paths
 
     nodes = spark.createDataFrame(
@@ -148,11 +151,14 @@ def test_find_scored_paths_dead_end_keeps_previous_frontier(spark):
     edges = spark.createDataFrame(
         [("a", "b", 0.9)], "source_id string, target_id string, strength double"
     )
-    # hop 1 reaches b; hop 2 has no unvisited neighbors -> keep hop-1 paths
+    # hop 1 reaches b; hop 2 has no unvisited neighbors -> reference returns []
     res = find_scored_paths(edges, nodes, ["a"], max_hops=2, beam_size=4).collect()
-    assert len(res) == 1
-    assert list(res[0]["path"]) == ["a", "b"]
-    assert res[0]["score"] == pytest.approx(0.8 * 0.5 + 0.9 * 0.3 + 0.6 * 0.2)
+    assert res == []
+    # ... but stopping at max_hops=1 keeps the hop-1 frontier
+    res1 = find_scored_paths(edges, nodes, ["a"], max_hops=1, beam_size=4).collect()
+    assert len(res1) == 1
+    assert list(res1[0]["path"]) == ["a", "b"]
+    assert res1[0]["score"] == pytest.approx(0.8 * 0.5 + 0.9 * 0.3 + 0.6 * 0.2)
 
 
 @pytest.mark.spark

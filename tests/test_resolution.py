@@ -35,6 +35,72 @@ def test_candidates_contain_true_matches(ents_df):
 
 
 @pytest.mark.spark
+def test_char_ngram_tokens_match_array_expr(spark, ents_df):
+    """The codegen exploded char-gram rows (dedup.char_ngram_tokens) must
+    produce exactly the gram set of the interpreted array expression the r2
+    blocking path used — this is what keeps the new minhash hash-identical."""
+    from graphrag_mrkr_2_spark.operators.dedup import char_ngram_tokens
+    from graphrag_mrkr_2_spark.operators.resolution import _char_ngrams_expr
+
+    weird = ents_df.union(
+        spark.createDataFrame(
+            [("e7", "ab"), ("e8", ""), ("e9", "  padded  ")], ["entity_id", "name"]
+        )
+    )
+    got = {
+        (r["id"], r["gram"])
+        for r in char_ngram_tokens(weird, "entity_id", "name", n=3).collect()
+    }
+    expected = {
+        (r["entity_id"], g)
+        for r in weird.select(
+            "entity_id", _char_ngrams_expr(F.col("name"), 3).alias("grams")
+        ).collect()
+        for g in r["grams"]
+    }
+    assert got == expected
+
+
+@pytest.mark.spark
+def test_codegen_minhash_signatures_hash_identical(spark, ents_df):
+    """candidate_pairs' aggregate minhash must equal the r2 higher-order
+    formulation value-for-value (same hash family over the same gram set)."""
+    from graphrag_mrkr_2_spark.operators.resolution import _char_ngrams_expr
+
+    num_hashes = 32
+    g = ents_df.select(
+        F.col("entity_id").alias("id"), _char_ngrams_expr(F.col("name"), 3).alias("grams")
+    )
+
+    def _mh(i: int):
+        # closure factory — a lambda default param would be misread as a
+        # two-arg (element, index) higher-order lambda
+        return F.array_min(F.transform(F.col("grams"), lambda s: F.xxhash64(s, F.lit(i))))
+
+    legacy = {
+        r["id"]: [r[f"m{i}"] for i in range(num_hashes)]
+        for r in g.select(
+            "id", *[_mh(i).alias(f"m{i}") for i in range(num_hashes)]
+        ).collect()
+    }
+    from graphrag_mrkr_2_spark.operators.dedup import char_ngram_tokens
+
+    toks = char_ngram_tokens(ents_df, "entity_id", "name", 3)
+    new = {
+        r["id"]: [r[f"m{i}"] for i in range(num_hashes)]
+        for r in toks.groupBy("id")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.col("gram"), F.lit(i))).alias(f"m{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        .collect()
+    }
+    assert new == legacy
+
+
+@pytest.mark.spark
 def test_scores_and_mapping(ents_df):
     mapping = {
         r["entity_id"]: r["canonical_id"]

@@ -55,6 +55,24 @@ def test_batch_sessionization(small_events):
 
 
 @pytest.mark.spark
+def test_subsecond_gap_boundary(spark):
+    """ADVICE r2: whole-second unix_timestamp() under-splits when the true
+    gap exceeds the threshold by a sub-second amount (10.8s > 10s but
+    floor-second delta == 10). Full-precision micros must split — matching
+    the streaming twin's (ts - last).total_seconds() comparison."""
+    rows = [
+        (1, T0 + dt.timedelta(seconds=0.100), 1.0),
+        (1, T0 + dt.timedelta(seconds=10.900), 2.0),  # 10.8s > gap=10s
+        (2, T0 + dt.timedelta(seconds=0.900), 1.0),
+        (2, T0 + dt.timedelta(seconds=10.800), 2.0),  # 9.9s <= gap: same session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = sessionize_events(df, gap_seconds=10)
+    n = {r["user_id"]: r["n"] for r in got.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert n == {1: 2, 2: 1}
+
+
+@pytest.mark.spark
 def test_stream_equals_batch_closed_sessions(spark, tmp_path):
     """The stateful stream emits exactly the batch sessions minus each
     user's final (still-open) one, even when events arrive across several
