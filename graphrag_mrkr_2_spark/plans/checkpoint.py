@@ -64,22 +64,82 @@ def run_checkpointed(
     )
     mentions_snap = cat.current_snapshot("mentions")["snapshot_id"]
 
-    def _canon():
-        entities_doc, rels_doc = canonicalize(
-            mentions,
-            importance_threshold=cfg.extraction.importance_score_threshold,
-            strength_threshold=cfg.extraction.strength_threshold,
-        )
-        return entities_doc, rels_doc
+    out = _downstream_stages(
+        cat, mentions, f"{input_fingerprint}/mentions-{mentions_snap}", cfg
+    )
+    return {"chunks": chunks, "mentions": mentions, **out}
 
-    canon_fp = f"{input_fingerprint}/mentions-{mentions_snap}/canon-v1"
+
+_CHUNK_COLS = [
+    "chunk_id", "document_id", "content", "page", "start_offset",
+    "end_offset", "chunk_index", "content_hash", "url",
+    "heading_path", "section_title",
+]
+
+
+def run_checkpointed_fused(
+    spark: SparkSession,
+    pages: DataFrame,
+    catalog_root: str,
+    input_fingerprint: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    strategy: str = "html_heading",
+) -> dict[str, DataFrame]:
+    """Checkpointed pipeline under the UNIFIED FUSED pass: one "extracted"
+    snapshot holds the chunk rows AND the mention rows emitted by the single
+    HTML parse (pipeline.py materialize_chunks plan), so kill-and-resume
+    never re-parses a page — the reference's recovery semantics
+    (document_processor.py:141-280: per-document stage fields let a resumed
+    run skip chunking/extraction for documents already past that stage),
+    here at snapshot granularity. A crash after the extracted snapshot
+    commits resumes into identical triples with zero extraction work
+    (tests/test_catalog.py::test_fused_kill_and_resume)."""
+    from ..operators.triples import MENTION_SCHEMA, extract_mentions_fused
+
+    cat = SnapshotCatalog(spark, catalog_root)
+    unified = cat.materialize(
+        "extracted",
+        lambda: extract_mentions_fused(
+            pages,
+            strategy=strategy,
+            chunk_cfg=cfg.chunking,
+            filter_cfg=cfg.content_filter,
+            max_gleanings=cfg.extraction.max_gleanings,
+            emit_chunks=True,
+        ),
+        input_fingerprint=f"{input_fingerprint}/extracted-v1",
+    )
+    ext_snap = cat.current_snapshot("extracted")["snapshot_id"]
+    mention_cols = [f.name for f in MENTION_SCHEMA.fields]
+    mentions = unified.where(F.col("kind") != "chunk").select(*mention_cols)
+    chunks = unified.where(F.col("kind") == "chunk").select(*_CHUNK_COLS)
+
+    out = _downstream_stages(
+        cat, mentions, f"{input_fingerprint}/extracted-{ext_snap}", cfg
+    )
+    return {"chunks": chunks, "mentions": mentions, **out}
+
+
+def _downstream_stages(
+    cat: SnapshotCatalog,
+    mentions: DataFrame,
+    fp_prefix: str,
+    cfg: PipelineConfig,
+) -> dict[str, DataFrame]:
+    """canonicalize → nodes/edges/triples with one snapshot per stage —
+    shared by the modular and fused checkpointed plans."""
+    canon_fp = f"{fp_prefix}/canon-v1"
     if not (
         cat.exists("entities_doc")
         and cat.current_snapshot("entities_doc").get("input_fingerprint") == canon_fp
         and cat.exists("rels_doc")
         and cat.current_snapshot("rels_doc").get("input_fingerprint") == canon_fp
     ):
-        e_doc, r_doc = _canon()
+        e_doc, r_doc = canonicalize(
+            mentions,
+            importance_threshold=cfg.extraction.importance_score_threshold,
+            strength_threshold=cfg.extraction.strength_threshold,
+        )
         cat.write("entities_doc", e_doc, input_fingerprint=canon_fp)
         cat.write("rels_doc", r_doc, input_fingerprint=canon_fp)
     entities_doc = cat.read("entities_doc")
@@ -103,8 +163,6 @@ def run_checkpointed(
         metrics_fn=lambda df: {"triple_count": df.count()},
     )
     return {
-        "chunks": chunks,
-        "mentions": mentions,
         "entities_doc": entities_doc,
         "rels_doc": rels_doc,
         "nodes": nodes,

@@ -71,3 +71,63 @@ def test_checkpointed_pipeline_resume(spark, tmp_path):
     assert t1 == t2
     assert snaps_before == snaps_after  # nothing recomputed
     assert cat.current_snapshot("triples")["metrics"]["triple_count"] == len(t1)
+
+
+@pytest.mark.spark
+def test_fused_kill_and_resume(spark, tmp_path, monkeypatch):
+    """VERDICT r2 'Next round' #10: under the unified fused pass, a run
+    killed right after the extraction snapshot commits must resume to
+    IDENTICAL triples without re-parsing a single page (reference recovery
+    semantics: document_processor.py:141-280 stage fields)."""
+    import graphrag_mrkr_2_spark.plans.checkpoint as cp
+    from graphrag_mrkr_2_spark.plans.checkpoint import run_checkpointed_fused
+    from graphrag_mrkr_2_spark.plans.pipeline import run_kg_pipeline
+    from graphrag_mrkr_2_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 6)
+    root = str(tmp_path / "cat")
+
+    # count actual extraction-plan builds through the snapshot seam
+    import graphrag_mrkr_2_spark.operators.triples as triples_mod
+
+    parses = []
+    real_fused = triples_mod.extract_mentions_fused
+
+    def counting_fused(*a, **k):
+        parses.append(1)
+        return real_fused(*a, **k)
+
+    monkeypatch.setattr(triples_mod, "extract_mentions_fused", counting_fused)
+
+    # run 1: crash AFTER the "extracted" snapshot commits (kill simulation:
+    # canonicalize raises, exactly the mid-pipeline abort point)
+    class Boom(RuntimeError):
+        pass
+
+    def exploding_canonicalize(*a, **k):
+        raise Boom("killed mid-pipeline")
+
+    monkeypatch.setattr(cp, "canonicalize", exploding_canonicalize)
+    with pytest.raises(Boom):
+        run_checkpointed_fused(spark, pages, root, input_fingerprint="pages-v1")
+    cat = SnapshotCatalog(spark, root)
+    assert cat.exists("extracted") and not cat.exists("triples")
+    ext_snap = cat.current_snapshot("extracted")["snapshot_id"]
+    assert parses == [1]
+
+    # run 2: resume — extraction snapshot reused (same id, NO new parse),
+    # pipeline completes
+    monkeypatch.setattr(cp, "canonicalize", triples_mod.canonicalize)
+    r = run_checkpointed_fused(
+        spark, generate_pages(spark, 6), root, input_fingerprint="pages-v1"
+    )
+    resumed = {(x["subj"], x["pred"], x["obj"]) for x in r["triples"].collect()}
+    assert parses == [1]  # zero re-parsing on resume
+    assert cat.current_snapshot("extracted")["snapshot_id"] == ext_snap
+
+    # triples identical to an uninterrupted in-memory fused run
+    direct = run_kg_pipeline(generate_pages(spark, 6), materialize_chunks=True)
+    expected = {(x["subj"], x["pred"], x["obj"]) for x in direct.triples.collect()}
+    assert resumed == expected and resumed
+    # the resumed chunk table also reads straight from the snapshot
+    assert r["chunks"].count() == direct.chunks.count()
