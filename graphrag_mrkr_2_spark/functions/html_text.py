@@ -30,7 +30,7 @@ import re
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
 
-from .tokens import count_tokens, split_by_chars, tail_text
+from .tokens import count_tokens, split_by_tokens, tail_text
 
 DROP_TAGS = {
     "script", "style", "nav", "footer", "header", "aside", "form", "button",
@@ -423,7 +423,7 @@ class HtmlHeadingChunker:
         """html_chunker.py:283-316 (_split_long_unit)."""
         sentences = [s.strip() for s in _SENTENCE_RE.split(text.strip()) if s.strip()]
         if not sentences:
-            return split_by_chars(text, self.max_tokens)
+            return split_by_tokens(text, self.max_tokens, self.overlap_tokens)
 
         chunks: list[str] = []
         current: list[str] = []
@@ -443,7 +443,7 @@ class HtmlHeadingChunker:
             final: list[str] = []
             for chunk in chunks:
                 if count_tokens(chunk) > self.max_tokens:
-                    final.extend(split_by_chars(chunk, self.max_tokens))
+                    final.extend(split_by_tokens(chunk, self.max_tokens, self.overlap_tokens))
                 else:
                     final.append(chunk)
             return [c for c in final if c.strip()]
