@@ -591,6 +591,38 @@ def q_sample_shards_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_query_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rerank stage (flashrank_reranker.py semantics) with an EXACT DuckDB
+    oracle: candidates = every document with a deterministic md5 pseudo
+    hybrid score; the default lexical-overlap scorer and the 0.3-blend are
+    both SQL-expressible, so the oracle independently verifies the cap slice,
+    the blend math, the stable head sort, and the untouched tail."""
+    from graphrag_mrkr_2_spark.operators.rerank import rerank_candidates
+
+    q = "data processing pipeline systems"
+    hex16 = F.substring(F.md5(F.col("doc_id").cast("string")), 17, 16)
+    le_hex = F.concat(*[F.substring(hex16, i, 2) for i in range(15, 0, -2)])
+    hybrid = (
+        F.conv(le_hex, 16, 10).cast("decimal(20,0)") % F.lit(1000).cast("decimal(20,0)")
+    ).cast("double") / 1000.0
+    cand = _docs(spark, sf_dir).select(
+        F.lit(0).alias("query_id"),
+        F.lit(q).alias("query"),
+        F.col("doc_id"),
+        F.col("text").alias("content"),
+        hybrid.alias("hybrid_score"),
+    )
+    out = rerank_candidates(cand, max_candidates=50, blend_weight=0.3)
+    # tail rows carry NULL scores by the operator's contract; the driver
+    # compare hashes values, so pin them to a -1.0 sentinel on both sides
+    return out.select(
+        "doc_id",
+        F.coalesce(F.round("rerank_score", 6), F.lit(-1.0)).alias("rerank_score"),
+        F.coalesce(F.round("combined_score", 6), F.lit(-1.0)).alias("combined_score"),
+        "final_rank",
+    ).orderBy("final_rank")
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (6h gap) over the events table; the
     streaming twin (applyInPandasWithState) is pinned stream≡batch by
@@ -669,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_rrf": q_query_rrf,
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
+        "query_rerank": q_query_rerank,
         "sample_shards": q_sample_shards,
         "sample_shards_global": q_sample_shards_global,
         "chunk_similarity_fixedwidth": q_chunk_similarity_fixedwidth,
@@ -1106,6 +1139,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, shard, COUNT(*) AS n_docs,
                    CAST(SUM(n_chars_doc) AS BIGINT) AS total_chars
             FROM packed GROUP BY lang, shard ORDER BY lang, shard
+        """,
+        # rerank: lexical-overlap scorer + 0.3 blend recomputed in SQL; the
+        # blend mirrors the Spark expression exactly — (1.0-0.3), NOT the
+        # literal 0.7 (1.0-0.3 == 0.7000000000000001 in IEEE754, and the
+        # full-precision combined score is the sort key)
+        "query_rerank": """
+            WITH cand AS (
+              SELECT doc_id, text AS content,
+                     (md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000)/1000.0 AS hybrid_score
+              FROM documents
+            ),
+            pos AS (
+              SELECT *, row_number() OVER (ORDER BY hybrid_score DESC, content ASC) AS p
+              FROM cand
+            ),
+            qt AS (
+              SELECT list_distinct(list_filter(regexp_split_to_array(
+                       lower('data processing pipeline systems'), '[^a-z0-9]+'),
+                       x -> x <> '')) AS toks
+            ),
+            head AS (
+              SELECT pos.doc_id, pos.p, pos.hybrid_score,
+                     COALESCE(
+                       CAST(len(list_intersect(tt.toks_t, qt.toks)) AS DOUBLE)
+                       / NULLIF(len(list_distinct(qt.toks || tt.toks_t)), 0), 0.0)
+                       AS rerank_score
+              FROM pos, qt,
+                   LATERAL (SELECT list_distinct(list_filter(
+                              regexp_split_to_array(lower(pos.content), '[^a-z0-9]+'),
+                              x -> x <> '')) AS toks_t) tt
+              WHERE pos.p <= 50
+            ),
+            unioned AS (
+              SELECT 0 AS k1, doc_id, p, rerank_score,
+                     0.3*rerank_score + (1.0-0.3)*hybrid_score AS combined_score
+              FROM head
+              UNION ALL
+              SELECT 1 AS k1, doc_id, p, NULL, NULL FROM pos WHERE p > 50
+            )
+            SELECT doc_id,
+                   COALESCE(ROUND(rerank_score, 6), -1.0) AS rerank_score,
+                   COALESCE(ROUND(combined_score, 6), -1.0) AS combined_score,
+                   CAST(row_number() OVER (
+                        ORDER BY k1 ASC, combined_score DESC NULLS LAST, p ASC)
+                        AS INT) AS final_rank
+            FROM unioned
+            ORDER BY final_rank
         """,
         # stratum-less shard packing: the oracle is the naive global window;
         # the Spark side runs the two-phase distributed prefix sum

@@ -205,7 +205,117 @@ def main() -> None:
     mem2.select("community_id").distinct().count()
     queries["kg_communities"] = min(queries["kg_communities"], round(time.time() - t0, 3))
 
+    # --- adversarial skew suite (VERDICT r2 'Next round' #5) ----------------
+    # The 100x-scale claims (capped_provenance, de-skewed CC, bounded LSH
+    # buckets) measured under planted skew instead of asserted. Each probe
+    # reports (unskewed, skewed, ratio); target ratio <= 1.5. Numbers land in
+    # SCALE.md per round.
+    from graphrag_mrkr_2_spark.operators.graphalgo import connected_components
+    from graphrag_mrkr_2_spark.operators.triples import (
+        build_edges as _build_edges,
+        build_nodes as _build_nodes,
+        build_triples as _build_triples,
+        canonicalize as _canonicalize,
+    )
+
+    skew: dict[str, float] = {}
+
+    # 1) mega-entity: ONE planted entity mentioned in EVERY chunk — stresses
+    # the consolidation groupBys and the bounded-buffer capped_provenance
+    # path in build_nodes (triples.py). Identical downstream plan, identical
+    # pinned input except the planted rows.
+    def _kg_downstream(mentions_df):
+        e_doc, r_doc = _canonicalize(mentions_df)
+        _build_nodes(e_doc).count()
+        _build_triples(_build_edges(r_doc)).count()
+
+    mentions_base = res.mentions.localCheckpoint(eager=True)
+    skew["mega_entity_unskewed_sec"] = best_of_2(lambda: _kg_downstream(mentions_base))
+    planted = res.chunks.select(
+        F.lit("entity").alias("kind"),
+        F.col("chunk_id"),
+        F.col("document_id").cast("string").alias("document_id"),
+        F.lit("OMNIPRESENT ENTITY").alias("name"),
+        F.lit("CONCEPT").alias("type"),
+        F.lit(None).cast("string").alias("target"),
+        F.lit("planted mega-entity skew probe").alias("description"),
+        F.lit(0.9).alias("importance"),
+        F.lit(None).cast("double").alias("strength"),
+        F.array(F.col("chunk_id")).alias("source_chunks"),
+    )
+    mentions_skewed = mentions_base.unionByName(planted).localCheckpoint(eager=True)
+    skew["mega_entity_skewed_sec"] = best_of_2(lambda: _kg_downstream(mentions_skewed))
+    skew["mega_entity_ratio"] = round(
+        skew["mega_entity_skewed_sec"] / max(skew["mega_entity_unskewed_sec"], 1e-9), 3
+    )
+    skew["mega_entity_chunks"] = mentions_skewed.where(
+        F.col("name") == "OMNIPRESENT ENTITY"
+    ).count()
+
+    # 2) CC hub: one node with 120k neighbors vs the same edge count spread
+    # over random pairs — stresses the de-skewed large/small-star steps
+    # (graphalgo.py min-agg + join-back; local_threshold=0 forces the
+    # distributed loop in both runs).
+    hub_edges = spark.range(120_000).select(
+        F.lit("hub").alias("u"), F.concat(F.lit("n"), F.col("id")).alias("v")
+    )
+    rand_edges = spark.range(120_000).select(
+        F.concat(F.lit("a"), F.pmod(F.xxhash64("id", F.lit(1)), F.lit(240_000))).alias("u"),
+        F.concat(F.lit("a"), F.pmod(F.xxhash64("id", F.lit(2)), F.lit(240_000))).alias("v"),
+    )
+    skew["cc_random_sec"] = best_of_2(
+        lambda: connected_components(rand_edges, "u", "v", local_threshold=0).count()
+    )
+    skew["cc_hub_sec"] = best_of_2(
+        lambda: connected_components(hub_edges, "u", "v", local_threshold=0).count()
+    )
+    skew["cc_hub_ratio"] = round(skew["cc_hub_sec"] / max(skew["cc_random_sec"], 1e-9), 3)
+
+    # 3) LSH hot bucket: 10% of docs made EXACT copies of one document (every
+    # band bucket of that group collides). The scale posture is the
+    # composition real pipelines use — exact-dedup representatives FIRST,
+    # then minhash on distinct content — which bounds the hot bucket to one
+    # member; the naive direct run is measured alongside to show the cliff
+    # the composition avoids.
+    from graphrag_mrkr_2_spark.operators.dedup import minhash_lsh_pairs as _mlp
+
+    def _reps_then_lsh(docs):
+        reps = (
+            docs.groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+        )
+        return _mlp(reps, threshold=0.5).count()
+
+    # broadcast the hot document rather than baking a multi-KB literal into
+    # every plan that derives from docs_skewed
+    hot_df = documents.orderBy("doc_id").limit(1).select(F.col("text").alias("__hot"))
+    docs_skewed = (
+        documents.crossJoin(F.broadcast(hot_df))
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 10 == 0, F.col("__hot")).otherwise(F.col("text")),
+        )
+        .drop("__hot")
+    )
+    skew["lsh_unskewed_sec"] = best_of_2(lambda: _reps_then_lsh(documents))
+    skew["lsh_hot_bucket_sec"] = best_of_2(lambda: _reps_then_lsh(docs_skewed))
+    skew["lsh_hot_bucket_ratio"] = round(
+        skew["lsh_hot_bucket_sec"] / max(skew["lsh_unskewed_sec"], 1e-9), 3
+    )
+    skew["lsh_hot_bucket_naive_sec"] = best_of_2(
+        lambda: _mlp(docs_skewed, threshold=0.5).count()
+    )
+
     res.mentions.unpersist()
+
+    # --- entity resolution (ER blocking path, VERDICT r2 #3) ----------------
+    from graphrag_mrkr_2_spark.operators.resolution import entity_mapping
+
+    ents = documents.select(
+        F.col("doc_id").cast("string").alias("entity_id"),
+        F.substring("text", 1, 40).alias("name"),
+    ).where(F.length(F.trim(F.col("name"))) > 0)
+    queries["er_blocking"] = best_of_2(lambda: entity_mapping(ents, threshold=0.8).count())
 
     # --- dedup -------------------------------------------------------------
     from graphrag_mrkr_2_spark.operators.dedup import (
@@ -250,6 +360,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         **extras,
+        "skewed_suite": skew,
         "cpus": cpus,
     }
     print(json.dumps(out))

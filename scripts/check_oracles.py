@@ -71,10 +71,18 @@ def main(sf_dir: str) -> int:
         else:
             order = sorted(scols)
             sset = sorted(
-                tuple(norm_cell(row[c]) for c in order) for row in (r.asDict() for r in srows)
+                (
+                    tuple(norm_cell(row[c]) for c in order)
+                    for row in (r.asDict() for r in srows)
+                ),
+                key=repr,  # total order even with NULLs / mixed types
             )
             oset = sorted(
-                tuple(norm_cell(dict(zip(ocols, row))[c]) for c in order) for row in orows
+                (
+                    tuple(norm_cell(dict(zip(ocols, row))[c]) for c in order)
+                    for row in orows
+                ),
+                key=repr,
             )
             if sset != oset:
                 diff = [(a, b) for a, b in zip(sset, oset) if a != b][:3]

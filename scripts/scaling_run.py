@@ -17,9 +17,12 @@ measurement (documented in BENCH/BASELINE.md):
   interference is visible in the report);
 - input is an on-disk parquet pages table, identical bytes for both levels.
 
-Usage: python scripts/scaling_run.py [n_pages] [low_cores] [high_cores]
-Defaults: 100000 pages, 4 vs 16 cores (N→4N while leaving headroom on the
-32-core host so the high level isn't throttled by machine-wide bandwidth).
+Usage: python scripts/scaling_run.py [n_pages] [low1 high1 [low2 high2 ...]]
+Defaults: 100000 pages, pairs (4,16) and (8,32). The (4,16) pair is the
+headroom-clean N→4N measurement; (8,32) repeats it one octave higher (VERDICT
+r2 'Next round' #9) with the caveat that the high level saturates the whole
+32-vCPU host, so machine-wide bandwidth/interference effects land on it —
+busy/steal core-seconds are disclosed per trial either way.
 """
 
 from __future__ import annotations
@@ -112,18 +115,21 @@ spark.stop()
     return pages_dir
 
 
-def main() -> None:
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
-    low = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    high = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+def fmt_trials(trials):
+    return "; ".join(
+        f"run{t['trial']}: {t['sec']}s (busy {t['busy_core_s']} core-s, steal {t['steal_core_s']})"
+        for t in trials
+    )
 
-    pages_dir = ensure_pages(n_pages)
+
+def measure_pair(low: int, high: int, n_pages: int, pages_dir: str) -> dict:
     r_low, t_low = run_at(low, n_pages, pages_dir)
     r_high, t_high = run_at(high, n_pages, pages_dir)
     speedup = r_low["sec"] / r_high["sec"]
     efficiency = speedup / (high / low)
-    summary = {
-        "n_pages": n_pages,
+    return {
+        "low_cores": low,
+        "high_cores": high,
         "low": r_low,
         "high": r_high,
         "low_trials": t_low,
@@ -133,18 +139,44 @@ def main() -> None:
         "target": 0.8,
         "passes": efficiency >= 0.8,
     }
-    print(json.dumps(summary, indent=2))
+
+
+def pair_section(s: dict) -> str:
+    low, high = s["low_cores"], s["high_cores"]
+    r_low, r_high = s["low"], s["high"]
+    return f"""## Results — {low}→{high} cores
+
+| cores | seconds | docs/sec | triples/sec | busy core-s | steal core-s |
+|---|---|---|---|---|---|
+| local[{low}] (pinned {low} CPUs) | {r_low["sec"]} | {r_low["docs_per_sec"]} | {r_low["triples_per_sec"]} | {r_low["busy_core_s"]} | {r_low["steal_core_s"]} |
+| local[{high}] (pinned {high} CPUs) | {r_high["sec"]} | {r_high["docs_per_sec"]} | {r_high["triples_per_sec"]} | {r_high["busy_core_s"]} | {r_high["steal_core_s"]} |
+
+All trials — low: {fmt_trials(s["low_trials"])}
+All trials — high: {fmt_trials(s["high_trials"])}
+
+- speedup {low}→{high} cores: **{s["speedup"]}×** (ideal {high // low}×)
+- scaling efficiency: **{s["efficiency"]}** (target ≥ 0.8 per BASELINE.json)
+- triples: {r_low["n_triples"]} == {r_high["n_triples"]} (plan-invariant across parallelism)
+"""
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
+    raw = [int(a) for a in sys.argv[2:]]
+    pairs = list(zip(raw[0::2], raw[1::2])) if raw else [(4, 16), (8, 32)]
+
+    pages_dir = ensure_pages(n_pages)
+    summaries = []
+    for low, high in pairs:
+        s = measure_pair(low, high, n_pages, pages_dir)
+        print(json.dumps(s, indent=2))
+        summaries.append(s)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
 
-    def fmt_trials(trials):
-        return "; ".join(
-            f"run{t['trial']}: {t['sec']}s (busy {t['busy_core_s']} core-s, steal {t['steal_core_s']})"
-            for t in trials
-        )
-
+    sections = "\n".join(pair_section(s) for s in summaries)
     with open(path, "w") as f:
         f.write(f"""# BENCH/BASELINE — throughput + scaling evidence
 
@@ -155,13 +187,13 @@ Generated by `scripts/scaling_run.py` on {stamp}.
 Full KG-construction pipeline (on-disk Common-Crawl-style pages parquet →
 html-heading chunking → content filter → tuple_v1 extraction with 1 gleaning
 pass → canonicalization → nodes/edges/triples; fused single-Python-pass
-extraction plan) on {n_pages} pages, identical input bytes at both levels.
+extraction plan) on {n_pages} pages, identical input bytes at every level.
 
 ## Method (and why)
 
 - Each level runs in a fresh subprocess **pinned with `taskset` to exactly
   k CPUs**. In Spark local mode, Python UDF workers are processes outside
-  the JVM's task-slot accounting — an unpinned `local[{low}]` run was measured
+  the JVM's task-slot accounting — an unpinned `local[4]` run was measured
   consuming ~2× its nominal cores, which silently flatters the baseline and
   destroys the efficiency ratio.
 - One full warm-up pass per level (JVM JIT + Python worker forks: measured
@@ -170,24 +202,14 @@ extraction plan) on {n_pages} pages, identical input bytes at both levels.
 - Best of 3 measured runs; per-run busy/steal core-seconds from /proc/stat
   are reported because this shared VM shows intermittent external slowdowns
   (steal spikes measured up to 5% of core-time during runs).
-- {low}→{high} cores (N→4N) leaves headroom on the 32-vCPU host so the high
-  level is not throttled by machine-wide memory bandwidth — measured CPU
-  inflation of the same job at 32-way parallelism was 1.7×, an artifact of
-  saturating a single box that a 1000-executor cluster does not share.
+- The 4→16 pair leaves headroom on the 32-vCPU host so the high level is not
+  throttled by machine-wide bandwidth. The 8→32 pair (VERDICT r2 #9) runs the
+  high level against EVERY vCPU of the shared box, so host-saturation and
+  external interference land directly on it — measured CPU inflation of the
+  same job at 32-way parallelism was ~1.7×, an artifact a multi-host cluster
+  does not share; the busy/steal columns quantify it per trial.
 
-## Results
-
-| cores | seconds | docs/sec | triples/sec | busy core-s | steal core-s |
-|---|---|---|---|---|---|
-| local[{low}] (pinned {low} CPUs) | {r_low["sec"]} | {r_low["docs_per_sec"]} | {r_low["triples_per_sec"]} | {r_low["busy_core_s"]} | {r_low["steal_core_s"]} |
-| local[{high}] (pinned {high} CPUs) | {r_high["sec"]} | {r_high["docs_per_sec"]} | {r_high["triples_per_sec"]} | {r_high["busy_core_s"]} | {r_high["steal_core_s"]} |
-
-All trials — low: {fmt_trials(t_low)}
-All trials — high: {fmt_trials(t_high)}
-
-- speedup {low}→{high} cores: **{summary["speedup"]}×** (ideal {high // low}×)
-- scaling efficiency: **{summary["efficiency"]}** (target ≥ 0.8 per BASELINE.json)
-- triples: {r_low["n_triples"]} == {r_high["n_triples"]} (plan-invariant across parallelism)
+{sections}
 
 ## Plan properties backing the number
 
@@ -195,7 +217,7 @@ No driver-side loops in the hot path; the measured job is: parquet scan →
 salted url-hash repartition → ONE fused mapInPandas stage (chunk + filter +
 extract) → hash-partitioned groupBy aggregations (map-side partial agg) →
 broadcast-free reduction to triples. Parallelism scales with partition count
-(2×cores at both levels). See SCALE.md for the 10^12-document analysis.
+(2×cores at all levels). See SCALE.md for the 10^12-document analysis.
 """)
     print(f"wrote {path}")
 
