@@ -623,6 +623,49 @@ def q_query_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("final_rank")
 
 
+def q_doc_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary document decode kernels (functions/docformats.py) with an
+    EXACT oracle: each document's text is encoded as REAL format bytes
+    (DOCX = OOXML zip, PDF = FlateDecode content streams), decoded back
+    through the decode_documents operator, and DuckDB independently computes
+    the expected decoded text from the reference loaders' assembly rules
+    (docx_loader.py:33-51 non-blank paragraphs joined by blank lines;
+    pdf_loader.py:39-54 '--- Page N ---' banners) — verifying the encoder,
+    the zip/zlib/XML/content-stream parsers, and the text assembly together.
+    Input is sanitized to printable ASCII + newline on both sides (simple
+    PDF fonts carry no unicode cmap; unicode DOCX round-trip is pinned in
+    pytest instead)."""
+    from graphrag_mrkr_2_spark.operators.multimodal import (
+        decode_documents,
+        encode_documents,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.regexp_replace(F.coalesce("text", F.lit("")), r"[^\x20-\x7e\n]", "").alias(
+            "clean"
+        ),
+    )
+    payloads = encode_documents(docs, "docx", id_col="doc_id", text_col="clean").unionByName(
+        encode_documents(docs, "pdf", id_col="doc_id", text_col="clean")
+    )
+    decoded = decode_documents(payloads)
+    return (
+        decoded.groupBy(F.col("media_id").alias("doc_id"))
+        .agg(
+            F.max(F.when(F.col("fmt") == "docx", F.md5("text"))).alias("docx_md5"),
+            F.max(
+                F.when(F.col("fmt") == "docx", F.length("text").cast("bigint"))
+            ).alias("docx_chars"),
+            F.max(F.when(F.col("fmt") == "pdf", F.md5("text"))).alias("pdf_md5"),
+            F.max(
+                F.when(F.col("fmt") == "pdf", F.length("text").cast("bigint"))
+            ).alias("pdf_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (6h gap) over the events table; the
     streaming twin (applyInPandasWithState) is pinned stream≡batch by
@@ -702,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
         "query_rerank": q_query_rerank,
+        "doc_binary_roundtrip": q_doc_binary_roundtrip,
         "sample_shards": q_sample_shards,
         "sample_shards_global": q_sample_shards_global,
         "chunk_similarity_fixedwidth": q_chunk_similarity_fixedwidth,
@@ -1186,6 +1230,37 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS final_rank
             FROM unioned
             ORDER BY final_rank
+        """,
+        # binary round-trip: DuckDB recomputes the text that decoding the
+        # encoded DOCX/PDF must produce, straight from the reference
+        # loaders' assembly rules (docx_loader.py:33-51, pdf_loader.py:39-54)
+        "doc_binary_roundtrip": """
+            WITH base AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     regexp_replace(COALESCE(text, ''), '[^\\x20-\\x7e\\n]', '', 'g') AS clean
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id,
+                     list_filter(string_split(clean, chr(10)), x -> trim(x) <> '') AS keep
+              FROM base
+            ),
+            exp AS (
+              SELECT doc_id,
+                     CASE WHEN len(keep) = 0 THEN NULL
+                          ELSE array_to_string(keep, chr(10) || chr(10)) END AS docx_text,
+                     CASE WHEN len(keep) = 0 THEN NULL
+                          ELSE '--- Page 1 ---' || chr(10) ||
+                               array_to_string(list_transform(keep, x -> trim(x)), chr(10))
+                     END AS pdf_text
+              FROM lines
+            )
+            SELECT doc_id,
+                   md5(docx_text) AS docx_md5,
+                   CAST(length(docx_text) AS BIGINT) AS docx_chars,
+                   md5(pdf_text) AS pdf_md5,
+                   CAST(length(pdf_text) AS BIGINT) AS pdf_chars
+            FROM exp ORDER BY doc_id
         """,
         # stratum-less shard packing: the oracle is the naive global window;
         # the Spark side runs the two-phase distributed prefix sum

@@ -2,11 +2,20 @@
 
 Per the task brief: image/audio/video are opaque ``binary`` columns with
 typed metadata; the Spark-side plumbing (schema, partitioning, UDF
-signatures, Arrow batch shape) is real and tested, while the actual
-decode/feature kernels are STUBBED — the codec libraries (PIL/ffmpeg/...)
-are not in this container. Each stub either raises NotImplementedError
-(strict mode) or produces a deterministic fake (test mode) so pipelines can
-be wired and validated end-to-end.
+signatures, Arrow batch shape) is real and tested.
+
+Kernel status:
+- **Binary DOCUMENT formats (PDF/DOCX/XLSX/PPTX) are fully decoded** —
+  pure-stdlib kernels (zip+XML / zlib+content-stream parsing) in
+  ``functions/docformats.py``, exposed here as ``decode_documents`` and as
+  the ``read_binary_documents`` loader. These mirror the reference's loader
+  semantics (ingestion/loaders/{pdf,docx,xlsx,pptx}_loader.py) without the
+  codec libraries.
+- **Raster media (image pixels / audio samples / video frames) stay
+  STUBBED** — those genuinely require native codecs (PIL/ffmpeg) absent
+  from this container. Each stub either raises NotImplementedError (strict
+  mode) or produces a deterministic fake (test mode) so pipelines can be
+  wired and validated end-to-end.
 
 Design notes for 100 TB of media:
 - payloads stay in ``binary`` columns; all row-multiplying work happens in
@@ -62,6 +71,95 @@ MEDIA_SCHEMA = StructType(
 def media_repartition(df: DataFrame, num_partitions: int, payload_col: str = "payload") -> DataFrame:
     """Spread payloads by content hash (head-host skew protection)."""
     return df.repartition(num_partitions, F.xxhash64(F.col(payload_col)))
+
+
+DECODED_DOC_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("fmt", StringType(), True),
+        StructField("text", StringType(), True),
+    ]
+)
+
+
+def decode_documents(
+    df: DataFrame,
+    id_col: str = "media_id",
+    fmt_col: str = "fmt",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Binary document payloads → text via the pure-stdlib format kernels
+    (functions/docformats.py; reference ingestion/loaders/*). Rows whose
+    payload fails to decode (corrupt, empty, unknown format) come back with
+    text NULL — quarantine, never a failed 100 TB job.
+
+    Streaming Arrow batches through mapInPandas: per-task memory is one
+    batch of payloads, independent of partition size.
+    """
+    from graphrag_mrkr_2_spark.functions.docformats import decode_document
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = [
+                decode_document(
+                    bytes(p) if p is not None else None, f or ""
+                )
+                for p, f in zip(pdf[payload_col], pdf[fmt_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype(str),
+                    "fmt": pdf[fmt_col],
+                    "text": pd.Series(texts, dtype=object),
+                }
+            )
+
+    return df.select(
+        F.col(id_col), F.col(fmt_col), F.col(payload_col)
+    ).mapInPandas(_decode, DECODED_DOC_SCHEMA)
+
+
+ENCODED_DOC_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("fmt", StringType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def encode_documents(
+    df: DataFrame,
+    fmt: str,
+    id_col: str = "media_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Text → binary document payloads ('docx' or 'pdf'), the sink-side twin
+    of decode_documents (kernels: functions/docformats.py encode_docx /
+    encode_pdf; one paragraph/text line per entry, PDF = one page)."""
+    from graphrag_mrkr_2_spark.functions.docformats import encode_docx, encode_pdf
+
+    assert fmt in ("docx", "pdf"), fmt
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_b in batches:
+            payloads = []
+            for t in pdf_b[text_col]:
+                lines = (t or "").split("\n")
+                payloads.append(
+                    encode_docx(lines) if fmt == "docx" else encode_pdf([lines])
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf_b[id_col].astype(str),
+                    "fmt": fmt,
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _encode, ENCODED_DOC_SCHEMA
+    )
 
 
 def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:

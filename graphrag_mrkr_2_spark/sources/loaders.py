@@ -17,9 +17,12 @@ Spark-first loader set targets crawl-scale sources:
           records only, URL from WARC-Target-URI, timestamp from WARC-Date,
           HTML = HTTP payload after the first CRLFCRLF.
 
-Binary document formats (PDF/DOCX) follow the multimodal pattern: the
-container ships no codec libraries, so their decode step is an explicit
-seam (operators/multimodal.py), not a silent fake.
+- BINARY DOCUMENTS (PDF/DOCX/XLSX/PPTX): ``read_binary_documents`` decodes
+  payloads with the pure-stdlib format kernels in functions/docformats.py
+  (zip+XML for OOXML, zlib+content-stream parsing for PDF — the reference's
+  ingestion/loaders/* semantics without the codec libraries). Undecodable
+  files surface as text=NULL quarantine rows. Raster media (image/audio/
+  video) remain explicit seams in operators/multimodal.py.
 
 Every loader emits the same schema so the KG pipeline composes unchanged:
 run_kg_pipeline(read_warc_pages(spark, path)).
@@ -157,3 +160,40 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return files.mapInPandas(_parse, PAGES_SCHEMA).where(F.col("url") != "")
+
+
+def read_binary_documents(spark: SparkSession, path: str) -> DataFrame:
+    """PDF/DOCX/XLSX/PPTX files → pages(url, warc_ts, html, text, lang).
+
+    binaryFile scan (one file per row; Spark splits across tasks) →
+    mapInPandas decode with the stdlib kernels. url = file path, text =
+    decoded content (NULL = quarantine), html = NULL (no markup source).
+    Composes directly with the KG pipeline like every other loader.
+    """
+    from graphrag_mrkr_2_spark.functions.docformats import decode_document
+
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "modificationTime", "content"
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["path"],
+                    "warc_ts": pdf["modificationTime"].astype(str),
+                    "html": pd.Series([None] * len(pdf), dtype=object),
+                    "text": pd.Series(
+                        [
+                            decode_document(
+                                bytes(c) if c is not None else None, p
+                            )
+                            for c, p in zip(pdf["content"], pdf["path"])
+                        ],
+                        dtype=object,
+                    ),
+                    "lang": pd.Series([None] * len(pdf), dtype=object),
+                }
+            )
+
+    return files.mapInPandas(_decode, PAGES_SCHEMA)
