@@ -15,11 +15,14 @@ Spark-first re-architecture:
      graph_clustering.py:78-103; settings.py:434-436).
   G3 clustering: connected components FIRST (distributed, graphalgo.py) —
      at web scale components are overwhelmingly small; each component is
-     then clustered independently inside applyInPandas with
-     networkx.louvain_communities (seeded — the same greedy-modularity
-     family as Leiden; python-igraph is unavailable here and the interface
-     point is identical). Giant components exceeding ``max_component_size``
-     fall back to component-as-community rather than OOMing an executor.
+     then clustered independently inside applyInPandas with a real LEIDEN
+     implementation (functions/leiden.py — local moving + refinement +
+     aggregation per Traag et al. 2019, modularity objective, seeded
+     deterministic; the same algorithm/objective as the reference's igraph
+     community_leiden call). ``method="louvain"`` keeps the networkx
+     stand-in as a comparison baseline. Giant components exceeding
+     ``max_component_size`` route to distributed weighted label propagation
+     rather than OOMing an executor.
   G4 membership writeback: a join, not per-row SETs
      (graph_clustering.py:179-210).
 """
@@ -100,6 +103,7 @@ def detect_communities(
     seed: int = 42,
     max_component_size: int = 2_000_000,
     level: int = 0,
+    method: str = "leiden",
 ) -> DataFrame:
     """G3 — CC then per-component Louvain/Leiden-style modularity clustering.
 
@@ -134,17 +138,33 @@ def detect_communities(
     giant = tagged.where(F.col("is_giant")).drop("is_giant")
 
     def _cluster(pdf: pd.DataFrame) -> pd.DataFrame:
-        import networkx as nx
-
-        g = nx.Graph()
+        # multi-edges within a component: keep the max weight (same rule the
+        # networkx path applied)
+        dedup: dict[tuple, float] = {}
         for s, d, w in zip(pdf["src"], pdf["dst"], pdf["weight"]):
-            prev = g.get_edge_data(s, d, default={"weight": 0.0})["weight"]
-            g.add_edge(s, d, weight=max(prev, float(w)))
-        comms = nx.community.louvain_communities(
-            g, weight="weight", resolution=resolution, seed=seed
-        )
+            key = (s, d)
+            dedup[key] = max(dedup.get(key, 0.0), float(w))
+        edge_list = [(s, d, w) for (s, d), w in dedup.items()]
+
+        if method == "leiden":
+            from graphrag_mrkr_2_spark.functions.leiden import leiden_communities
+
+            mem = leiden_communities(edge_list, resolution=resolution, seed=seed)
+            comms: dict[int, list] = {}
+            for node, c in mem.items():
+                comms.setdefault(c, []).append(node)
+            groups = list(comms.values())
+        else:
+            import networkx as nx
+
+            g = nx.Graph()
+            for s, d, w in edge_list:
+                g.add_edge(s, d, weight=w)
+            groups = nx.community.louvain_communities(
+                g, weight="weight", resolution=resolution, seed=seed
+            )
         rows = []
-        for members in comms:
+        for members in groups:
             anchor = min(str(m) for m in members)
             cid = _stable_id(anchor)
             for m in members:

@@ -1,0 +1,146 @@
+"""Leiden kernel (functions/leiden.py) — planted structure, determinism,
+the paper's connectivity guarantee, and modularity quality vs the previous
+Louvain stand-in."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from graphrag_mrkr_2_spark.functions.leiden import leiden_communities, modularity
+
+
+def clique(prefix: str, n: int, w: float = 1.0):
+    nodes = [f"{prefix}{i}" for i in range(n)]
+    return nodes, [
+        (nodes[i], nodes[j], w) for i in range(n) for j in range(i + 1, n)
+    ]
+
+
+def random_graph(n: int, p: float, seed: int):
+    rng = np.random.RandomState(seed)
+    edges = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if rng.rand() < p:
+                edges.append((f"n{i}", f"n{j}", float(rng.randint(1, 5))))
+    return edges
+
+
+class TestPlanted:
+    def test_two_cliques_one_bridge(self):
+        a_nodes, a_edges = clique("a", 8)
+        b_nodes, b_edges = clique("b", 8)
+        edges = a_edges + b_edges + [("a0", "b0", 0.1)]
+        mem = leiden_communities(edges)
+        assert len({mem[n] for n in a_nodes}) == 1
+        assert len({mem[n] for n in b_nodes}) == 1
+        assert mem["a0"] != mem["b0"]
+
+    def test_three_communities_weighted(self):
+        groups = [clique(p, 6, w=5.0) for p in ("x", "y", "z")]
+        edges = [e for _, es in groups for e in es]
+        # weak inter-group edges
+        edges += [("x0", "y0", 0.2), ("y1", "z0", 0.2), ("z1", "x1", 0.2)]
+        mem = leiden_communities(edges)
+        labels = {p: {mem[n] for n, _ in [(f"{p}{i}", 0) for i in range(6)]} for p in ("x", "y", "z")}
+        assert all(len(s) == 1 for s in labels.values())
+        assert len({next(iter(s)) for s in labels.values()}) == 3
+
+    def test_isolated_nodes_get_own_communities(self):
+        _, es = clique("c", 4)
+        mem = leiden_communities(es, nodes=["c0", "c1", "c2", "c3", "lone1", "lone2"])
+        assert mem["lone1"] != mem["lone2"]
+        assert mem["lone1"] not in {mem["c0"]}
+
+    def test_resolution_sweep(self):
+        # high resolution splits; low resolution merges
+        a_nodes, a_edges = clique("a", 5)
+        b_nodes, b_edges = clique("b", 5)
+        edges = a_edges + b_edges + [("a0", "b0", 1.0), ("a1", "b1", 1.0)]
+        low = leiden_communities(edges, resolution=0.05)
+        assert len(set(low.values())) == 1
+        high = leiden_communities(edges, resolution=1.0)
+        assert len(set(high.values())) == 2
+
+
+class TestGuarantees:
+    def test_deterministic_across_runs(self):
+        edges = random_graph(60, 0.15, seed=7)
+        m1 = leiden_communities(edges, seed=11)
+        m2 = leiden_communities(edges, seed=11)
+        assert m1 == m2
+
+    @pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+    def test_every_community_connected(self, seed):
+        """The Leiden paper's core guarantee (Traag et al. 2019, Thm 1):
+        every emitted community induces a connected subgraph."""
+        edges = random_graph(80, 0.08, seed=seed)
+        mem = leiden_communities(edges, seed=seed)
+        adj: dict[str, set[str]] = {}
+        for u, v, _ in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        comms: dict[int, set[str]] = {}
+        for n, c in mem.items():
+            comms.setdefault(c, set()).add(n)
+        for members in comms.values():
+            # BFS within the community
+            start = next(iter(members))
+            seen = {start}
+            frontier = [start]
+            while frontier:
+                x = frontier.pop()
+                for y in adj.get(x, ()):
+                    if y in members and y not in seen:
+                        seen.add(y)
+                        frontier.append(y)
+            assert seen == members, f"disconnected community: {members - seen}"
+
+    def test_modularity_at_least_louvain(self):
+        """Same modularity family: on seeded random graphs the Leiden result
+        should be within noise of (usually above) networkx Louvain."""
+        import networkx as nx
+
+        for seed in (3, 9):
+            edges = random_graph(70, 0.1, seed=seed)
+            mem = leiden_communities(edges, seed=seed)
+            q_leiden = modularity(edges, mem)
+            g = nx.Graph()
+            for u, v, w in edges:
+                g.add_edge(u, v, weight=w)
+            comms = nx.community.louvain_communities(g, weight="weight", seed=seed)
+            mem_l = {n: i for i, ms in enumerate(comms) for n in ms}
+            q_louvain = modularity(edges, mem_l)
+            assert q_leiden >= q_louvain - 0.02, (q_leiden, q_louvain)
+
+    def test_modularity_matches_networkx_value(self):
+        import networkx as nx
+
+        edges = random_graph(40, 0.2, seed=5)
+        mem = leiden_communities(edges, seed=5)
+        g = nx.Graph()
+        for u, v, w in edges:
+            g.add_edge(u, v, weight=w)
+        comms: dict[int, set] = {}
+        for n, c in mem.items():
+            comms.setdefault(c, set()).add(n)
+        q_nx = nx.community.modularity(g, comms.values(), weight="weight")
+        assert modularity(edges, mem) == pytest.approx(q_nx, abs=1e-9)
+
+
+class TestSparkIntegration:
+    def test_detect_communities_uses_leiden(self, spark):
+        from graphrag_mrkr_2_spark.operators.communities import detect_communities
+
+        a_nodes, a_edges = clique("a", 6)
+        b_nodes, b_edges = clique("b", 6)
+        rows = [(u, v, w) for u, v, w in a_edges + b_edges + [("a0", "b0", 0.1)]]
+        edges = spark.createDataFrame(rows, "src string, dst string, weight double")
+        mem = {
+            r["node"]: r["community_id"]
+            for r in detect_communities(edges).collect()
+        }
+        assert len({mem[n] for n in a_nodes}) == 1
+        assert len({mem[n] for n in b_nodes}) == 1
+        assert mem["a0"] != mem["b0"]
