@@ -666,6 +666,100 @@ def q_doc_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_oracle_sql() -> str:
+    """Build the doc_pii_redact oracle from the operator's OWN patterns so
+    Spark and DuckDB provably run byte-identical regexes."""
+    from graphrag_mrkr_2_spark.operators.textclean import PII_PATTERNS
+
+    redacted = "text"
+    for _, pattern, token in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pattern}', '{token}', 'g')"
+    counts = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(text, '{pattern}')) AS BIGINT) AS n_{kind}"
+        for kind, pattern, _ in PII_PATTERNS
+    )
+    return f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     regexp_replace(COALESCE(text, ''), '[^\\x20-\\x7e\\n]', '', 'g') AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   {counts},
+                   md5({redacted}) AS clean_md5,
+                   CAST(length({redacted}) AS BIGINT) AS clean_chars
+            FROM base ORDER BY doc_id
+        """
+
+
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/textclean.py) with an exact oracle: the
+    SAME RE2-safe patterns run as DuckDB regexp_replace/extract_all on the
+    same ASCII-sanitized text (sanitized so Java-vs-RE2 \\b semantics can't
+    diverge on non-ASCII codepoints; the operator itself takes raw text)."""
+    from graphrag_mrkr_2_spark.operators.textclean import redact_pii
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.regexp_replace(F.coalesce("text", F.lit("")), r"[^\x20-\x7e\n]", "").alias(
+            "text"
+        ),
+    )
+    out = redact_pii(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_ssn").cast("bigint").alias("n_ssn"),
+        F.col("n_cc").cast("bigint").alias("n_cc"),
+        F.col("n_phone").cast("bigint").alias("n_phone"),
+        F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("bigint").alias("clean_chars"),
+    ).orderBy("doc_id")
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals with an exact DuckDB oracle (line
+    dup fractions + top word/bigram fractions recomputed in SQL)."""
+    from graphrag_mrkr_2_spark.operators.textclean import repetition_stats
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    out = repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_word_frac", 6).alias("top_word_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (8-gram overlap, GPT-3 App. C shape) with
+    an exact oracle: the 'benchmark' is the deterministic doc_id % 97 == 0
+    slice of the corpus; Spark joins on xxhash64(gram), DuckDB joins on the
+    gram string — identical results absent a 64-bit collision."""
+    from graphrag_mrkr_2_spark.operators.textclean import contamination_overlap
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    bench = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").cast("string").alias("bench_id"), "text")
+    )
+    out = contamination_overlap(docs, bench, n=8)
+    return out.select(
+        "doc_id",
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.round("overlap_frac", 6).alias("overlap_frac"),
+    ).orderBy("doc_id")
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (6h gap) over the events table; the
     streaming twin (applyInPandasWithState) is pinned stream≡batch by
@@ -746,6 +840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "query_rerank": q_query_rerank,
         "doc_binary_roundtrip": q_doc_binary_roundtrip,
+        "doc_pii_redact": q_doc_pii_redact,
+        "doc_repetition": q_doc_repetition,
+        "doc_contamination": q_doc_contamination,
         "sample_shards": q_sample_shards,
         "sample_shards_global": q_sample_shards_global,
         "chunk_similarity_fixedwidth": q_chunk_similarity_fixedwidth,
@@ -1261,6 +1358,77 @@ def oracle_sql() -> dict[str, str]:
                    md5(pdf_text) AS pdf_md5,
                    CAST(length(pdf_text) AS BIGINT) AS pdf_chars
             FROM exp ORDER BY doc_id
+        """,
+        # PII redaction: the operator's own RE2-safe patterns (imported, so
+        # Spark and DuckDB run byte-identical regexes) on sanitized text
+        "doc_pii_redact": _pii_oracle_sql(),
+        # repetition stats: line-dup fractions + top word/bigram fractions
+        "doc_repetition": """
+            WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
+            lines AS (
+              SELECT doc_id, line
+              FROM base, LATERAL (SELECT unnest(string_split(text, chr(10))) AS line)
+              WHERE trim(line) <> ''
+            ),
+            lc AS (SELECT doc_id, line, COUNT(*) AS c, length(line) AS chars
+                   FROM lines GROUP BY doc_id, line),
+            lstat AS (
+              SELECT doc_id,
+                     ROUND((SUM(c) - COUNT(*)) / SUM(c), 6) AS dup_line_frac,
+                     ROUND(SUM(CASE WHEN c > 1 THEN c * chars ELSE 0 END)
+                           / SUM(c * chars), 6) AS dup_line_char_frac
+              FROM lc GROUP BY doc_id
+            ),
+            words AS (
+              SELECT doc_id, w
+              FROM base, LATERAL (SELECT unnest(list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '')) AS w)
+            ),
+            wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+            wstat AS (SELECT doc_id, ROUND(MAX(c) / SUM(c), 6) AS top_word_frac
+                      FROM wc GROUP BY doc_id),
+            toks AS (SELECT doc_id, list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t FROM base),
+            bigrams AS (
+              SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg
+              FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)
+            ),
+            bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg),
+            bstat AS (SELECT doc_id, ROUND(MAX(c) / SUM(c), 6) AS top_bigram_frac
+                      FROM bc GROUP BY doc_id)
+            SELECT b.doc_id, lstat.dup_line_frac, lstat.dup_line_char_frac,
+                   wstat.top_word_frac, bstat.top_bigram_frac
+            FROM (SELECT DISTINCT doc_id FROM base) b
+            LEFT JOIN lstat USING (doc_id)
+            LEFT JOIN wstat USING (doc_id)
+            LEFT JOIN bstat USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # decontamination: DuckDB joins on the literal 8-gram string where
+        # Spark joins on xxhash64(gram) — equal absent a 64-bit collision
+        "doc_contamination": """
+            WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                                 doc_id AS raw_id, text FROM documents),
+            toks AS (SELECT doc_id, raw_id, list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t FROM base),
+            grams AS (
+              SELECT doc_id, raw_id, array_to_string(t[i:i+7], ' ') AS g
+              FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i)
+            ),
+            dg AS (SELECT DISTINCT doc_id, g FROM grams),
+            bg AS (SELECT DISTINCT g FROM grams WHERE raw_id % 97 = 0),
+            totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM dg GROUP BY doc_id),
+            hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM dg JOIN bg USING (g)
+                     GROUP BY doc_id)
+            SELECT h.doc_id,
+                   CAST(h.n_hits AS BIGINT) AS n_hits,
+                   CAST(t.n_grams AS BIGINT) AS n_grams,
+                   ROUND(h.n_hits / t.n_grams, 6) AS overlap_frac
+            FROM hits h JOIN totals t USING (doc_id)
+            ORDER BY doc_id
         """,
         # stratum-less shard packing: the oracle is the naive global window;
         # the Spark side runs the two-phase distributed prefix sum

@@ -1,0 +1,207 @@
+"""Web-corpus cleaning operators a training-data pipeline runs at 100 TB:
+PII redaction, repetition filtering, benchmark decontamination.
+
+These extend the task brief's text-analysis family (alongside
+operators/textstats.py) with the standard public-web hygiene passes
+described in the C4 (Raffel et al. 2020), Gopher (Rae et al. 2021) and
+GPT-3 (Brown et al. 2020, App. C) dataset papers. The reference pipeline
+ingests already-curated uploads so it has no analog stage; at crawl scale
+these run between loading and chunking.
+
+Scale design:
+- PII redaction is a chain of JVM ``regexp_replace`` expressions — whole-
+  stage codegen, zero Python, patterns shared with the DuckDB oracle (RE2-
+  safe: no lookarounds/backrefs).
+- Repetition stats build on explode + groupBy with map-side partial
+  aggregation; per-doc cardinalities only (never cross-doc state).
+- Decontamination hashes benchmark n-grams once (a LEFT SEMI join's build
+  side, broadcast when small) and probes document n-grams with an equi-
+  join — the standard 13-gram-overlap decontamination shape, expressed so
+  AQE can pick broadcast vs shuffled-hash by benchmark size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# RE2-safe patterns (work identically in Java regex and DuckDB/RE2):
+# ordered so earlier redactions can't create later matches.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+    ("cc", r"\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b", "[CC]"),
+    ("phone", r"\b(\+?[0-9]{1,2}[ .-])?\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}\b", "[PHONE]"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    with_counts: bool = True,
+) -> DataFrame:
+    """Replace PII spans with typed tokens; optionally add per-kind match
+    counts (pre-redaction). Pure column expressions — codegen end to end."""
+    redacted = F.col(text_col)
+    out = df
+    if with_counts:
+        for kind, pattern, _ in PII_PATTERNS:
+            out = out.withColumn(
+                f"n_{kind}",
+                F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))),
+            )
+    for _, pattern, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pattern, token)
+    return out.withColumn(out_col, redacted)
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``dup_line_frac``: fraction of non-blank lines that are duplicates of
+      an earlier identical line (count-based, Rae et al. Table A1);
+    - ``dup_line_char_frac``: fraction of non-blank-line characters sitting
+      in duplicated lines;
+    - ``top_word_frac``: occurrences of the most frequent word / total
+      words (lowercased alnum tokens);
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram /
+      total bigrams.
+
+    One explode per signal family + partial-agg groupBys keyed by doc —
+    no cross-document state, scales with the corpus.
+    """
+    lines = (
+        df.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("line")
+        )
+        .where(F.trim(F.col("line")) != "")
+    )
+    line_stats = (
+        lines.groupBy(id_col, "line")
+        .agg(F.count(F.lit(1)).alias("c"), F.length("line").alias("chars"))
+        .groupBy(id_col)
+        .agg(
+            (
+                (F.sum("c") - F.count(F.lit(1))) / F.sum("c")
+            ).alias("dup_line_frac"),
+            (
+                F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("chars")).otherwise(0))
+                / F.sum(F.col("c") * F.col("chars"))
+            ).alias("dup_line_char_frac"),
+        )
+    )
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != ""
+            )
+        ).alias("word"),
+    )
+    word_counts = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("c"))
+    word_stats = word_counts.groupBy(id_col).agg(
+        (F.max("c") / F.sum("c")).alias("top_word_frac")
+    )
+
+    # bigrams without a window: per-doc posexplode + self-join on pos+1 would
+    # shuffle twice; instead slide in one pass via transform over the
+    # MATERIALIZED token array (materialized so the split isn't re-evaluated
+    # per element inside the lambda)
+    toks_df = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != ""
+        ).alias("__toks"),
+    )
+    t = F.col("__toks")
+    bigrams = toks_df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                lambda w, i: F.concat_ws(" ", w, F.element_at(t, i + 2)),
+            )
+        ).alias("bigram"),
+    )
+    bigram_counts = bigrams.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("c"))
+    bigram_stats = bigram_counts.groupBy(id_col).agg(
+        (F.max("c") / F.sum("c")).alias("top_bigram_frac")
+    )
+
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(line_stats, id_col, "left")
+        .join(word_stats, id_col, "left")
+        .join(bigram_stats, id_col, "left")
+    )
+
+
+def ngram_hashes(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, gram_hash) for every word n-gram — xxhash64 over the joined
+    lowercase tokens. The token array is materialized into its own column
+    so the split runs once per row, not once per lambda element."""
+    toks_df = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != ""
+        ).alias("__toks"),
+    )
+    t = F.col("__toks")
+    grams = F.transform(
+        F.slice(t, 1, F.greatest(F.size(t) - (n - 1), F.lit(0))),
+        lambda w, i: F.xxhash64(
+            F.concat_ws(" ", F.array([F.element_at(t, i + j + 1) for j in range(n)]))
+        ),
+    )
+    return toks_df.select(F.col(id_col), F.explode(grams).alias("gram_hash"))
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """GPT-3-style decontamination: per (document, benchmark n-gram set)
+    overlap. Returns (doc_id, n_hits, n_grams, overlap_frac) for documents
+    sharing ≥1 distinct n-gram with ANY benchmark row.
+
+    Plan: benchmark grams are hashed + distinct once (tiny → broadcast);
+    document grams probe with an inner equi-join, then one partial-agg
+    groupBy. At 10^12 docs this is a broadcast-hash probe per partition —
+    no shuffle of the corpus side.
+    """
+    bench_grams = (
+        ngram_hashes(benchmark, n, id_col=bench_id_col, text_col=text_col)
+        .select("gram_hash")
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = ngram_hashes(docs, n, id_col=id_col, text_col=text_col).distinct()
+    totals = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        doc_grams.join(bench_grams, "gram_hash")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        hits.join(totals, id_col)
+        .withColumn("overlap_frac", F.col("n_hits") / F.col("n_grams"))
+    )
