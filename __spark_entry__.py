@@ -760,6 +760,29 @@ def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-retrieval query expansion (rag/query_expansion.py) with an
+    exact oracle: queries = doc-text prefixes (ASCII-sanitized so Python
+    .lower() and DuckDB lower() agree), initial counts = doc_id % 6,
+    threshold 3 — the oracle recomputes the gate AND the deterministic
+    mock-LLM expansion (first 5 distinct >3-char words) in SQL."""
+    from graphrag_mrkr_2_spark.operators.query import expand_query_terms
+
+    qdf = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.regexp_replace(
+            F.substring(F.coalesce("text", F.lit("")), 1, 60), r"[^\x20-\x7e]", ""
+        ).alias("query"),
+        (F.col("doc_id") % 6).cast("int").alias("initial_results_count"),
+    )
+    out = expand_query_terms(qdf, min_threshold=3)
+    return out.select(
+        "doc_id",
+        F.size("expanded_terms").cast("bigint").alias("n_terms"),
+        F.concat_ws("|", "expanded_terms").alias("terms"),
+    ).orderBy("doc_id")
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (6h gap) over the events table; the
     streaming twin (applyInPandasWithState) is pinned stream≡batch by
@@ -843,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_redact": q_doc_pii_redact,
         "doc_repetition": q_doc_repetition,
         "doc_contamination": q_doc_contamination,
+        "query_expansion": q_query_expansion,
         "sample_shards": q_sample_shards,
         "sample_shards_global": q_sample_shards_global,
         "chunk_similarity_fixedwidth": q_chunk_similarity_fixedwidth,
@@ -1428,6 +1452,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.n_grams AS BIGINT) AS n_grams,
                    ROUND(h.n_hits / t.n_grams, 6) AS overlap_frac
             FROM hits h JOIN totals t USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # query expansion: gate (cnt >= 3 -> no expansion) + the mock's
+        # first-5-distinct->3-char-words, recomputed with ordinality SQL
+        "query_expansion": """
+            WITH base AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     doc_id % 6 AS cnt,
+                     regexp_replace(substr(COALESCE(text, ''), 1, 60),
+                                    '[^\\x20-\\x7e]', '', 'g') AS q
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, cnt, list_filter(
+                       regexp_split_to_array(lower(q), '[^a-z0-9]+'),
+                       x -> x <> '' AND length(x) > 3) AS t
+              FROM base
+            ),
+            pos AS (
+              SELECT doc_id, t[i] AS w, i
+              FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+            ),
+            firsts AS (SELECT doc_id, w, MIN(i) AS fi FROM pos GROUP BY doc_id, w),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY fi) AS rn
+              FROM firsts
+            ),
+            terms AS (
+              SELECT doc_id, array_to_string(list(w ORDER BY fi), '|') AS joined,
+                     COUNT(*) AS n
+              FROM ranked WHERE rn <= 5 GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   CAST(CASE WHEN b.cnt < 3 THEN COALESCE(t.n, 0) ELSE 0 END AS BIGINT) AS n_terms,
+                   CASE WHEN b.cnt < 3 THEN COALESCE(t.joined, '') ELSE '' END AS terms
+            FROM base b LEFT JOIN terms t USING (doc_id)
             ORDER BY doc_id
         """,
         # stratum-less shard packing: the oracle is the naive global window;

@@ -392,3 +392,85 @@ def sentence_windows(sentences: DataFrame, window_size: int = 5) -> DataFrame:
     return sentences.withColumn(
         "window_text", F.array_join(F.collect_list("sentence").over(w), " ")
     )
+
+
+# ---------------------------------------------------------------------------
+# Query expansion (rag/query_expansion.py) — batch analog
+# ---------------------------------------------------------------------------
+
+
+def _parse_expansion(raw: str) -> list[str]:
+    """The reference's response parse (rag/query_expansion.py:88-99): strip
+    ```json / ``` fences, json-parse, keep a non-empty list, cap at 5;
+    anything malformed → [] (expansion failure is silent)."""
+    import json
+
+    try:
+        text = (raw or "").strip()
+        if "```json" in text:
+            text = text.split("```json")[1].split("```")[0].strip()
+        elif "```" in text:
+            text = text.split("```")[1].split("```")[0].strip()
+        terms = json.loads(text)
+        if isinstance(terms, list) and terms:
+            return [str(t) for t in terms[:5]]
+        return []
+    except Exception:
+        return []
+
+
+def default_expansion_llm(queries: pd.Series) -> pd.Series:
+    """Deterministic network-free stand-in for the expansion LLM: suggests
+    the query's first 5 distinct lowercase words longer than 3 chars,
+    wrapped in a ```json fence (so the fence-stripping path is exercised).
+    A real LLM client drops into the same seam."""
+    import json as _json
+    import re as _re
+
+    out = []
+    for q in queries:
+        seen: list[str] = []
+        for w in _re.split(r"[^a-z0-9]+", (q or "").lower()):
+            if len(w) > 3 and w not in seen:
+                seen.append(w)
+            if len(seen) == 5:
+                break
+        out.append("```json\n" + _json.dumps(seen) + "\n```")
+    return pd.Series(out, dtype=object)
+
+
+def expand_query_terms(
+    queries: DataFrame,
+    llm=default_expansion_llm,
+    query_col: str = "query",
+    count_col: str = "initial_results_count",
+    min_threshold: int = 3,
+) -> DataFrame:
+    """Batch sparse-retrieval query expansion (rag/query_expansion.py:14-103).
+
+    Reference semantics: queries whose initial retrieval returned >=
+    min_threshold results are NOT expanded (returns []); the rest go to the
+    LLM, whose response is fence-stripped, JSON-parsed and capped at 5
+    terms, with any failure yielding [] rather than an error.
+
+    Spark shape: ONLY the sparse queries cross the Arrow boundary (the
+    gate is a JVM filter); expansions come back as an array column and
+    rejoin the dense queries with a unionByName — at fleet scale the LLM
+    seam sees exactly the sparse tail, nothing else.
+    """
+
+    @F.pandas_udf("string")
+    def _gen(q: pd.Series) -> pd.Series:
+        return llm(q)
+
+    sparse = queries.where(F.col(count_col) < min_threshold)
+    dense = queries.where(F.col(count_col) >= min_threshold)
+
+    @F.pandas_udf("array<string>")
+    def _parse(raw: pd.Series) -> pd.Series:
+        return raw.map(_parse_expansion)
+
+    expanded = sparse.withColumn("expanded_terms", _parse(_gen(F.col(query_col))))
+    return dense.withColumn(
+        "expanded_terms", F.array().cast("array<string>")
+    ).unionByName(expanded)

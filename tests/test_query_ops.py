@@ -208,3 +208,54 @@ def test_split_sentences_and_windows(chunks_df, spark):
     assert win[0]["window_text"].startswith("First sentence")
     assert "Second sentence" in win[0]["window_text"]
     assert "Third" not in win[0]["window_text"]
+
+
+class TestQueryExpansion:
+    def test_gate_and_parse_semantics(self, spark):
+        from graphrag_mrkr_2_spark.operators.query import expand_query_terms
+
+        df = spark.createDataFrame(
+            [
+                ("q1", "sparse retrieval about distributed graph systems", 1),
+                ("q2", "dense enough query", 5),
+                ("q3", "tiny one two cat dog", 0),
+            ],
+            "qid string, query string, initial_results_count int",
+        )
+        out = {r["qid"]: r["expanded_terms"] for r in expand_query_terms(df).collect()}
+        # reference: >= threshold -> no expansion (query_expansion.py:36-38)
+        assert out["q2"] == []
+        # mock: first 5 distinct lowercase words len>3
+        assert out["q1"] == ["sparse", "retrieval", "about", "distributed", "graph"]
+        # short words filtered by the mock
+        assert out["q3"] == ["tiny"]
+
+    def test_malformed_llm_output_yields_empty(self, spark):
+        import pandas as pd
+
+        from graphrag_mrkr_2_spark.operators.query import expand_query_terms
+
+        def bad_llm(qs: pd.Series) -> pd.Series:
+            return pd.Series(["not json at all"] * len(qs), dtype=object)
+
+        df = spark.createDataFrame(
+            [("q1", "anything", 0)], "qid string, query string, initial_results_count int"
+        )
+        out = expand_query_terms(df, llm=bad_llm).collect()[0]
+        assert out["expanded_terms"] == []
+
+    def test_cap_at_five_and_fence_stripping(self, spark):
+        import pandas as pd
+
+        from graphrag_mrkr_2_spark.operators.query import expand_query_terms
+
+        def seven_terms(qs: pd.Series) -> pd.Series:
+            return pd.Series(
+                ['```json\n["a","b","c","d","e","f","g"]\n```'] * len(qs), dtype=object
+            )
+
+        df = spark.createDataFrame(
+            [("q1", "x", 0)], "qid string, query string, initial_results_count int"
+        )
+        out = expand_query_terms(df, llm=seven_terms).collect()[0]
+        assert out["expanded_terms"] == ["a", "b", "c", "d", "e"]
