@@ -88,7 +88,10 @@ class BytePairEncoder:
             if best_rank is None:
                 break
             parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
-        return [ranks[p] for p in parts]
+        # a PARTIAL ranks table (the seam accepts any .tiktoken file) may
+        # lack some single-byte entry; count such leftovers as one unknown
+        # token instead of crashing the executor UDF mid-ingest
+        return [ranks.get(p, -1) for p in parts]
 
     def encode(self, text: str) -> list[int]:
         if not text:
@@ -99,7 +102,10 @@ class BytePairEncoder:
         return out
 
     def decode(self, tokens: list[int]) -> str:
-        return b"".join(self._tokens[t] for t in tokens).decode("utf-8", errors="replace")
+        # -1 = unknown-byte sentinel from _merge_piece → U+FFFD
+        return b"".join(
+            self._tokens.get(t, b"\xef\xbf\xbd") for t in tokens
+        ).decode("utf-8", errors="replace")
 
     def count(self, text: str) -> int:
         return len(self.encode(text))
@@ -121,12 +127,13 @@ def set_default_encoder(enc: BytePairEncoder | None) -> None:
 def get_default_encoder() -> BytePairEncoder | None:
     """The injected encoder, else one lazily loaded from the ranks file named
     by ``SPARK_GRAFT_BPE_RANKS`` (cached per process; workers inherit the env
-    through spark.executorEnv / the OS environment)."""
+    through spark.executorEnv / the OS environment). Tracks the env var both
+    ways: setting/switching it (re)loads, UNSETTING it clears the cache and
+    returns to fallback mode — no stale encoder survives."""
+    if _LOADED_FROM[0] == "<injected>":
+        return _DEFAULT[0]
     path = os.environ.get("SPARK_GRAFT_BPE_RANKS")
-    if _DEFAULT[0] is not None and (_LOADED_FROM[0] == "<injected>" or _LOADED_FROM[0] == path):
-        return _DEFAULT[0]
-    if path:
-        _DEFAULT[0] = BytePairEncoder.from_tiktoken_file(path)
+    if path != _LOADED_FROM[0]:
+        _DEFAULT[0] = BytePairEncoder.from_tiktoken_file(path) if path else None
         _LOADED_FROM[0] = path
-        return _DEFAULT[0]
     return _DEFAULT[0]

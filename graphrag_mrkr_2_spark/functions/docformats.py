@@ -101,11 +101,8 @@ def docx_text(data: bytes) -> str | None:
                 text_content.append(text)
         elif child.tag == f"{_W}tbl":
             for tr in child.findall(f"{_W}tr"):
-                row_text = [
-                    _docx_cell_text(tc)
-                    for tc in tr.findall(f"{_W}tc")
-                    if _docx_cell_text(tc).strip()
-                ]
+                cell_texts = [_docx_cell_text(tc) for tc in tr.findall(f"{_W}tc")]
+                row_text = [t for t in cell_texts if t.strip()]
                 if row_text:
                     tables.append(" | ".join(row_text))
     # reference walks doc.paragraphs (body-level only) then doc.tables
@@ -452,26 +449,33 @@ def _parse_pdf_value(buf: bytes, pos: int):
 
 def _pdf_objects(data: bytes) -> dict[int, tuple[dict, bytes | None]]:
     """objnum → (dict, stream_bytes). Scans for 'n g obj' rather than
-    trusting the xref table (robust to hand-built or appended files)."""
+    trusting the xref table (robust to hand-built or appended files), but
+    parses SEQUENTIALLY with object extents: an 'n g obj' byte pattern that
+    happens to occur inside a previous object's (compressed) stream is
+    skipped, and stream bytes are bounded by the numeric /Length when
+    present, so neither 'obj' nor 'endobj' false hits inside binary stream
+    content can corrupt the object map."""
     objects: dict[int, tuple[dict, bytes | None]] = {}
+    cursor = 0
     for m in _OBJ_RE.finditer(data):
+        if m.start() < cursor:
+            continue  # inside the previous object's extent (stream bytes)
         num = int(m.group(1))
-        end = data.find(b"endobj", m.end())
-        if end < 0:
-            continue
-        body = data[m.end() : end]
-        val, _ = _parse_pdf_value(body, 0)
+        val, vend = _parse_pdf_value(data, m.end())
         d = val if isinstance(val, dict) else {}
         stream = None
-        sidx = body.find(b"stream")
-        if sidx >= 0:
-            sdata = body[sidx + len(b"stream") :]
-            if sdata[:2] == b"\r\n":
-                sdata = sdata[2:]
-            elif sdata[:1] == b"\n":
-                sdata = sdata[1:]
-            eidx = sdata.rfind(b"endstream")
-            raw = sdata[:eidx] if eidx >= 0 else sdata
+        send = vend
+        sm = re.match(rb"\s*stream(\r\n|\n|\r)", data[vend : vend + 16])
+        if sm:
+            sstart = vend + sm.end()
+            length = d.get("Length")
+            if isinstance(length, float) and length >= 0:
+                send = sstart + int(length)
+                raw = data[sstart:send]
+            else:  # /Length indirect or absent — fall back to the marker
+                e = data.find(b"endstream", sstart)
+                send = e if e >= 0 else len(data)
+                raw = data[sstart:send]
             filt = d.get("Filter")
             names = []
             if isinstance(filt, tuple) and filt[0] == "name":
@@ -484,6 +488,8 @@ def _pdf_objects(data: bytes) -> dict[int, tuple[dict, bytes | None]]:
                 except zlib.error:
                     raw = b""
             stream = raw
+        endpos = data.find(b"endobj", send)
+        cursor = endpos + len(b"endobj") if endpos >= 0 else max(send, m.end())
         objects[num] = (d, stream)
     return objects
 

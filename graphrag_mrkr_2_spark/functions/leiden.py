@@ -257,8 +257,10 @@ def modularity(edges, membership: dict, resolution: float = 1.0) -> float:
         tot[c] = tot.get(c, 0.0) + strength[i]
     for u, v, w in edges:
         if membership[u] == membership[v]:
-            intra += float(w) if u != v else float(w)
+            intra += float(w)
     # each undirected edge counted once in `edges`; modularity uses 2m scale
+    # (self-loops contribute w here and 2w to strength — consistent with
+    # the _build convention)
     return (2.0 * intra) / two_m - resolution * sum(
         t * t for t in tot.values()
     ) / (two_m * two_m)

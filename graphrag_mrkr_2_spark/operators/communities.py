@@ -138,11 +138,13 @@ def detect_communities(
     giant = tagged.where(F.col("is_giant")).drop("is_giant")
 
     def _cluster(pdf: pd.DataFrame) -> pd.DataFrame:
-        # multi-edges within a component: keep the max weight (same rule the
-        # networkx path applied)
+        # multi-edges within a component: UNDIRECTED key, keep the max
+        # weight — the nx.Graph behavior of the r2 path; without the
+        # canonical key, (a,b,3) + (b,a,1) would double-count in the leiden
+        # builder and last-write-win in networkx
         dedup: dict[tuple, float] = {}
         for s, d, w in zip(pdf["src"], pdf["dst"], pdf["weight"]):
-            key = (s, d)
+            key = (s, d) if s <= d else (d, s)
             dedup[key] = max(dedup.get(key, 0.0), float(w))
         edge_list = [(s, d, w) for (s, d), w in dedup.items()]
 

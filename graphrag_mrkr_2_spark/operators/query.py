@@ -463,8 +463,12 @@ def expand_query_terms(
     def _gen(q: pd.Series) -> pd.Series:
         return llm(q)
 
-    sparse = queries.where(F.col(count_col) < min_threshold)
-    dense = queries.where(F.col(count_col) >= min_threshold)
+    # NULL counts (e.g. a missed count join upstream) must not drop the row:
+    # treat unknown as dense (no expansion), keeping the operator
+    # row-preserving for any input
+    is_sparse = F.coalesce(F.col(count_col) < min_threshold, F.lit(False))
+    sparse = queries.where(is_sparse)
+    dense = queries.where(~is_sparse)
 
     @F.pandas_udf("array<string>")
     def _parse(raw: pd.Series) -> pd.Series:

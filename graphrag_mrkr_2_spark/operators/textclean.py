@@ -43,7 +43,14 @@ def redact_pii(
     with_counts: bool = True,
 ) -> DataFrame:
     """Replace PII spans with typed tokens; optionally add per-kind match
-    counts (pre-redaction). Pure column expressions — codegen end to end."""
+    counts. Pure column expressions — codegen end to end.
+
+    Counts are computed INDEPENDENTLY per kind on the raw text (a span
+    consumed by an earlier redaction can still be counted by a later kind,
+    e.g. an SSN embedded in an email local-part counts for both) — they are
+    per-pattern detection rates for corpus triage, not a partition of the
+    redacted spans. The redaction chain itself applies the patterns in
+    PII_PATTERNS order, so every span is replaced exactly once."""
     redacted = F.col(text_col)
     out = df
     if with_counts:

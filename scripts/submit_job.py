@@ -12,7 +12,7 @@ executors) and takes only data paths + knobs:
         scripts/submit_job.py \
         --pages  <pages parquet/warc dir> \
         --out    <output catalog dir> \
-        [--format parquet|warc|jsonl|binary] [--sf-dir for demo data]
+        [--format parquet|warc|jsonl|binary] [--demo-pages N]
 
 On a real cluster nothing changes except ``--master`` and the paths; in
 this sandbox ``scripts/submit_smoke.sh`` runs it end-to-end under

@@ -143,3 +143,32 @@ BPE_GOLDEN_PREFIXES = [
     "end 1\n\nthe theo the ",
     "end 2\n\nthe theo the ",
 ]
+
+
+class TestSeamRobustness:
+    def test_partial_ranks_table_degrades(self):
+        from graphrag_mrkr_2_spark.functions.bpe import BytePairEncoder
+
+        # table missing most single bytes: unknown bytes count as 1 token
+        enc = BytePairEncoder({b"a": 0, b"b": 1, b"ab": 2})
+        toks = enc.encode("ab\xf0z")
+        assert toks[0] == 2  # 'ab' merged
+        assert all(isinstance(t, int) for t in toks)
+        assert enc.count("ab\xf0z") == len(toks)  # no crash
+        assert "�" in enc.decode(toks)  # unknowns decode to U+FFFD
+
+    def test_env_unset_clears_cached_encoder(self, tmp_path, monkeypatch):
+        import base64 as b64
+
+        from graphrag_mrkr_2_spark.functions.bpe import (
+            get_default_encoder,
+            set_default_encoder,
+        )
+
+        set_default_encoder(None)
+        ranks = tmp_path / "mini.tiktoken"
+        ranks.write_bytes(b64.b64encode(b"a") + b" 0\n")
+        monkeypatch.setenv("SPARK_GRAFT_BPE_RANKS", str(ranks))
+        assert get_default_encoder() is not None
+        monkeypatch.delenv("SPARK_GRAFT_BPE_RANKS")
+        assert get_default_encoder() is None  # stale cache cleared

@@ -446,3 +446,53 @@ def F_length_ok():
     from pyspark.sql import functions as F
 
     return F.length("text") > 10
+
+
+class TestPdfRobustness:
+    def test_obj_pattern_inside_stream_bytes(self):
+        """Binary stream content containing 'N 0 obj' / 'endobj' byte
+        patterns must not corrupt the object map (parser walks extents and
+        bounds streams by /Length)."""
+        evil = b"garbage 2 0 obj <</Type /Page>> endobj more"
+        stream = b"BT (real text) Tj ET " + evil
+        content = (
+            b"%%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+            b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+            b"trailer\n<< /Root 1 0 R >>\n%%%%EOF\n" % (len(stream), stream)
+        )
+        # the evil bytes are not text-show operators so they are ignored;
+        # the point is the object map stays intact and the page text decodes
+        assert pdf_pages_text(content) == ["real text"]
+
+    def test_flate_stream_with_embedded_markers(self):
+        """A compressed stream whose BYTES contain 'endobj'/'obj' still
+        decodes when /Length is present."""
+        import zlib as _z
+
+        inner = b"BT (alpha) Tj ET"
+        comp = _z.compress(inner)
+        # splice the scary markers into a trailing comment object AFTER the
+        # stream to prove the cursor lands correctly
+        content = (
+            b"%%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+            b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj\n"
+            b"trailer\n<< /Root 1 0 R >>\n%%%%EOF\n" % (len(comp), comp)
+        )
+        assert pdf_pages_text(content) == ["alpha"]
+
+    def test_random_flate_bytes_roundtrip_sweep(self):
+        """encode_pdf streams are zlib bytes that MAY contain 'n 0 obj';
+        sweep many payloads to assert decode never breaks."""
+        from graphrag_mrkr_2_spark.functions.docformats import encode_pdf
+
+        for i in range(50):
+            lines = [f"line {i} {j} " + "x" * (i % 7) for j in range(6)]
+            data = encode_pdf([lines])
+            pages = pdf_pages_text(data)
+            assert pages == ["\n".join(x.strip() for x in lines)], i

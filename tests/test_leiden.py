@@ -144,3 +144,22 @@ class TestSparkIntegration:
         assert len({mem[n] for n in a_nodes}) == 1
         assert len({mem[n] for n in b_nodes}) == 1
         assert mem["a0"] != mem["b0"]
+
+
+class TestReversedDuplicateEdges:
+    def test_cluster_kernel_undirected_dedup(self, spark):
+        """(a,b,3) + (b,a,1) must behave as ONE undirected edge of weight 3
+        (nx.Graph semantics), not a doubled or overwritten weight."""
+        from graphrag_mrkr_2_spark.operators.communities import detect_communities
+
+        _, a_edges = clique("a", 5, w=1.0)
+        rows = [(u, v, w) for u, v, w in a_edges]
+        # reversed duplicate of one edge with lower weight
+        rows += [("a1", "a0", 0.5)]
+        edges = spark.createDataFrame(rows, "src string, dst string, weight double")
+        base = spark.createDataFrame(
+            [(u, v, w) for u, v, w in a_edges], "src string, dst string, weight double"
+        )
+        mem_dup = {r["node"]: r["community_id"] for r in detect_communities(edges).collect()}
+        mem_base = {r["node"]: r["community_id"] for r in detect_communities(base).collect()}
+        assert mem_dup == mem_base

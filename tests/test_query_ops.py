@@ -259,3 +259,14 @@ class TestQueryExpansion:
         )
         out = expand_query_terms(df, llm=seven_terms).collect()[0]
         assert out["expanded_terms"] == ["a", "b", "c", "d", "e"]
+
+    def test_null_count_rows_preserved(self, spark):
+        from graphrag_mrkr_2_spark.operators.query import expand_query_terms
+
+        df = spark.createDataFrame(
+            [("q1", "some text", None), ("q2", "other", 0)],
+            "qid string, query string, initial_results_count int",
+        )
+        out = {r["qid"]: r["expanded_terms"] for r in expand_query_terms(df).collect()}
+        assert set(out) == {"q1", "q2"}  # NULL row survives (as dense)
+        assert out["q1"] == []
