@@ -352,6 +352,40 @@ def main() -> None:
     ).collect()
     queries["text_analysis"] = round(time.time() - t0, 3)
 
+    # --- binary document decode (round 3: stdlib DOCX/PDF kernels) ----------
+    from graphrag_mrkr_2_spark.operators.multimodal import (
+        decode_documents,
+        encode_documents,
+    )
+
+    docs_id = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.regexp_replace(F.coalesce("text", F.lit("")), r"[^\x20-\x7e\n]", "").alias("text"),
+    )
+    payloads = (
+        encode_documents(docs_id, "docx", id_col="doc_id")
+        .unionByName(encode_documents(docs_id, "pdf", id_col="doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    n_payloads = payloads.count()
+    queries["doc_decode"] = best_of_2(
+        lambda: decode_documents(payloads).where(F.col("text").isNotNull()).count()
+    )
+    extras["decode_payloads"] = n_payloads
+    extras["decode_docs_per_sec"] = round(n_payloads / max(queries["doc_decode"], 1e-9), 1)
+
+    # --- corpus hygiene (round 3: textclean) --------------------------------
+    from graphrag_mrkr_2_spark.operators.textclean import redact_pii, repetition_stats
+
+    queries["text_hygiene"] = best_of_2(
+        lambda: (
+            redact_pii(documents).agg(
+                F.sum("n_email"), F.sum(F.length("clean_text"))
+            ).collect(),
+            repetition_stats(documents).agg(F.avg("top_word_frac")).collect(),
+        )
+    )
+
     total = round(sum(queries.values()), 3)
     out = {
         "metric": "kg_construction_suite_total",
