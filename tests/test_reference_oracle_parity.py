@@ -360,3 +360,30 @@ def test_spark_pipeline_matches_actual_reference(spark):
     assert precision >= 0.95, f"P={precision} ({sorted(spark_triples - actual)[:5]})"
     assert recall >= 0.95, f"R={recall} ({sorted(actual - spark_triples)[:5]})"
     assert spark_triples == actual
+
+
+@needs_reference
+@pytest.mark.spark
+def test_spark_pipeline_matches_actual_reference_100_pages(spark):
+    """Breadth variant of the BASELINE gate (round 3): 5× the corpus — 100
+    synthetic pages push more entity/type/relationship variety and more
+    cross-chunk consolidation through the reference's REAL code paths.
+    Exact triple-set equality must hold at this size too."""
+    from graphrag_mrkr_2_spark.plans.pipeline import run_kg_pipeline
+    from graphrag_mrkr_2_spark.sources.pages import generate_pages
+
+    n = 100
+    docs = _reference_docs(n)
+    actual = _run_actual_reference(docs)
+
+    res = run_kg_pipeline(generate_pages(spark, n), num_partitions=8)
+    spark_triples = {(r["subj"], r["pred"], r["obj"]) for r in res.triples.collect()}
+    res.mentions.unpersist()
+
+    # cross-page entity reuse consolidates heavily: 100 pages -> 65 triples
+    # (vs 45 at 20 pages) -- still strictly more variety than the base test
+    assert len(actual) > 50, "breadth corpus should yield a larger triple set"
+    assert spark_triples == actual, (
+        f"spark-only: {sorted(spark_triples - actual)[:5]} "
+        f"reference-only: {sorted(actual - spark_triples)[:5]}"
+    )
