@@ -107,3 +107,37 @@ def test_ngram_pairs_join_is_equi_join(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(ngram_jaccard_pairs(docs, threshold=0.5))
     assert "CartesianProduct" not in plan
+
+
+def test_pii_redaction_is_codegen_no_python(spark):
+    """redact_pii must stay entirely JVM-side (regexp chain, no UDFs)."""
+    from graphrag_mrkr_2_spark.operators.textclean import redact_pii
+
+    df = spark.createDataFrame([("d", "x")], "doc_id string, text string")
+    plan = _plan(redact_pii(df))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_stats_partial_aggregates(spark):
+    """Both groupBy levels must show map-side partial aggregation."""
+    from graphrag_mrkr_2_spark.operators.textclean import repetition_stats
+
+    df = spark.createDataFrame([("d", "a b\nc d")], "doc_id string, text string")
+    plan = _plan(repetition_stats(df))
+    assert "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan
+
+
+def test_contamination_probe_no_corpus_shuffle_of_text(spark):
+    """The corpus side joins on gram_hash only — document text never rides
+    through the join (column pruning), and the benchmark side broadcasts."""
+    from graphrag_mrkr_2_spark.operators.textclean import contamination_overlap
+
+    docs = spark.createDataFrame(
+        [("d", "a b c d e f g h i")], "doc_id string, text string"
+    )
+    bench = spark.createDataFrame(
+        [("b", "a b c d e f g h")], "bench_id string, text string"
+    )
+    plan = _plan(contamination_overlap(docs, bench, n=8))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
