@@ -4,7 +4,7 @@ entry(spark)    — flagship KG-construction run on a deterministic synthetic
                   pages table (BASELINE.json input_hint shape) → triples DF.
 queries()       — one entry per implemented operator family (SURVEY.md §2 +
                   the training-data suite); each callable (spark, sf_dir) →
-                  DataFrame. 42 queries, 34 with exact DuckDB oracles.
+                  DataFrame. 44 queries, 36 with exact DuckDB oracles.
 oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
                   KG-pipeline queries (chunking/extraction/canonicalization/
                   communities) are not ANSI-SQL-expressible → rows-only check
@@ -783,6 +783,37 @@ def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization + domain extraction + per-domain caps
+    (operators/urlops.py) with an exact oracle: six deterministic URL
+    shapes (tracking params, fragments, default/odd ports, userinfo, mixed
+    case, shared hot domain) synthesized per doc_id IDENTICALLY in Spark
+    and SQL; DuckDB re-runs the same RE2-safe normalization chain and the
+    same md5-ordered cap."""
+    from graphrag_mrkr_2_spark.operators.urlops import (
+        cap_per_domain,
+        with_normalized_urls,
+    )
+
+    d = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.lit("https://hot.example:443/p"), d, F.lit("?utm_source=x&id="), d, F.lit("#f")),
+        )
+        .when(F.col("doc_id") % 6 == 1, F.concat(F.lit("http://Alpha.Example:80/a/"), d, F.lit("/")))
+        .when(F.col("doc_id") % 6 == 2, F.concat(F.lit("https://user@www.beta.example/p?gclid=g"), d))
+        .when(F.col("doc_id") % 6 == 3, F.concat(F.lit("HTTP://gamma.example:8080/x"), d))
+        .when(F.col("doc_id") % 6 == 4, F.lit("https://delta.example/only?utm_campaign=c&utm_medium=m"))
+        .otherwise(F.concat(F.lit("https://hot.example/dup"), (F.col("doc_id") % 7).cast("string")))
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), url.alias("url")
+    )
+    out = cap_per_domain(with_normalized_urls(docs), 3, order_col="doc_id")
+    return out.select("doc_id", "norm_url", "domain").orderBy("doc_id")
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (6h gap) over the events table; the
     streaming twin (applyInPandasWithState) is pinned stream≡batch by
@@ -867,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_contamination": q_doc_contamination,
         "query_expansion": q_query_expansion,
+        "url_curation": q_url_curation,
         "sample_shards": q_sample_shards,
         "sample_shards_global": q_sample_shards_global,
         "chunk_similarity_fixedwidth": q_chunk_similarity_fixedwidth,
@@ -1489,6 +1521,59 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN b.cnt < 3 THEN COALESCE(t.joined, '') ELSE '' END AS terms
             FROM base b LEFT JOIN terms t USING (doc_id)
             ORDER BY doc_id
+        """,
+        # URL curation: same synthesis, same RE2 patterns (replacement
+        # backrefs are \1 here vs $1 in Java — only syntax differs)
+        "url_curation": """
+            WITH base AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                CASE CAST(doc_id % 6 AS INT)
+                  WHEN 0 THEN 'https://hot.example:443/p' || CAST(doc_id AS VARCHAR)
+                              || '?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '#f'
+                  WHEN 1 THEN 'http://Alpha.Example:80/a/' || CAST(doc_id AS VARCHAR) || '/'
+                  WHEN 2 THEN 'https://user@www.beta.example/p?gclid=g' || CAST(doc_id AS VARCHAR)
+                  WHEN 3 THEN 'HTTP://gamma.example:8080/x' || CAST(doc_id AS VARCHAR)
+                  WHEN 4 THEN 'https://delta.example/only?utm_campaign=c&utm_medium=m'
+                  ELSE 'https://hot.example/dup' || CAST(doc_id % 7 AS VARCHAR)
+                END AS url
+              FROM documents
+            ),
+            stepped AS (
+              SELECT doc_id, url,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  url,
+                  '#.*$', '', 'g'),
+                  '(utm_[a-z]+|gclid|fbclid)=[^&#]*&', '', 'g'),
+                  '[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*$', '', 'g'),
+                  '\\?&', '?', 'g'),
+                  '[?&]$', '', 'g'),
+                  '^(http://[^/:?#]+):80([/?#]|$)', '\\1\\2', 'g'),
+                  '^(https://[^/:?#]+):443([/?#]|$)', '\\1\\2', 'g'),
+                  '^([a-z]+://[^/?#]+)/$', '\\1', 'g') AS u
+              FROM base
+            ),
+            normed AS (
+              SELECT doc_id, url,
+                lower(regexp_extract(u, '^([^/?#]*://[^/?#]*)', 1))
+                  || regexp_replace(u, '^[^/?#]*://[^/?#]*', '', 'g') AS norm_url
+              FROM stepped
+            ),
+            domained AS (
+              SELECT doc_id, url, norm_url,
+                regexp_replace(
+                  lower(regexp_extract(norm_url,
+                    '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)),
+                  '^www\\.', '', 'g') AS domain
+              FROM normed
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY domain ORDER BY md5(doc_id), doc_id) AS rn
+              FROM domained
+            )
+            SELECT doc_id, norm_url, domain FROM ranked
+            WHERE rn <= 3 ORDER BY doc_id
         """,
         # stratum-less shard packing: the oracle is the naive global window;
         # the Spark side runs the two-phase distributed prefix sum

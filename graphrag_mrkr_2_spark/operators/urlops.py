@@ -1,0 +1,94 @@
+"""URL operations for web-crawl curation: normalization, domain extraction,
+per-domain caps.
+
+The reference ingests uploaded files, so it has no URL layer; at the
+north-rule's 10^12-page crawl scale these are the standard curation passes
+(C4/CC-Net-style URL canonicalization before dedup; per-domain caps against
+head-domain dominance — the same skew the pipeline's salted url-hash
+repartition addresses at the shuffle level, applied here at the DATA level).
+
+All column expressions (whole-stage codegen, no Python). Every regex is
+RE2-safe (no lookarounds/backrefs in PATTERNS) so the DuckDB oracle can run
+byte-identical patterns; only the replacement backref syntax differs per
+engine ($1 Java / \\1 RE2), which the oracle mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# one regex pair per normalization step: (pattern, java_replacement)
+# step order matters and is part of the contract
+URL_NORM_STEPS: list[tuple[str, str]] = [
+    # 1. drop the fragment
+    (r"#.*$", ""),
+    # 2. drop tracking params (utm_*, gclid, fbclid) wherever they sit
+    (r"(utm_[a-z]+|gclid|fbclid)=[^&#]*&", ""),
+    (r"[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*$", ""),
+    # 3. tidy leftover separators: '?&' -> '?', trailing '?' or '&'
+    (r"\?&", "?"),
+    (r"[?&]$", ""),
+    # 4. default ports
+    (r"^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
+    (r"^(https://[^/:?#]+):443([/?#]|$)", "$1$2"),
+    # 5. trailing slash on a bare host
+    (r"^([a-z]+://[^/?#]+)/$", "$1"),
+]
+
+_SCHEME_HOST = r"^([^/?#]*://[^/?#]*)"
+_HOST = r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonical URL: lowercase scheme://host prefix, no fragment, no
+    tracking params, no default ports, no trailing slash on bare hosts."""
+    out = col
+    for pattern, repl in URL_NORM_STEPS:
+        out = F.regexp_replace(out, pattern, repl)
+    prefix = F.lower(F.regexp_extract(out, _SCHEME_HOST, 1))
+    rest = F.regexp_replace(out, _SCHEME_HOST, "")
+    return F.concat(prefix, rest)
+
+
+def url_domain(col: Column, strip_www: bool = True) -> Column:
+    """Host part of the URL (lowercased), optionally minus a leading www. —
+    the per-domain grouping key for caps/stats. (True registered-domain
+    extraction needs the public-suffix list — a data seam, same category as
+    the BPE ranks file; host-minus-www is the standard approximation.)"""
+    host = F.lower(F.regexp_extract(col, _HOST, 1))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    return host
+
+
+def with_normalized_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "norm_url"
+) -> DataFrame:
+    return df.withColumn(out_col, normalize_url(F.col(url_col))).withColumn(
+        "domain", url_domain(F.col(out_col))
+    )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    max_per_domain: int,
+    domain_col: str = "domain",
+    order_col: str = "url",
+) -> DataFrame:
+    """Keep at most N rows per domain, deterministically (md5-order over
+    ``order_col`` — reproducible at any cluster size, no RNG).
+
+    One window per domain partition — the head-domain key is exactly the hot
+    key, but row_number's per-partition state is O(1) and AQE splits skewed
+    shuffle partitions; this never buffers a domain's rows.
+    """
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.col(order_col).cast("string")), F.col(order_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_per_domain)
+        .drop("__rn")
+    )
