@@ -162,18 +162,28 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(_parse, PAGES_SCHEMA).where(F.col("url") != "")
 
 
-def read_binary_documents(spark: SparkSession, path: str) -> DataFrame:
+def read_binary_documents(
+    spark: SparkSession, path: str, max_bytes: int = 256 * 1024 * 1024
+) -> DataFrame:
     """PDF/DOCX/XLSX/PPTX files → pages(url, warc_ts, html, text, lang).
 
     binaryFile scan (one file per row; Spark splits across tasks) →
     mapInPandas decode with the stdlib kernels. url = file path, text =
     decoded content (NULL = quarantine), html = NULL (no markup source).
     Composes directly with the KG pipeline like every other loader.
+
+    ``max_bytes`` guards against pathological uploads: the filter on the
+    scan's ``length`` column is PUSHED DOWN by BinaryFileFormat, so an
+    oversized file is skipped without ever materializing its content row
+    (Spark binary cells cap at 2 GB; one 10 GB PDF must not OOM a task).
     """
     from graphrag_mrkr_2_spark.functions.docformats import decode_document
 
-    files = spark.read.format("binaryFile").load(path).select(
-        "path", "modificationTime", "content"
+    files = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .where(F.col("length") <= max_bytes)
+        .select("path", "modificationTime", "content")
     )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
