@@ -814,6 +814,32 @@ def q_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "norm_url", "domain").orderBy("doc_id")
 
 
+def q_er_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine scoring (the north star's TF-IDF leg of ER) with an
+    exact oracle: entities = doc-text name prefixes, candidate pairs =
+    consecutive even/odd doc ids, corpus-wide idf recomputed in SQL."""
+    from graphrag_mrkr_2_spark.operators.resolution import tfidf_scores
+
+    ents = (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("doc_id").cast("long").alias("raw"),
+            F.col("doc_id").cast("string").alias("entity_id"),
+            F.substring("text", 1, 40).alias("name"),
+        )
+        .where(F.length(F.trim(F.col("name"))) > 0)
+    )
+    left = ents.where(F.col("raw") % 2 == 0).select(
+        F.col("raw"), F.col("entity_id").alias("id1")
+    )
+    right = ents.select((F.col("raw") - 1).alias("raw"), F.col("entity_id").alias("id2"))
+    pairs = left.join(right, "raw").select("id1", "id2")
+    out = tfidf_scores(pairs, ents.select("entity_id", "name"))
+    return out.select(
+        "id1", "id2", F.round("tfidf_cosine", 6).alias("tfidf_cosine")
+    ).orderBy("id1", "id2")
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (6h gap) over the events table; the
     streaming twin (applyInPandasWithState) is pinned stream≡batch by
@@ -899,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination": q_doc_contamination,
         "query_expansion": q_query_expansion,
         "url_curation": q_url_curation,
+        "er_tfidf_scores": q_er_tfidf_scores,
         "sample_shards": q_sample_shards,
         "sample_shards_global": q_sample_shards_global,
         "chunk_similarity_fixedwidth": q_chunk_similarity_fixedwidth,
@@ -1574,6 +1601,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, norm_url, domain FROM ranked
             WHERE rn <= 3 ORDER BY doc_id
+        """,
+        # TF-IDF cosine: corpus idf + pair dot/norms recomputed in SQL;
+        # ln() is IEEE double in both engines, scores rounded to 6dp
+        "er_tfidf_scores": """
+            WITH ents AS (
+              SELECT doc_id AS raw, CAST(doc_id AS VARCHAR) AS id,
+                     lower(trim(substr(text, 1, 40))) AS nm
+              FROM documents
+              WHERE length(trim(substr(text, 1, 40))) > 0
+            ),
+            toks AS (
+              SELECT id, w AS token
+              FROM ents, LATERAL (SELECT unnest(list_filter(
+                     regexp_split_to_array(nm, '[^a-z0-9]+'),
+                     x -> x <> '')) AS w)
+            ),
+            tf AS (SELECT id, token, COUNT(*) AS tf FROM toks GROUP BY id, token),
+            n AS (SELECT COUNT(DISTINCT id) AS n_docs FROM ents),
+            dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+            wts AS (
+              SELECT tf.id, tf.token,
+                     tf.tf * (ln((n.n_docs + 1.0) / (dft.df + 1.0)) + 1.0) AS w
+              FROM tf JOIN dft ON tf.token = dft.token CROSS JOIN n
+            ),
+            norms AS (SELECT id, sqrt(SUM(w * w)) AS nrm FROM wts GROUP BY id),
+            pairs AS (
+              SELECT e1.id AS id1, e2.id AS id2
+              FROM ents e1 JOIN ents e2 ON e2.raw = e1.raw + 1
+              WHERE e1.raw % 2 = 0
+            ),
+            dots AS (
+              SELECT p.id1, p.id2, SUM(w1.w * w2.w) AS dot
+              FROM pairs p
+              JOIN wts w1 ON w1.id = p.id1
+              JOIN wts w2 ON w2.id = p.id2 AND w2.token = w1.token
+              GROUP BY p.id1, p.id2
+            )
+            SELECT p.id1, p.id2,
+                   ROUND(COALESCE(d.dot, 0.0) / (n1.nrm * n2.nrm), 6) AS tfidf_cosine
+            FROM pairs p
+            LEFT JOIN dots d ON d.id1 = p.id1 AND d.id2 = p.id2
+            JOIN norms n1 ON n1.id = p.id1
+            JOIN norms n2 ON n2.id = p.id2
+            ORDER BY p.id1, p.id2
         """,
         # stratum-less shard packing: the oracle is the naive global window;
         # the Spark side runs the two-phase distributed prefix sum

@@ -159,6 +159,78 @@ def score_pairs(
     return scored.select(*out_cols)
 
 
+def tfidf_scores(
+    pairs: DataFrame,
+    entities: DataFrame,
+    id_col: str = "entity_id",
+    name_col: str = "name",
+) -> DataFrame:
+    """TF-IDF cosine over name tokens for candidate pairs — the north
+    star's "TF-IDF ... cosine scoring" leg, computed corpus-wide:
+
+      tf(id, t)  = token count within the entity's name
+      idf(t)     = ln((N + 1) / (df_t + 1)) + 1   (smoothed)
+      w          = tf * idf;   score = Σ_shared w1*w2 / (||w1|| * ||w2||)
+
+    Plan: one explode + two groupBys build the weight table (map-side
+    partial agg, keyed by entity id / token — high-cardinality keys), the
+    corpus size N rides as a broadcast 1-row aggregate (no driver collect),
+    and scoring joins WEIGHTS onto the candidate pairs only — never
+    all-pairs. Everything JVM-side.
+    """
+    toks = entities.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(name_col))), r"[^a-z0-9]+"),
+                lambda w: w != "",
+            )
+        ).alias("token"),
+    )
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_total = entities.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    weights = (
+        tf.join(df_t, "token")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "w",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+        )
+        .select("id", "token", "w")
+    )
+    norms = weights.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    w1 = weights.select(
+        F.col("id").alias("id1"), "token", F.col("w").alias("w1")
+    )
+    w2 = weights.select(
+        F.col("id").alias("id2"), "token", F.col("w").alias("w2")
+    )
+    dots = (
+        pairs.join(w1, "id1")
+        .join(w2, ["id2", "token"])
+        .groupBy("id1", "id2")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+    )
+    return (
+        pairs.join(dots, ["id1", "id2"], "left")
+        .join(norms.withColumnRenamed("id", "id1").withColumnRenamed("norm", "n1"), "id1")
+        .join(norms.withColumnRenamed("id", "id2").withColumnRenamed("norm", "n2"), "id2")
+        .select(
+            "id1",
+            "id2",
+            (F.coalesce(F.col("dot"), F.lit(0.0)) / (F.col("n1") * F.col("n2"))).alias(
+                "tfidf_cosine"
+            ),
+        )
+    )
+
+
 def entity_mapping(
     entities: DataFrame,
     id_col: str = "entity_id",

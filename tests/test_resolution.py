@@ -160,3 +160,34 @@ def test_embedding_cosine_scoring_leg(spark):
     # jaccard gate alone (0.99) would not merge e1/e2; cosine does
     assert m["e1"] == m["e2"]
     assert m["e3"] == "e3"
+
+
+class TestTfidfScores:
+    def test_hand_computed_cosine(self, spark):
+        import math
+
+        from graphrag_mrkr_2_spark.operators.resolution import tfidf_scores
+
+        ents = spark.createDataFrame(
+            [("e1", "acme corp"), ("e2", "acme inc"), ("e3", "zenith corp")],
+            "entity_id string, name string",
+        )
+        pairs = spark.createDataFrame([("e1", "e2"), ("e1", "e3")], "id1 string, id2 string")
+        out = {(r["id1"], r["id2"]): r["tfidf_cosine"] for r in tfidf_scores(pairs, ents).collect()}
+        # N=3; df: acme=2, corp=2, inc=1, zenith=1
+        idf2 = math.log(4 / 3) + 1   # df=2
+        idf1 = math.log(4 / 2) + 1   # df=1
+        n1 = math.hypot(idf2, idf2)          # acme corp
+        n2 = math.hypot(idf2, idf1)          # acme inc
+        n3 = math.hypot(idf1, idf2)          # zenith corp
+        assert out[("e1", "e2")] == pytest.approx(idf2 * idf2 / (n1 * n2))
+        assert out[("e1", "e3")] == pytest.approx(idf2 * idf2 / (n1 * n3))
+
+    def test_disjoint_names_score_zero(self, spark):
+        from graphrag_mrkr_2_spark.operators.resolution import tfidf_scores
+
+        ents = spark.createDataFrame(
+            [("a", "alpha beta"), ("b", "gamma delta")], "entity_id string, name string"
+        )
+        pairs = spark.createDataFrame([("a", "b")], "id1 string, id2 string")
+        assert tfidf_scores(pairs, ents).collect()[0]["tfidf_cosine"] == 0.0
