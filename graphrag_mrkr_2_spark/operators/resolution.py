@@ -241,16 +241,24 @@ def entity_mapping(
     bands: int = 8,
     vec_col: str | None = None,
     cosine_threshold: float | None = None,
+    tfidf_threshold: float | None = None,
 ) -> DataFrame:
     """(entity_id → canonical_id) via LSH blocking → scoring → CC (min id root).
 
     Match gate: name Jaccard ≥ threshold, OR (when ``vec_col`` +
-    ``cosine_threshold`` are given) embedding cosine ≥ cosine_threshold."""
+    ``cosine_threshold`` are given) embedding cosine ≥ cosine_threshold,
+    OR (when ``tfidf_threshold`` is given) name TF-IDF cosine ≥ it — the
+    north star's three scoring legs, each computed on candidates only."""
     cands = candidate_pairs(entities, id_col, name_col, n, num_hashes, bands)
     scored = score_pairs(cands, entities, id_col, name_col, n, vec_col=vec_col)
     gate = F.col("jaccard") >= threshold
     if vec_col and cosine_threshold is not None:
         gate = gate | (F.col("cosine") >= cosine_threshold)
+    if tfidf_threshold is not None:
+        scored = scored.join(
+            tfidf_scores(cands, entities, id_col, name_col), ["id1", "id2"]
+        )
+        gate = gate | (F.col("tfidf_cosine") >= tfidf_threshold)
     matches = scored.where(gate)
     comp = connected_components(matches, "id1", "id2")
     all_ids = entities.select(F.col(id_col).alias("node")).distinct()

@@ -191,3 +191,26 @@ class TestTfidfScores:
         )
         pairs = spark.createDataFrame([("a", "b")], "id1 string, id2 string")
         assert tfidf_scores(pairs, ents).collect()[0]["tfidf_cosine"] == 0.0
+
+    def test_tfidf_gate_merges_token_permuted_names(self, spark):
+        from graphrag_mrkr_2_spark.operators.resolution import entity_mapping
+
+        ents = spark.createDataFrame(
+            [
+                ("a", "north atlantic shipping company"),
+                ("b", "shipping company north atlantic"),  # permuted tokens
+                ("c", "pacific freight lines"),
+            ],
+            "entity_id string, name string",
+        )
+        # strict jaccard threshold alone would still merge these (same gram
+        # set is high-jaccard) — so pick a jaccard threshold above their
+        # char-gram overlap but below the tfidf cosine (1.0 for permutations)
+        m = {
+            r["entity_id"]: r["canonical_id"]
+            for r in entity_mapping(
+                ents, threshold=1.01, tfidf_threshold=0.99
+            ).collect()
+        }
+        assert m["a"] == m["b"]
+        assert m["c"] != m["a"]
