@@ -133,6 +133,13 @@ def main() -> None:
     delta = dt - dt_half
     if delta > max(1.0, 0.15 * dt):
         extras["marginal_docs_per_sec"] = round((n_pages - half_pages) / delta, 2)
+    elif dt_half > dt:
+        # a shared-host spike during one trial can make the half run slower
+        # than the full run — say so instead of claiming noise-equality
+        extras["marginal_rate_note"] = (
+            "half-run slower than full run (external interference during "
+            "trial); marginal rate not computable this run"
+        )
     else:
         extras["marginal_rate_note"] = "half==full within noise; overhead-dominated at this sf"
     extras["triples_per_sec"] = round(n_triples / dt, 2)
