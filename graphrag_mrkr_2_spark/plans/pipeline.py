@@ -45,11 +45,17 @@ def run_kg_pipeline(
     cache_mentions: bool = True,
     fused: bool = True,
     materialize_chunks: bool = False,
+    curate_urls: bool = False,
+    max_pages_per_domain: int | None = None,
 ) -> KgResult:
     """pages(url, warc_ts, html, text, lang) → KG tables.
 
     ``num_partitions``: salted url-hash repartition width before the heavy
     UDF stages (head-domain skew, north_rule). None → keep input layout.
+    ``curate_urls``: normalize URLs (operators/urlops.py) and drop
+    duplicate normalized URLs (keep min raw url) before any heavy work —
+    the C4-style crawl dedup pass; ``max_pages_per_domain`` additionally
+    caps each domain (data-level head-domain skew control).
     ``cache_mentions``: the mentions DF feeds both the entity and the
     relationship branch; caching avoids running the extraction UDF twice
     when no snapshot materialization is interposed.
@@ -69,6 +75,24 @@ def run_kg_pipeline(
     # but an explicit repartition materializes whatever columns it is given)
     keep = [c for c in ("url", "html", "text") if c in pages.columns]
     pages = pages.select(*keep)
+    if curate_urls or max_pages_per_domain:
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from ..operators.urlops import cap_per_domain, with_normalized_urls
+
+        curated = with_normalized_urls(pages)
+        # crawl dedup: same normalized URL (tracking params, fragments,
+        # default ports...) → one page, deterministically the min raw url
+        w = Window.partitionBy("norm_url").orderBy("url")
+        curated = (
+            curated.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if max_pages_per_domain:
+            curated = cap_per_domain(curated, max_pages_per_domain, order_col="url")
+        pages = curated.select(*keep)
     if num_partitions:
         pages = repartition_by_url(pages, num_partitions)
 

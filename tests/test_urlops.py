@@ -59,3 +59,36 @@ class TestDomainCap:
         kept1 = sorted(r["url"] for r in capped.collect())
         kept2 = sorted(r["url"] for r in cap_per_domain(df, 10).collect())
         assert kept1 == kept2
+
+
+class TestPipelineCuration:
+    def test_url_dedup_and_domain_cap_in_pipeline(self, spark):
+        """curate_urls collapses tracking-param variants of the same page and
+        max_pages_per_domain bounds hot domains — before any heavy stage."""
+        from graphrag_mrkr_2_spark.plans.pipeline import run_kg_pipeline
+        from graphrag_mrkr_2_spark.sources.pages import generate_pages
+
+        base = generate_pages(spark, 6)
+        # add tracking-param duplicates of every page
+        dup = base.withColumn(
+            "url", F.concat("url", F.lit("?utm_source=feed#top"))
+        )
+        pages = base.unionByName(dup)
+        res = run_kg_pipeline(pages, curate_urls=True, cache_mentions=False)
+        res_base = run_kg_pipeline(base, cache_mentions=False)
+        t_curated = {(r["subj"], r["pred"], r["obj"]) for r in res.triples.collect()}
+        t_base = {(r["subj"], r["pred"], r["obj"]) for r in res_base.triples.collect()}
+        assert t_curated == t_base  # duplicates contributed nothing extra
+
+    def test_domain_cap_reduces_pages(self, spark):
+        from graphrag_mrkr_2_spark.operators.urlops import with_normalized_urls
+        from graphrag_mrkr_2_spark.plans.pipeline import run_kg_pipeline
+        from graphrag_mrkr_2_spark.sources.pages import generate_pages
+
+        pages = generate_pages(spark, 12)
+        n_domains = with_normalized_urls(pages).select("domain").distinct().count()
+        res = run_kg_pipeline(
+            pages, curate_urls=True, max_pages_per_domain=1, cache_mentions=False
+        )
+        kept_chunk_docs = res.mentions.select("document_id").distinct().count()
+        assert kept_chunk_docs <= n_domains
