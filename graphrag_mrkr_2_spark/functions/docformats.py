@@ -491,6 +491,28 @@ def _pdf_objects(data: bytes) -> dict[int, tuple[dict, bytes | None]]:
         endpos = data.find(b"endobj", send)
         cursor = endpos + len(b"endobj") if endpos >= 0 else max(send, m.end())
         objects[num] = (d, stream)
+
+    # PDF 1.5+ object streams: object DICTS (incl. pages) may live inside
+    # /Type /ObjStm compressed streams — N pairs of "objnum offset" then the
+    # bare objects starting at /First. Direct objects win on collision.
+    for _num, (d, stream) in list(objects.items()):
+        if d.get("Type") != ("name", "ObjStm") or not stream:
+            continue
+        n_objs = d.get("N")
+        first = d.get("First")
+        if not isinstance(n_objs, float) or not isinstance(first, float):
+            continue
+        header = stream[: int(first)].split()
+        try:
+            nums = [int(header[2 * i]) for i in range(int(n_objs))]
+            offs = [int(header[2 * i + 1]) for i in range(int(n_objs))]
+        except (IndexError, ValueError):
+            continue
+        for onum, off in zip(nums, offs):
+            if onum in objects:
+                continue
+            val, _ = _parse_pdf_value(stream, int(first) + off)
+            objects[onum] = (val if isinstance(val, dict) else {}, None)
     return objects
 
 

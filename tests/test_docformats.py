@@ -512,3 +512,50 @@ class TestSizeGuard:
         # the length predicate reaches the binaryFile scan (pushdown)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters" not in plan or "length" in plan
+
+
+class TestObjectStreams:
+    def test_page_tree_inside_objstm(self):
+        """PDF 1.5 layout: catalog/pages/page dicts live inside a compressed
+        /Type /ObjStm; only the content stream is a direct object."""
+        import zlib as _z
+
+        content_stream = b"BT (from objstm layout) Tj ET"
+        # objects 1 (catalog), 2 (pages), 3 (page) packed into one ObjStm
+        o1 = b"<< /Type /Catalog /Pages 2 0 R >>"
+        o2 = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+        o3 = b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+        offs = [0, len(o1) + 1, len(o1) + 1 + len(o2) + 1]
+        header = f"1 {offs[0]} 2 {offs[1]} 3 {offs[2]} ".encode()
+        body = o1 + b" " + o2 + b" " + o3
+        packed = _z.compress(header + body)
+        pdf = (
+            b"%%PDF-1.5\n"
+            b"5 0 obj\n<< /Type /ObjStm /N 3 /First %d /Length %d /Filter /FlateDecode >>\n"
+            b"stream\n%s\nendstream\nendobj\n"
+            b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+            b"trailer\n<< /Root 1 0 R >>\n%%%%EOF\n"
+            % (len(header), len(packed), packed, len(content_stream), content_stream)
+        )
+        assert pdf_pages_text(pdf) == ["from objstm layout"]
+
+    def test_direct_object_wins_over_objstm_duplicate(self):
+        import zlib as _z
+
+        # ObjStm claims object 3 is a different page; the direct object wins
+        o3_fake = b"<< /Type /Page /Parent 2 0 R /Contents 9 0 R >>"
+        header = b"3 0 "
+        packed = _z.compress(header + o3_fake)
+        stream = b"BT (direct) Tj ET"
+        pdf = (
+            b"%%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+            b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+            b"6 0 obj\n<< /Type /ObjStm /N 1 /First %d /Length %d /Filter /FlateDecode >>\n"
+            b"stream\n%s\nendstream\nendobj\n"
+            b"trailer\n<< /Root 1 0 R >>\n%%%%EOF\n"
+            % (len(stream), stream, len(header), len(packed), packed)
+        )
+        assert pdf_pages_text(pdf) == ["direct"]
