@@ -212,12 +212,55 @@ def _col_index(cell_ref: str) -> int:
     return col - 1
 
 
+_BUILTIN_DATE_FMT_IDS = set(range(14, 23)) | set(range(45, 48))
+_DATE_FMT_CHAR_RE = re.compile(r"[ymdhs]", re.I)
+_FMT_LITERAL_RE = re.compile(r'"[^"]*"|\[[^\]]*\]')
+
+
+def _xlsx_date_styles(zf: zipfile.ZipFile) -> set[int]:
+    """Indices into cellXfs whose number format renders a date/time —
+    builtin ids 14-22/45-47 plus custom formats containing y/m/d/h/s
+    outside quoted literals and [brackets] (openpyxl's is_date_format
+    heuristic)."""
+    if "xl/styles.xml" not in zf.namelist():
+        return set()
+    try:
+        root = ET.fromstring(zf.read("xl/styles.xml"))
+    except ET.ParseError:
+        return set()
+    custom_date_ids: set[int] = set()
+    for fmt in root.iter(f"{_SS}numFmt"):
+        code = _FMT_LITERAL_RE.sub("", fmt.get("formatCode") or "")
+        if _DATE_FMT_CHAR_RE.search(code):
+            custom_date_ids.add(int(fmt.get("numFmtId", "-1")))
+    date_styles: set[int] = set()
+    cell_xfs = root.find(f"{_SS}cellXfs")
+    if cell_xfs is None:
+        return set()
+    for i, xf in enumerate(cell_xfs.findall(f"{_SS}xf")):
+        fmt_id = int(xf.get("numFmtId", "0"))
+        if fmt_id in _BUILTIN_DATE_FMT_IDS or fmt_id in custom_date_ids:
+            date_styles.add(i)
+    return date_styles
+
+
+def _excel_serial_to_datetime(serial: float):
+    """Excel 1900-system serial → datetime (1899-12-30 epoch, the standard
+    correction for the phantom 1900-02-29; matches openpyxl for the
+    post-1900-March dates real spreadsheets contain)."""
+    import datetime as _dt
+
+    return _dt.datetime(1899, 12, 30) + _dt.timedelta(days=serial)
+
+
 def xlsx_sheets(data: bytes) -> dict[str, list[list]]:
-    """XLSX → {sheet_name: rows} with typed cells (str/float/bool/None),
-    resolving sharedStrings and inline strings — the decode step openpyxl
-    performs for the reference's pd.read_excel (xlsx_loader.py:574-586)."""
+    """XLSX → {sheet_name: rows} with typed cells (str/float/bool/datetime/
+    None), resolving sharedStrings, inline strings, and date-styled number
+    cells — the decode step openpyxl performs for the reference's
+    pd.read_excel (xlsx_loader.py:574-586)."""
     out: dict[str, list[list]] = {}
     with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        date_styles = _xlsx_date_styles(zf)
         shared: list[str] = []
         if "xl/sharedStrings.xml" in zf.namelist():
             sroot = ET.fromstring(zf.read("xl/sharedStrings.xml"))
@@ -267,9 +310,15 @@ def xlsx_sheets(data: bytes) -> dict[str, list[list]]:
                             cells.append(v.text)
                         else:
                             try:
-                                cells.append(float(v.text))
+                                num = float(v.text)
                             except ValueError:
                                 cells.append(v.text)
+                            else:
+                                style = c.get("s")
+                                if style is not None and int(style) in date_styles:
+                                    cells.append(_excel_serial_to_datetime(num))
+                                else:
+                                    cells.append(num)
                     else:
                         cells.append(None)
                 rows.append(cells)

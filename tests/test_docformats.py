@@ -559,3 +559,47 @@ class TestObjectStreams:
             % (len(stream), stream, len(header), len(packed), packed)
         )
         assert pdf_pages_text(pdf) == ["direct"]
+
+
+class TestXlsxDates:
+    def _build_with_styles(self) -> bytes:
+        """XLSX with a styles.xml: style 1 = builtin date fmt 14, style 2 =
+        custom date fmt, style 0 = general."""
+        styles = (
+            f"<styleSheet {SS_NS}>"
+            "<numFmts count='1'><numFmt numFmtId='164' formatCode='yyyy-mm-dd hh:mm'/></numFmts>"
+            "<cellXfs count='3'>"
+            "<xf numFmtId='0'/><xf numFmtId='14'/><xf numFmtId='164'/>"
+            "</cellXfs></styleSheet>"
+        )
+        sheet = (
+            f"<worksheet {SS_NS}><sheetData>"
+            "<row r='1'>"
+            "<c r='A1' s='1'><v>45292</v></c>"      # 2024-01-01, builtin
+            "<c r='B1' s='2'><v>45292.5</v></c>"    # custom date fmt
+            "<c r='C1' s='0'><v>45292</v></c>"      # plain number
+            "</row></sheetData></worksheet>"
+        )
+        workbook = f"<workbook {SS_NS} {R_NS}><sheets><sheet name='S' sheetId='1' r:id='rId1'/></sheets></workbook>"
+        rels = f"<Relationships {PR_NS}><Relationship Id='rId1' Type='x' Target='worksheets/sheet1.xml'/></Relationships>"
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("[Content_Types].xml", "<Types/>")
+            zf.writestr("xl/workbook.xml", workbook)
+            zf.writestr("xl/_rels/workbook.xml.rels", rels)
+            zf.writestr("xl/styles.xml", styles)
+            zf.writestr("xl/worksheets/sheet1.xml", sheet)
+        return buf.getvalue()
+
+    def test_date_styled_cells_become_datetimes(self):
+        import datetime
+
+        rows = xlsx_sheets(self._build_with_styles())["S"]
+        a, b, c = rows[0]
+        assert a == datetime.datetime(2024, 1, 1)
+        assert b == datetime.datetime(2024, 1, 1, 12, 0)
+        assert c == 45292.0  # general style stays numeric
+
+    def test_no_styles_file_keeps_numbers(self):
+        rows = xlsx_sheets(build_xlsx({"S": [[45292.0]]}))["S"]
+        assert rows[0][0] == 45292.0
