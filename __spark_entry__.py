@@ -1565,26 +1565,32 @@ def oracle_sql() -> dict[str, str]:
                 END AS url
               FROM documents
             ),
-            stepped AS (
+            defrag AS (
+              SELECT doc_id, url, regexp_replace(url, '#.*$', '', 'g') AS u0
+              FROM base
+            ),
+            lowered AS (
+              SELECT doc_id, url,
+                lower(regexp_extract(u0, '^([^/?#]*://[^/?#]*)', 1))
+                  || regexp_replace(u0, '^[^/?#]*://[^/?#]*', '', 'g') AS u1
+              FROM defrag
+            ),
+            normed AS (
               SELECT doc_id, url,
                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                  url,
-                  '#.*$', '', 'g'),
-                  '(utm_[a-z]+|gclid|fbclid)=[^&#]*&', '', 'g'),
+                regexp_replace(
+                  u1,
+                  '([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*&', '\\1', 'g'),
+                  '([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*&', '\\1', 'g'),
+                  '([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*&', '\\1', 'g'),
                   '[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*$', '', 'g'),
                   '\\?&', '?', 'g'),
                   '[?&]$', '', 'g'),
                   '^(http://[^/:?#]+):80([/?#]|$)', '\\1\\2', 'g'),
                   '^(https://[^/:?#]+):443([/?#]|$)', '\\1\\2', 'g'),
-                  '^([a-z]+://[^/?#]+)/$', '\\1', 'g') AS u
-              FROM base
-            ),
-            normed AS (
-              SELECT doc_id, url,
-                lower(regexp_extract(u, '^([^/?#]*://[^/?#]*)', 1))
-                  || regexp_replace(u, '^[^/?#]*://[^/?#]*', '', 'g') AS norm_url
-              FROM stepped
+                  '^([a-z]+://[^/?#]+)/$', '\\1', 'g') AS norm_url
+              FROM lowered
             ),
             domained AS (
               SELECT doc_id, url, norm_url,

@@ -244,13 +244,22 @@ def _xlsx_date_styles(zf: zipfile.ZipFile) -> set[int]:
     return date_styles
 
 
-def _excel_serial_to_datetime(serial: float):
-    """Excel 1900-system serial → datetime (1899-12-30 epoch, the standard
-    correction for the phantom 1900-02-29; matches openpyxl for the
-    post-1900-March dates real spreadsheets contain)."""
+_EXCEL_MAX_SERIAL = 2_958_466  # year 9999
+
+
+def _excel_serial_to_datetime(serial: float, date1904: bool = False):
+    """Excel serial → datetime. 1900 system: 1899-12-30 epoch (standard
+    phantom-leap-day correction, matching openpyxl post-1900-March); 1904
+    system (Mac-authored workbooks, workbookPr date1904): 1904-01-01 epoch.
+    Out-of-range serials (negative, or absurd values like epoch-millis in a
+    date-styled cell) return None — the caller keeps the raw float rather
+    than quarantining the workbook on OverflowError."""
     import datetime as _dt
 
-    return _dt.datetime(1899, 12, 30) + _dt.timedelta(days=serial)
+    if not (0 <= serial < _EXCEL_MAX_SERIAL):
+        return None
+    epoch = _dt.datetime(1904, 1, 1) if date1904 else _dt.datetime(1899, 12, 30)
+    return epoch + _dt.timedelta(days=serial)
 
 
 def xlsx_sheets(data: bytes) -> dict[str, list[list]]:
@@ -262,11 +271,15 @@ def xlsx_sheets(data: bytes) -> dict[str, list[list]]:
     with zipfile.ZipFile(io.BytesIO(data)) as zf:
         date_styles = _xlsx_date_styles(zf)
         shared: list[str] = []
+        date1904 = False
         if "xl/sharedStrings.xml" in zf.namelist():
             sroot = ET.fromstring(zf.read("xl/sharedStrings.xml"))
             for si in sroot.findall(f"{_SS}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{_SS}t")))
         wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        pr = wb.find(f"{_SS}workbookPr")
+        if pr is not None and (pr.get("date1904") or "").lower() in ("1", "true"):
+            date1904 = True
         rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
         rid_to_target = {
             rel.get("Id"): rel.get("Target") for rel in rels.findall(f"{_PR}Relationship")
@@ -315,10 +328,12 @@ def xlsx_sheets(data: bytes) -> dict[str, list[list]]:
                                 cells.append(v.text)
                             else:
                                 style = c.get("s")
+                                converted = None
                                 if style is not None and int(style) in date_styles:
-                                    cells.append(_excel_serial_to_datetime(num))
-                                else:
-                                    cells.append(num)
+                                    converted = _excel_serial_to_datetime(
+                                        num, date1904
+                                    )
+                                cells.append(converted if converted is not None else num)
                     else:
                         cells.append(None)
                 rows.append(cells)

@@ -250,14 +250,23 @@ def entity_mapping(
     OR (when ``tfidf_threshold`` is given) name TF-IDF cosine ≥ it — the
     north star's three scoring legs, each computed on candidates only."""
     cands = candidate_pairs(entities, id_col, name_col, n, num_hashes, bands)
+    if tfidf_threshold is not None:
+        # two consumers (jaccard scoring + tfidf scoring) — materialize the
+        # blocking output once instead of recomputing the LSH DAG per branch
+        cands = cands.localCheckpoint(eager=True)
     scored = score_pairs(cands, entities, id_col, name_col, n, vec_col=vec_col)
     gate = F.col("jaccard") >= threshold
     if vec_col and cosine_threshold is not None:
         gate = gate | (F.col("cosine") >= cosine_threshold)
     if tfidf_threshold is not None:
+        # LEFT join + coalesce(0): a pair whose names have no [a-z0-9]
+        # tokens (CJK, punctuation) has no tfidf row — it must still flow
+        # through the jaccard/cosine gates, scoring 0 on this signal only
         scored = scored.join(
-            tfidf_scores(cands, entities, id_col, name_col), ["id1", "id2"]
-        )
+            tfidf_scores(cands, entities, id_col, name_col),
+            ["id1", "id2"],
+            "left",
+        ).withColumn("tfidf_cosine", F.coalesce(F.col("tfidf_cosine"), F.lit(0.0)))
         gate = gate | (F.col("tfidf_cosine") >= tfidf_threshold)
     matches = scored.where(gate)
     comp = connected_components(matches, "id1", "id2")

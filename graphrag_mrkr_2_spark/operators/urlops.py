@@ -19,21 +19,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# one regex pair per normalization step: (pattern, java_replacement)
-# step order matters and is part of the contract
+# one regex pair per normalization step: (pattern, java_replacement).
+# Steps run AFTER the scheme://host prefix is lowercased (so the
+# port/slash patterns can be anchored on lowercase schemes), in this order.
+# The mid-string tracking-param rule is ANCHORED on a [?&] separator (an
+# unanchored variant matched inside other params' values, e.g.
+# '?q=gclid=x&p=2'); because a regex engine resumes scanning after each
+# replacement, one pass removes every OTHER consecutive tracking param, so
+# the rule repeats 3x — up to 8 consecutive tracking params, far beyond
+# real URLs; any 9th+ survives un-normalized rather than corrupted.
+_TRACKING_MID = (r"([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*&", "$1")
 URL_NORM_STEPS: list[tuple[str, str]] = [
-    # 1. drop the fragment
-    (r"#.*$", ""),
-    # 2. drop tracking params (utm_*, gclid, fbclid) wherever they sit
-    (r"(utm_[a-z]+|gclid|fbclid)=[^&#]*&", ""),
+    _TRACKING_MID,
+    _TRACKING_MID,
+    _TRACKING_MID,
+    # last param in the query
     (r"[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*$", ""),
-    # 3. tidy leftover separators: '?&' -> '?', trailing '?' or '&'
+    # tidy leftover separators: '?&' -> '?', trailing '?' or '&'
     (r"\?&", "?"),
     (r"[?&]$", ""),
-    # 4. default ports
+    # default ports
     (r"^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
     (r"^(https://[^/:?#]+):443([/?#]|$)", "$1$2"),
-    # 5. trailing slash on a bare host
+    # trailing slash on a bare host
     (r"^([a-z]+://[^/?#]+)/$", "$1"),
 ]
 
@@ -44,12 +52,15 @@ _HOST = r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
 def normalize_url(col: Column) -> Column:
     """Canonical URL: lowercase scheme://host prefix, no fragment, no
     tracking params, no default ports, no trailing slash on bare hosts."""
-    out = col
+    # fragment first (it may contain '?'/'&' that would confuse later steps)
+    out = F.regexp_replace(col, r"#.*$", "")
+    # lowercase the scheme://host prefix BEFORE the anchored steps — an
+    # uppercase 'HTTP://HOST:80/' must normalize identically to lowercase
+    prefix = F.lower(F.regexp_extract(out, _SCHEME_HOST, 1))
+    out = F.concat(prefix, F.regexp_replace(out, _SCHEME_HOST, ""))
     for pattern, repl in URL_NORM_STEPS:
         out = F.regexp_replace(out, pattern, repl)
-    prefix = F.lower(F.regexp_extract(out, _SCHEME_HOST, 1))
-    rest = F.regexp_replace(out, _SCHEME_HOST, "")
-    return F.concat(prefix, rest)
+    return out
 
 
 def url_domain(col: Column, strip_www: bool = True) -> Column:

@@ -82,14 +82,17 @@ def run_kg_pipeline(
         from ..operators.urlops import cap_per_domain, with_normalized_urls
 
         curated = with_normalized_urls(pages)
-        # crawl dedup: same normalized URL (tracking params, fragments,
-        # default ports...) → one page, deterministically the min raw url
-        w = Window.partitionBy("norm_url").orderBy("url")
-        curated = (
-            curated.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        if curate_urls:
+            # crawl dedup: same normalized URL (tracking params, fragments,
+            # default ports...) → one page, deterministically the min raw
+            # url. Only under curate_urls — a caller asking ONLY for a
+            # domain cap has not opted into URL dedup.
+            w = Window.partitionBy("norm_url").orderBy("url")
+            curated = (
+                curated.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
         if max_pages_per_domain:
             curated = cap_per_domain(curated, max_pages_per_domain, order_col="url")
         pages = curated.select(*keep)

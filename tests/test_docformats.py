@@ -603,3 +603,55 @@ class TestXlsxDates:
     def test_no_styles_file_keeps_numbers(self):
         rows = xlsx_sheets(build_xlsx({"S": [[45292.0]]}))["S"]
         assert rows[0][0] == 45292.0
+
+
+class TestXlsxDateEdgeCases:
+    def test_absurd_serial_stays_numeric_not_quarantined(self):
+        """Epoch-millis in a date-styled cell must not OverflowError the
+        workbook."""
+        styles = (
+            f"<styleSheet {SS_NS}><cellXfs count='2'>"
+            "<xf numFmtId='0'/><xf numFmtId='14'/></cellXfs></styleSheet>"
+        )
+        sheet = (
+            f"<worksheet {SS_NS}><sheetData><row r='1'>"
+            "<c r='A1' s='1'><v>1700000000000</v></c>"
+            "<c r='B1' s='1'><v>-5</v></c>"
+            "</row></sheetData></worksheet>"
+        )
+        data = _zip_xlsx(styles, sheet)
+        rows = xlsx_sheets(data)["S"]
+        assert rows[0] == [1700000000000.0, -5.0]
+        assert xlsx_text(data) is not None
+
+    def test_date1904_epoch(self):
+        import datetime
+
+        styles = (
+            f"<styleSheet {SS_NS}><cellXfs count='2'>"
+            "<xf numFmtId='0'/><xf numFmtId='14'/></cellXfs></styleSheet>"
+        )
+        sheet = (
+            f"<worksheet {SS_NS}><sheetData><row r='1'>"
+            "<c r='A1' s='1'><v>43830</v></c>"
+            "</row></sheetData></worksheet>"
+        )
+        data = _zip_xlsx(styles, sheet, date1904=True)
+        assert xlsx_sheets(data)["S"][0][0] == datetime.datetime(2024, 1, 1)
+
+
+def _zip_xlsx(styles: str, sheet: str, date1904: bool = False) -> bytes:
+    pr = "<workbookPr date1904='1'/>" if date1904 else ""
+    workbook = (
+        f"<workbook {SS_NS} {R_NS}>{pr}"
+        "<sheets><sheet name='S' sheetId='1' r:id='rId1'/></sheets></workbook>"
+    )
+    rels = f"<Relationships {PR_NS}><Relationship Id='rId1' Type='x' Target='worksheets/sheet1.xml'/></Relationships>"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/styles.xml", styles)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()

@@ -214,3 +214,19 @@ class TestTfidfScores:
         }
         assert m["a"] == m["b"]
         assert m["c"] != m["a"]
+
+    def test_tfidf_gate_keeps_tokenless_pairs_on_jaccard(self, spark):
+        """CJK/punctuation names have no [a-z0-9] tokens — the pair must
+        still merge through the jaccard gate when tfidf is enabled."""
+        from graphrag_mrkr_2_spark.operators.resolution import entity_mapping
+
+        ents = spark.createDataFrame(
+            [("a", "東京大学"), ("b", "東京大学"), ("c", "acme corp")],
+            "entity_id string, name string",
+        )
+        m = {
+            r["entity_id"]: r["canonical_id"]
+            for r in entity_mapping(ents, threshold=0.9, tfidf_threshold=0.9).collect()
+        }
+        assert m["a"] == m["b"]
+        assert m["c"] != m["a"]

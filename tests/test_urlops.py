@@ -92,3 +92,39 @@ class TestPipelineCuration:
         )
         kept_chunk_docs = res.mentions.select("document_id").distinct().count()
         assert kept_chunk_docs <= n_domains
+
+
+class TestReviewRegressions:
+    def test_tracking_pattern_anchored_not_in_values(self, spark):
+        """'gclid=' inside another param's VALUE must survive."""
+        norm, _ = _norm(spark, "https://a.example/search?q=gclid%3Dabc&gclid=real&page=2")
+        assert norm == "https://a.example/search?q=gclid%3Dabc&page=2"
+        # and a param merely SUFFIXED with utm_ is untouched
+        norm2, _ = _norm(spark, "https://a.example/p?xutm_source=1&id=2")
+        assert norm2 == "https://a.example/p?xutm_source=1&id=2"
+
+    def test_consecutive_tracking_params_all_removed(self, spark):
+        norm, _ = _norm(
+            spark,
+            "https://a.example/p?utm_a=1&utm_b=2&utm_c=3&utm_d=4&utm_e=5&id=9",
+        )
+        assert norm == "https://a.example/p?id=9"
+
+    def test_uppercase_scheme_gets_port_and_slash_rules(self, spark):
+        assert _norm(spark, "HTTP://Host.example:80/")[0] == "http://host.example"
+        assert _norm(spark, "HTTPS://Host.example:443/a")[0] == "https://host.example/a"
+
+    def test_cap_without_dedup_keeps_duplicate_norm_urls(self, spark):
+        """max_pages_per_domain alone must NOT collapse same-norm_url pages."""
+        from graphrag_mrkr_2_spark.plans.pipeline import run_kg_pipeline
+        from graphrag_mrkr_2_spark.sources.pages import generate_pages
+
+        base = generate_pages(spark, 4)
+        dup = base.withColumn("url", F.concat("url", F.lit("?utm_source=x")))
+        pages = base.unionByName(dup)
+        res = run_kg_pipeline(
+            pages, max_pages_per_domain=1000, cache_mentions=False
+        )
+        n_docs = res.mentions.select("document_id").distinct().count()
+        # utm-variant urls hash to DIFFERENT document ids -> both kept
+        assert n_docs == 8
