@@ -130,7 +130,21 @@ class SnapshotCatalog:
 
     # -- read path -----------------------------------------------------------
 
-    def read(self, name: str, snapshot: int | None = None) -> DataFrame:
+    def read(
+        self,
+        name: str,
+        snapshot: int | None = None,
+        with_current_schema: bool = False,
+    ) -> DataFrame:
+        """Read a snapshot (current by default; ``snapshot=k`` time-travels).
+
+        ``with_current_schema=True`` = Iceberg-style schema evolution on
+        read: an OLD snapshot written before columns were added comes back
+        conformed to the CURRENT manifest schema — missing columns as typed
+        NULLs, extra columns projected in current order. Partitioned
+        snapshots (write(partition_by=...)) prune on read: a filter on the
+        partition column reaches the scan as a PartitionFilter
+        (test_catalog pins this via explain)."""
         if snapshot is None:
             cur = self.current_snapshot(name)
             if cur is None:
@@ -141,9 +155,22 @@ class SnapshotCatalog:
             if not matches:
                 raise FileNotFoundError(f"table '{name}' has no snapshot {snapshot}")
             snap_dir = matches[-1]["snapshot_dir"]
-        return self.spark.read.parquet(
+        df = self.spark.read.parquet(
             os.path.join(self._table_dir(name), snap_dir, "data")
         )
+        if with_current_schema:
+            from pyspark.sql.types import StructType
+
+            cur = self.current_snapshot(name)
+            target = StructType.fromJson(cur["schema"])
+            cols = [
+                F.col(f.name).cast(f.dataType)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ]
+            df = df.select(*cols)
+        return df
 
     def exists(self, name: str) -> bool:
         return self.current_snapshot(name) is not None

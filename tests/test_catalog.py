@@ -4,6 +4,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from graphrag_mrkr_2_spark.sources.catalog import SnapshotCatalog
 
@@ -131,3 +132,37 @@ def test_fused_kill_and_resume(spark, tmp_path, monkeypatch):
     assert resumed == expected and resumed
     # the resumed chunk table also reads straight from the snapshot
     assert r["chunks"].count() == direct.chunks.count()
+
+
+class TestPartitionPruningAndEvolution:
+    def test_partitioned_snapshot_prunes_on_read(self, spark, tmp_path):
+        from graphrag_mrkr_2_spark.sources.catalog import SnapshotCatalog
+
+        cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+        df = spark.createDataFrame(
+            [(i, "en" if i % 2 else "de", f"t{i}") for i in range(20)],
+            "doc_id int, lang string, text string",
+        )
+        cat.write("docs", df, partition_by="lang")
+        filtered = cat.read("docs").where(F.col("lang") == "en")
+        assert filtered.count() == 10
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "lang" in plan
+
+    def test_schema_evolution_read_conforms_old_snapshot(self, spark, tmp_path):
+        from graphrag_mrkr_2_spark.sources.catalog import SnapshotCatalog
+
+        cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+        v0 = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+        cat.write("docs", v0)
+        v1 = spark.createDataFrame(
+            [(2, "b", "en")], "doc_id int, text string, lang string"
+        )
+        cat.write("docs", v1)
+
+        old = cat.read("docs", snapshot=0, with_current_schema=True)
+        assert old.columns == ["doc_id", "text", "lang"]
+        row = old.collect()[0]
+        assert row["doc_id"] == 1 and row["lang"] is None
+        # plain time travel keeps the old shape
+        assert cat.read("docs", snapshot=0).columns == ["doc_id", "text"]
