@@ -192,3 +192,32 @@ def test_warc_roundtrip_any_binary_bodies(pages):
 
     parsed = parse_warc_bytes(_build_warc(pages))
     assert [(p["url"], p["html"]) for p in parsed] == pages
+
+
+# ---------------------------------------------------------------------------
+# decoder quarantine contract: arbitrary bytes never raise
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.binary(max_size=400),
+    st.sampled_from(["pdf", "docx", "xlsx", "pptx", "x.unknown"]),
+)
+def test_decode_document_never_raises_on_garbage(data, fmt):
+    from graphrag_mrkr_2_spark.functions.docformats import decode_document
+
+    out = decode_document(data, fmt)
+    assert out is None or isinstance(out, str)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=400))
+def test_pdf_text_survives_zip_and_pdf_prefixes(data):
+    """Garbage wearing a valid magic prefix is the adversarial case —
+    the parsers must quarantine, not crash."""
+    from graphrag_mrkr_2_spark.functions.docformats import decode_document
+
+    for payload, fmt in ((b"%PDF-1.4\n" + data, "pdf"), (b"PK\x03\x04" + data, "docx")):
+        out = decode_document(payload, fmt)  # must not raise
+        assert out is None or isinstance(out, str)
