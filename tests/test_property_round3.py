@@ -78,8 +78,12 @@ def test_docx_roundtrip_any_xml_legal_paragraphs(paras):
     if not kept:
         assert decoded is None  # docx_loader.py:47-49 empty contract
     else:
-        # \r\n and \r normalize to \n through the XML parser (XML 1.0 §2.11)
-        expect = "\n\n".join(kept).replace("\r\n", "\n").replace("\r", "\n")
+        # \r\n and \r normalize to \n through the XML parser (XML 1.0
+        # §2.11) — PER TEXT NODE, so normalize each paragraph before
+        # joining (a trailing \r must not merge with the join separator)
+        expect = "\n\n".join(
+            p.replace("\r\n", "\n").replace("\r", "\n") for p in kept
+        )
         assert decoded == expect
 
 
