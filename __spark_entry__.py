@@ -4,7 +4,7 @@ entry(spark)    — flagship KG-construction run on a deterministic synthetic
                   pages table (BASELINE.json input_hint shape) → triples DF.
 queries()       — one entry per implemented operator family (SURVEY.md §2 +
                   the training-data suite); each callable (spark, sf_dir) →
-                  DataFrame. 44 queries, 36 with exact DuckDB oracles.
+                  DataFrame. 46 queries, 38 with exact DuckDB oracles.
 oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
                   KG-pipeline queries (chunking/extraction/canonicalization/
                   communities) are not ANSI-SQL-expressible → rows-only check
@@ -338,6 +338,53 @@ def q_top_nations_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with date predicates on
+    both fact scans, revenue rollup per order, top 10 — exercises the
+    two-fact join + pushed filters + ordered limit path."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.where(F.col("o_orderdate") < F.lit("1995-06-01"))
+        .join(
+            lineitem.where(F.col("l_shipdate") > F.lit("1995-06-01")),
+            orders["o_orderkey"] == lineitem["l_orderkey"],
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def q_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: lineitem ⋈ broadcast(part) → revenue per part type — the
+    dimension-broadcast rollup shape at fact-table scale."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        lineitem.join(F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"])
+        .groupBy("p_type")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("p_type"))
     )
 
 
@@ -936,6 +983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
         "top_nations_revenue": q_top_nations_revenue,
+        "shipping_priority": q_shipping_priority,
+        "part_type_revenue": q_part_type_revenue,
     }
 
 
@@ -1756,5 +1805,25 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
               FROM orders
             ) WHERE rn <= 3 ORDER BY o_custkey, rn
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderdate < TIMESTAMP '1995-06-01'
+              AND l_shipdate > TIMESTAMP '1995-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "part_type_revenue": """
+            SELECT p_type,
+                   ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_type
+            ORDER BY revenue DESC, p_type ASC
         """,
     }
