@@ -1,0 +1,33 @@
+"""Driver-contract invariants for __spark_entry__: every oracle key has a
+query, names are stable, and the counts stated in the module docstring
+match reality (stale counts have bitten twice)."""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as em
+
+
+def test_every_oracle_has_a_query():
+    q, o = em.queries(), em.oracle_sql()
+    missing = set(o) - set(q)
+    assert not missing, f"oracles without queries: {missing}"
+
+
+def test_queries_are_callables_with_stable_names():
+    q = em.queries()
+    assert all(callable(f) for f in q.values())
+    assert len(q) == len(set(q)), "duplicate query keys"
+
+
+def test_docstring_counts_match_reality():
+    m = re.search(r"(\d+) queries, (\d+) with exact DuckDB oracles", em.__doc__)
+    assert m, "contract docstring missing the counts line"
+    assert (int(m.group(1)), int(m.group(2))) == (
+        len(em.queries()),
+        len(em.oracle_sql()),
+    )
