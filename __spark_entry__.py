@@ -4,7 +4,7 @@ entry(spark)    — flagship KG-construction run on a deterministic synthetic
                   pages table (BASELINE.json input_hint shape) → triples DF.
 queries()       — one entry per implemented operator family (SURVEY.md §2 +
                   the training-data suite); each callable (spark, sf_dir) →
-                  DataFrame. 46 queries, 38 with exact DuckDB oracles.
+                  DataFrame. 47 queries, 39 with exact DuckDB oracles.
 oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
                   KG-pipeline queries (chunking/extraction/canonicalization/
                   communities) are not ANSI-SQL-expressible → rows-only check
@@ -887,6 +887,44 @@ def q_er_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id1", "id2")
 
 
+def q_query_graph_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-reasoning context expansion (rag/nodes/graph_reasoning.py) with
+    an exact oracle: a synthetic retrieval state (3 queries × 4 chunks),
+    SIMILAR_TO edges every 5th chunk, 10-sibling documents — the oracle
+    re-runs the seed/depth/dedup/cap algebra in SQL."""
+    from graphrag_mrkr_2_spark.operators.query import graph_expand_chunks
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    base = docs.where(F.col("doc_id") < 12)
+    w = Window.partitionBy("query_id").orderBy("doc_id")
+    retrieved = base.select(
+        F.concat(F.lit("q"), (F.col("doc_id") % 3).cast("string")).alias("query_id"),
+        F.concat(F.lit("c"), F.col("doc_id").cast("string")).alias("chunk_id"),
+        F.col("doc_id"),
+    ).select(
+        "query_id", "chunk_id", F.row_number().over(w).cast("int").alias("rank")
+    )
+    sim = docs.where(F.col("doc_id") % 5 == 0).select(
+        F.concat(F.lit("c"), F.col("doc_id").cast("string")).alias("chunk1"),
+        F.concat(F.lit("c"), (F.col("doc_id") + 1).cast("string")).alias("chunk2"),
+    )
+    chunk_docs = docs.select(
+        F.concat(F.lit("c"), F.col("doc_id").cast("string")).alias("chunk_id"),
+        F.concat(F.lit("d"), F.floor(F.col("doc_id") / 10).cast("string")).alias(
+            "document_id"
+        ),
+    )
+    out = graph_expand_chunks(retrieved, sim, chunk_docs)
+    return out.select(
+        "query_id",
+        "chunk_id",
+        "rank",
+        "is_expansion",
+        F.coalesce("seed_chunk", F.lit("")).alias("seed_chunk"),
+        "distance",
+    ).orderBy("query_id", "rank")
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (6h gap) over the events table; the
     streaming twin (applyInPandasWithState) is pinned stream≡batch by
@@ -971,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_contamination": q_doc_contamination,
         "query_expansion": q_query_expansion,
+        "query_graph_expand": q_query_graph_expand,
         "url_curation": q_url_curation,
         "er_tfidf_scores": q_er_tfidf_scores,
         "sample_shards": q_sample_shards,
@@ -1597,6 +1636,75 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN b.cnt < 3 THEN COALESCE(t.joined, '') ELSE '' END AS terms
             FROM base b LEFT JOIN terms t USING (doc_id)
             ORDER BY doc_id
+        """,
+        # graph-reasoning expansion: the full seed/depth/dedup/cap algebra
+        # re-run in SQL over the same synthetic retrieval state
+        "query_graph_expand": """
+            WITH docs AS (SELECT doc_id FROM documents),
+            base AS (
+              SELECT doc_id,
+                     'q' || CAST(doc_id % 3 AS VARCHAR) AS qid,
+                     'c' || CAST(doc_id AS VARCHAR) AS chunk
+              FROM docs WHERE doc_id < 12
+            ),
+            retrieved AS (
+              SELECT qid, chunk,
+                     CAST(row_number() OVER (PARTITION BY qid ORDER BY doc_id) AS INT) AS rnk
+              FROM base
+            ),
+            sim0 AS (
+              SELECT 'c' || CAST(doc_id AS VARCHAR) AS c1,
+                     'c' || CAST(doc_id + 1 AS VARCHAR) AS c2
+              FROM docs WHERE doc_id % 5 = 0
+            ),
+            sym AS (SELECT c1 AS a, c2 AS b FROM sim0
+                    UNION SELECT c2, c1 FROM sim0),
+            cd AS (
+              SELECT 'c' || CAST(doc_id AS VARCHAR) AS chunk_id,
+                     'd' || CAST(CAST(floor(doc_id / 10) AS BIGINT) AS VARCHAR) AS document_id
+              FROM docs
+            ),
+            seeds AS (SELECT qid, chunk AS seed, rnk AS seed_rank
+                      FROM retrieved WHERE rnk <= 3),
+            d1 AS (SELECT qid, seed, seed_rank, b AS chunk, 1 AS distance
+                   FROM seeds JOIN sym ON seed = a),
+            d2a AS (SELECT d1.qid, d1.seed, d1.seed_rank, s2.b AS chunk, 2 AS distance
+                    FROM d1 JOIN sym s2 ON d1.chunk = s2.a),
+            d2b AS (SELECT s.qid, s.seed, s.seed_rank, cd2.chunk_id AS chunk, 2 AS distance
+                    FROM seeds s
+                    JOIN cd cd1 ON s.seed = cd1.chunk_id
+                    JOIN cd cd2 ON cd1.document_id = cd2.document_id),
+            cand1 AS (
+              SELECT * FROM (
+                SELECT * FROM d1 UNION ALL SELECT * FROM d2a UNION ALL SELECT * FROM d2b
+              ) WHERE chunk <> seed
+            ),
+            cand2 AS (
+              SELECT c.* FROM cand1 c
+              LEFT JOIN retrieved r ON c.qid = r.qid AND c.chunk = r.chunk
+              WHERE r.chunk IS NULL
+            ),
+            cand AS (
+              SELECT qid, seed, seed_rank, chunk, distance FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY qid, chunk ORDER BY seed_rank, distance, seed) AS dd
+                FROM cand2
+              ) WHERE dd = 1
+            ),
+            norig AS (SELECT qid, COUNT(*) AS n_orig FROM retrieved GROUP BY qid),
+            exps AS (
+              SELECT c.*, n.n_orig,
+                     row_number() OVER (
+                       PARTITION BY c.qid ORDER BY seed_rank, distance, chunk) AS rn
+              FROM cand c JOIN norig n ON c.qid = n.qid
+            )
+            SELECT qid AS query_id, chunk AS chunk_id, rnk AS rank,
+                   FALSE AS is_expansion, '' AS seed_chunk, 0 AS distance
+            FROM retrieved
+            UNION ALL
+            SELECT qid, chunk, CAST(n_orig + rn AS INT), TRUE, seed, distance
+            FROM exps WHERE rn <= GREATEST(10 - n_orig, 0)
+            ORDER BY query_id, rank
         """,
         # URL curation: same synthesis, same RE2 patterns (replacement
         # backrefs are \1 here vs $1 in Java — only syntax differs)

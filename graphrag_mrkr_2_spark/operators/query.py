@@ -478,3 +478,104 @@ def expand_query_terms(
     return dense.withColumn(
         "expanded_terms", F.array().cast("array<string>")
     ).unionByName(expanded)
+
+
+# ---------------------------------------------------------------------------
+# Graph reasoning (rag/nodes/graph_reasoning.py) — batch analog
+# ---------------------------------------------------------------------------
+
+
+def graph_expand_chunks(
+    retrieved: DataFrame,
+    similar_edges: DataFrame,
+    chunk_docs: DataFrame,
+    max_seeds: int = 3,
+    total_cap: int = 10,
+    query_col: str = "query_id",
+    chunk_col: str = "chunk_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Graph-based context expansion (rag/nodes/graph_reasoning.py:14-94):
+    from each query's top ``max_seeds`` retrieved chunks, pull chunks
+    reachable over SIMILAR_TO edges (depth 1-2) and HAS_CHUNK document
+    siblings (depth 2: chunk → its document → sibling chunks), skip chunks
+    already retrieved, and cap the enhanced list at ``total_cap`` rows per
+    query (originals always kept; expansions fill the remainder).
+
+    Returns (query_id, chunk_id, rank, is_expansion, seed_chunk, distance):
+    originals carry their rank with is_expansion=false; expansions are
+    ordered deterministically by (seed rank, distance, chunk id) — the
+    batch replacement for the reference's Neo4j-iteration order.
+
+    Scale shape: seeds are a rank filter; each hop is one equi-join against
+    the (pre-bucketed) edge tables; the cap is a per-query window. No
+    driver loops — thousands of queries expand in one plan.
+    """
+    seeds = retrieved.where(F.col(rank_col) <= max_seeds).select(
+        F.col(query_col), F.col(chunk_col).alias("seed"), F.col(rank_col).alias("seed_rank")
+    )
+
+    sym = similar_edges.select(
+        F.col("chunk1").alias("a"), F.col("chunk2").alias("b")
+    ).unionByName(
+        similar_edges.select(F.col("chunk2").alias("a"), F.col("chunk1").alias("b"))
+    ).distinct()
+
+    # depth 1: similar neighbors
+    d1 = seeds.join(sym, seeds["seed"] == sym["a"]).select(
+        query_col, "seed", "seed_rank", F.col("b").alias("chunk"), F.lit(1).alias("distance")
+    )
+    # depth 2a: similar-of-similar
+    sym2 = sym.select(F.col("a").alias("m"), F.col("b").alias("c"))
+    d2a = d1.join(sym2, d1["chunk"] == sym2["m"]).select(
+        query_col, "seed", "seed_rank", F.col("c").alias("chunk"), F.lit(2).alias("distance")
+    )
+    # depth 2b: document siblings (chunk -HAS_CHUNK-> doc -HAS_CHUNK-> chunk)
+    cd1 = chunk_docs.select(F.col("chunk_id").alias("seed_c"), F.col("document_id").alias("d"))
+    cd2 = chunk_docs.select(F.col("chunk_id").alias("sib"), F.col("document_id").alias("d"))
+    d2b = (
+        seeds.join(cd1, seeds["seed"] == cd1["seed_c"])
+        .join(cd2, "d")
+        .select(query_col, "seed", "seed_rank", F.col("sib").alias("chunk"), F.lit(2).alias("distance"))
+    )
+
+    cand = d1.unionByName(d2a).unionByName(d2b).where(F.col("chunk") != F.col("seed"))
+    # drop anything already retrieved for that query
+    cand = cand.join(
+        retrieved.select(F.col(query_col), F.col(chunk_col).alias("chunk")),
+        [query_col, "chunk"],
+        "left_anti",
+    )
+    # best (lowest seed_rank, then distance) occurrence per (query, chunk)
+    w_dedup = Window.partitionBy(query_col, "chunk").orderBy(
+        F.asc("seed_rank"), F.asc("distance"), F.asc("seed")
+    )
+    cand = cand.withColumn("__d", F.row_number().over(w_dedup)).where(F.col("__d") == 1).drop("__d")
+
+    n_orig = retrieved.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_orig"))
+    w_fill = Window.partitionBy(query_col).orderBy(
+        F.asc("seed_rank"), F.asc("distance"), F.asc("chunk")
+    )
+    expansions = (
+        cand.withColumn("__rn", F.row_number().over(w_fill))
+        .join(F.broadcast(n_orig), query_col)
+        .where(F.col("__rn") <= F.greatest(F.lit(total_cap) - F.col("n_orig"), F.lit(0)))
+    )
+
+    originals = retrieved.select(
+        F.col(query_col),
+        F.col(chunk_col),
+        F.col(rank_col).cast("int").alias("rank"),
+        F.lit(False).alias("is_expansion"),
+        F.lit(None).cast("string").alias("seed_chunk"),
+        F.lit(0).alias("distance"),
+    )
+    expanded = expansions.select(
+        F.col(query_col),
+        F.col("chunk").alias(chunk_col),
+        (F.col("n_orig") + F.col("__rn")).cast("int").alias("rank"),
+        F.lit(True).alias("is_expansion"),
+        F.col("seed").alias("seed_chunk"),
+        F.col("distance").cast("int").alias("distance"),
+    )
+    return originals.unionByName(expanded)

@@ -270,3 +270,68 @@ class TestQueryExpansion:
         out = {r["qid"]: r["expanded_terms"] for r in expand_query_terms(df).collect()}
         assert set(out) == {"q1", "q2"}  # NULL row survives (as dense)
         assert out["q1"] == []
+
+
+class TestGraphExpandChunks:
+    def _fixtures(self, spark):
+        retrieved = spark.createDataFrame(
+            [("q1", "c1", 1), ("q1", "c2", 2)],
+            "query_id string, chunk_id string, rank int",
+        )
+        similar = spark.createDataFrame(
+            [("c1", "c3"), ("c3", "c4")], "chunk1 string, chunk2 string"
+        )
+        chunk_docs = spark.createDataFrame(
+            [("c1", "d1"), ("c5", "d1"), ("c2", "d2"), ("c6", "d2")],
+            "chunk_id string, document_id string",
+        )
+        return retrieved, similar, chunk_docs
+
+    def test_depths_and_dedup(self, spark):
+        from graphrag_mrkr_2_spark.operators.query import graph_expand_chunks
+
+        retrieved, similar, chunk_docs = self._fixtures(spark)
+        out = graph_expand_chunks(retrieved, similar, chunk_docs).collect()
+        rows = {r["chunk_id"]: r for r in out}
+        # originals kept as-is
+        assert not rows["c1"]["is_expansion"] and rows["c1"]["rank"] == 1
+        # c3: similar to seed c1 at depth 1
+        assert rows["c3"]["is_expansion"] and rows["c3"]["distance"] == 1
+        assert rows["c3"]["seed_chunk"] == "c1"
+        # c4: similar-of-similar at depth 2
+        assert rows["c4"]["distance"] == 2
+        # c5: document sibling of c1; c6 sibling of c2
+        assert rows["c5"]["distance"] == 2 and rows["c5"]["seed_chunk"] == "c1"
+        assert rows["c6"]["seed_chunk"] == "c2"
+        # already-retrieved chunks never appear as expansions
+        assert all(
+            not r["is_expansion"] for r in out if r["chunk_id"] in ("c1", "c2")
+        )
+        # expansion ranks continue after the originals
+        exp_ranks = sorted(r["rank"] for r in out if r["is_expansion"])
+        assert exp_ranks == [3, 4, 5, 6]
+
+    def test_total_cap(self, spark):
+        from graphrag_mrkr_2_spark.operators.query import graph_expand_chunks
+
+        retrieved, similar, chunk_docs = self._fixtures(spark)
+        out = graph_expand_chunks(retrieved, similar, chunk_docs, total_cap=3).collect()
+        assert len(out) == 3  # 2 originals + 1 expansion
+        kept_exp = [r for r in out if r["is_expansion"]]
+        # deterministic fill order: seed rank 1, distance 1 -> c3
+        assert [r["chunk_id"] for r in kept_exp] == ["c3"]
+
+    def test_seed_limit(self, spark):
+        from graphrag_mrkr_2_spark.operators.query import graph_expand_chunks
+
+        retrieved = spark.createDataFrame(
+            [("q1", f"c{i}", i) for i in range(1, 6)],
+            "query_id string, chunk_id string, rank int",
+        )
+        similar = spark.createDataFrame(
+            [("c4", "x1")], "chunk1 string, chunk2 string"
+        )
+        docs = spark.createDataFrame([("c9", "d9")], "chunk_id string, document_id string")
+        out = graph_expand_chunks(retrieved, similar, docs, max_seeds=3).collect()
+        # c4 is rank 4 -> NOT a seed; its neighbor never appears
+        assert all(r["chunk_id"] != "x1" for r in out)
