@@ -1695,15 +1695,23 @@ def oracle_sql() -> dict[str, str]:
             exps AS (
               SELECT c.*, n.n_orig,
                      row_number() OVER (
-                       PARTITION BY c.qid ORDER BY seed_rank, distance, chunk) AS rn
+                       PARTITION BY c.qid ORDER BY seed_rank, distance, chunk) AS rn,
+                     row_number() OVER (
+                       PARTITION BY c.qid, c.seed ORDER BY distance, chunk) AS rn_seed
               FROM cand c JOIN norig n ON c.qid = n.qid
+            ),
+            kept AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY qid ORDER BY seed_rank, distance, chunk) AS rn2
+              FROM exps
+              WHERE rn <= GREATEST(10 - n_orig, 0) OR rn_seed = 1
             )
             SELECT qid AS query_id, chunk AS chunk_id, rnk AS rank,
                    FALSE AS is_expansion, '' AS seed_chunk, 0 AS distance
             FROM retrieved
             UNION ALL
-            SELECT qid, chunk, CAST(n_orig + rn AS INT), TRUE, seed, distance
-            FROM exps WHERE rn <= GREATEST(10 - n_orig, 0)
+            SELECT qid, chunk, CAST(n_orig + rn2 AS INT), TRUE, seed, distance
+            FROM kept
             ORDER BY query_id, rank
         """,
         # URL curation: same synthesis, same RE2 patterns (replacement

@@ -556,10 +556,25 @@ def graph_expand_chunks(
     w_fill = Window.partitionBy(query_col).orderBy(
         F.asc("seed_rank"), F.asc("distance"), F.asc("chunk")
     )
+    w_seed = Window.partitionBy(query_col, "seed").orderBy(
+        F.asc("distance"), F.asc("chunk")
+    )
+    # the reference appends THEN checks the cap, breaking only the current
+    # seed's loop (graph_reasoning.py:76-81) — so every seed contributes at
+    # least its best candidate even past the cap. Batch equivalent: the
+    # global fill quota (cap - n_orig) PLUS a per-seed minimum grant of 1;
+    # with the fill order (seed_rank, distance, chunk) this reproduces the
+    # reference's totals (seed k fills until the cap, later seeds add one).
     expansions = (
         cand.withColumn("__rn", F.row_number().over(w_fill))
+        .withColumn("__rn_seed", F.row_number().over(w_seed))
         .join(F.broadcast(n_orig), query_col)
-        .where(F.col("__rn") <= F.greatest(F.lit(total_cap) - F.col("n_orig"), F.lit(0)))
+        .where(
+            (F.col("__rn") <= F.greatest(F.lit(total_cap) - F.col("n_orig"), F.lit(0)))
+            | (F.col("__rn_seed") == 1)
+        )
+        .withColumn("__rn", F.row_number().over(w_fill))
+        .drop("__rn_seed")
     )
 
     originals = retrieved.select(

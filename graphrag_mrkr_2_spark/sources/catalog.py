@@ -83,7 +83,12 @@ class SnapshotCatalog:
     ) -> dict:
         """Commit a new snapshot of ``name`` from ``df``. Returns manifest."""
         parent = self.current_snapshot(name)
-        snap_id = (parent["snapshot_id"] + 1) if parent else 0
+        # allocate from HISTORY, not the pointer: a write killed between
+        # manifest write and pointer swap leaves an orphan manifest, and a
+        # pointer-based retry would reuse its id — making time travel
+        # ambiguous (two dirs, same snapshot_id, random-uuid ordering)
+        prior = self.history(name)
+        snap_id = (max(m["snapshot_id"] for m in prior) + 1) if prior else 0
         snap_dir = f"snapshot-{snap_id:05d}-{uuid.uuid4().hex[:8]}"
         tdir = self._table_dir(name)
         data_dir = os.path.join(tdir, snap_dir, "data")
@@ -145,8 +150,8 @@ class SnapshotCatalog:
         snapshots (write(partition_by=...)) prune on read: a filter on the
         partition column reaches the scan as a PartitionFilter
         (test_catalog pins this via explain)."""
+        cur = self.current_snapshot(name)
         if snapshot is None:
-            cur = self.current_snapshot(name)
             if cur is None:
                 raise FileNotFoundError(f"no committed snapshot for table '{name}'")
             snap_dir = cur["snapshot_dir"]
@@ -161,10 +166,18 @@ class SnapshotCatalog:
         if with_current_schema:
             from pyspark.sql.types import StructType
 
-            cur = self.current_snapshot(name)
+            if cur is None:
+                raise FileNotFoundError(
+                    f"table '{name}' has no current snapshot to conform to "
+                    "(pointer missing — recommit or read without "
+                    "with_current_schema)"
+                )
             target = StructType.fromJson(cur["schema"])
+            # try_cast, not cast: under ANSI mode a plain cast THROWS on a
+            # non-promotable value mid-job; Iceberg-style evolution-on-read
+            # nulls what cannot promote instead
             cols = [
-                F.col(f.name).cast(f.dataType)
+                F.col(f.name).try_cast(f.dataType)
                 if f.name in df.columns
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in target.fields

@@ -166,3 +166,39 @@ class TestPartitionPruningAndEvolution:
         assert row["doc_id"] == 1 and row["lang"] is None
         # plain time travel keeps the old shape
         assert cat.read("docs", snapshot=0).columns == ["doc_id", "text"]
+
+
+class TestReviewRegressions:
+    def test_type_change_conforms_with_nulls_not_crash(self, spark, tmp_path):
+        """ANSI mode: a non-promotable value must null out, not throw."""
+        cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+        cat.write("t", spark.createDataFrame([(1, "abc")], "k int, n string"))
+        cat.write("t", spark.createDataFrame([(2, 7)], "k int, n int"))
+        row = cat.read("t", snapshot=0, with_current_schema=True).collect()[0]
+        assert row["k"] == 1 and row["n"] is None  # 'abc' -> null int
+
+    def test_orphan_manifest_gets_fresh_snapshot_id(self, spark, tmp_path):
+        """A crash between manifest write and pointer swap must not make a
+        retry reuse the orphan's snapshot_id."""
+        import os
+
+        cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+        cat.write("t", spark.createDataFrame([(1,)], "k int"))
+        # simulate the orphan: delete the pointer, leaving the manifest
+        os.remove(cat._pointer_path("t"))
+        m = cat.write("t", spark.createDataFrame([(2,)], "k int"))
+        assert m["snapshot_id"] == 1  # history-based allocation, not pointer
+        ids = [h["snapshot_id"] for h in cat.history("t")]
+        assert len(ids) == len(set(ids))
+
+    def test_missing_pointer_with_current_schema_clear_error(self, spark, tmp_path):
+        import os
+
+        import pytest as _pytest
+
+        cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+        cat.write("t", spark.createDataFrame([(1,)], "k int"))
+        os.remove(cat._pointer_path("t"))
+        assert cat.read("t", snapshot=0).count() == 1  # history read works
+        with _pytest.raises(FileNotFoundError, match="no current snapshot"):
+            cat.read("t", snapshot=0, with_current_schema=True)

@@ -21,7 +21,13 @@ def test_every_oracle_has_a_query():
 def test_queries_are_callables_with_stable_names():
     q = em.queries()
     assert all(callable(f) for f in q.values())
-    assert len(q) == len(set(q)), "duplicate query keys"
+    # snake_case identifiers only — the driver uses keys as file/row names
+    assert all(re.fullmatch(r"[a-z][a-z0-9_]*", k) for k in q), sorted(q)
+    # every distinct callable is registered at most once (a duplicated KEY
+    # in the dict literal silently collapses; duplicated VALUES are the
+    # detectable symptom of a copy-paste registration)
+    fns = list(q.values())
+    assert len(fns) == len(set(fns)), "same query function registered twice"
 
 
 def test_docstring_counts_match_reality():

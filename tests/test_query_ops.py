@@ -311,15 +311,32 @@ class TestGraphExpandChunks:
         exp_ranks = sorted(r["rank"] for r in out if r["is_expansion"])
         assert exp_ranks == [3, 4, 5, 6]
 
-    def test_total_cap(self, spark):
+    def test_total_cap_reference_semantics(self, spark):
+        """Reference appends THEN checks (graph_reasoning.py:76-81): every
+        seed still contributes its best candidate past the cap."""
         from graphrag_mrkr_2_spark.operators.query import graph_expand_chunks
 
         retrieved, similar, chunk_docs = self._fixtures(spark)
         out = graph_expand_chunks(retrieved, similar, chunk_docs, total_cap=3).collect()
-        assert len(out) == 3  # 2 originals + 1 expansion
+        kept_exp = sorted(
+            (r for r in out if r["is_expansion"]), key=lambda r: r["rank"]
+        )
+        # quota 1 (cap 3 - 2 originals) fills c3 (seed c1, distance 1);
+        # seed c2's per-seed minimum grant adds its best candidate c6
+        assert [r["chunk_id"] for r in kept_exp] == ["c3", "c6"]
+        assert [r["rank"] for r in kept_exp] == [3, 4]
+
+    def test_cap_saturated_still_one_per_seed(self, spark):
+        """n_orig >= cap: the reference still adds one expansion per seed."""
+        from graphrag_mrkr_2_spark.operators.query import graph_expand_chunks
+
+        retrieved, similar, chunk_docs = self._fixtures(spark)
+        out = graph_expand_chunks(
+            retrieved, similar, chunk_docs, total_cap=2
+        ).collect()
         kept_exp = [r for r in out if r["is_expansion"]]
-        # deterministic fill order: seed rank 1, distance 1 -> c3
-        assert [r["chunk_id"] for r in kept_exp] == ["c3"]
+        assert {r["seed_chunk"] for r in kept_exp} == {"c1", "c2"}
+        assert len(kept_exp) == 2  # exactly the per-seed minimum grants
 
     def test_seed_limit(self, spark):
         from graphrag_mrkr_2_spark.operators.query import graph_expand_chunks
