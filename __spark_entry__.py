@@ -4,7 +4,7 @@ entry(spark)    — flagship KG-construction run on a deterministic synthetic
                   pages table (BASELINE.json input_hint shape) → triples DF.
 queries()       — one entry per implemented operator family (SURVEY.md §2 +
                   the training-data suite); each callable (spark, sf_dir) →
-                  DataFrame. 47 queries, 39 with exact DuckDB oracles.
+                  DataFrame. 49 queries, 41 with exact DuckDB oracles.
 oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
                   KG-pipeline queries (chunking/extraction/canonicalization/
                   communities) are not ANSI-SQL-expressible → rows-only check
@@ -925,6 +925,53 @@ def q_query_graph_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection (keep longest text, ties by id)
+    with an exact oracle: synthetic clusters g0..g6 over doc_id < 21."""
+    from graphrag_mrkr_2_spark.operators.dedup import pick_representatives
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    clusters = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 21)
+        .select(
+            F.col("doc_id").cast("string").alias("node"),
+            F.concat(F.lit("g"), (F.col("doc_id") % 7).cast("string")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    out = pick_representatives(docs, clusters)
+    return out.select(
+        "doc_id",
+        F.coalesce("cluster_id", F.lit("")).alias("cluster_id"),
+        "is_representative",
+        F.length("text").cast("bigint").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+def q_doc_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus reporting (per-language counts, token totals, exact length
+    percentiles) — DuckDB's quantile_cont is the same continuous-
+    interpolation definition as Spark's exact percentile."""
+    from graphrag_mrkr_2_spark.operators.textstats import corpus_stats
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "lang", F.coalesce("lang", F.lit("all"))
+    )
+    out = corpus_stats(docs)
+    return out.select(
+        "grp",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.round("p50_chars", 6).alias("p50_chars"),
+        F.round("p95_chars", 6).alias("p95_chars"),
+        F.round("p99_chars", 6).alias("p99_chars"),
+    ).orderBy("grp")
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (6h gap) over the events table; the
     streaming twin (applyInPandasWithState) is pinned stream≡batch by
@@ -1010,6 +1057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination": q_doc_contamination,
         "query_expansion": q_query_expansion,
         "query_graph_expand": q_query_graph_expand,
+        "dedup_representatives": q_dedup_representatives,
+        "doc_corpus_stats": q_doc_corpus_stats,
         "url_curation": q_url_curation,
         "er_tfidf_scores": q_er_tfidf_scores,
         "sample_shards": q_sample_shards,
@@ -1636,6 +1685,54 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN b.cnt < 3 THEN COALESCE(t.joined, '') ELSE '' END AS terms
             FROM base b LEFT JOIN terms t USING (doc_id)
             ORDER BY doc_id
+        """,
+        # representative selection: longest-text-wins window recomputed
+        "dedup_representatives": """
+            WITH docs AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+                     length(text) AS n_chars, doc_id AS raw
+              FROM documents
+            ),
+            clusters AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     'g' || CAST(doc_id % 7 AS VARCHAR) AS cluster_id
+              FROM documents WHERE doc_id < 21
+            ),
+            joined AS (
+              SELECT d.doc_id, d.n_chars, c.cluster_id
+              FROM docs d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM joined WHERE cluster_id IS NOT NULL
+            )
+            SELECT doc_id, COALESCE(cluster_id, '') AS cluster_id,
+                   (rn = 1) AS is_representative,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM ranked
+            UNION ALL
+            SELECT doc_id, '', TRUE, CAST(n_chars AS BIGINT)
+            FROM joined WHERE cluster_id IS NULL
+            ORDER BY doc_id
+        """,
+        # corpus stats: quantile_cont == Spark percentile (continuous)
+        "doc_corpus_stats": """
+            WITH base AS (
+              SELECT COALESCE(lang, 'all') AS grp,
+                     CAST(length(text) AS DOUBLE) AS n_chars,
+                     len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS n_tokens
+              FROM documents
+            )
+            SELECT grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+                   ROUND(quantile_cont(n_chars, 0.95), 6) AS p95_chars,
+                   ROUND(quantile_cont(n_chars, 0.99), 6) AS p99_chars
+            FROM base GROUP BY grp ORDER BY grp
         """,
         # graph-reasoning expansion: the full seed/depth/dedup/cap algebra
         # re-run in SQL over the same synthetic retrieval state

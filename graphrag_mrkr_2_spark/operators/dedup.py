@@ -555,3 +555,38 @@ def embedding_near_dupes(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def pick_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """The step after near-dup clustering in every training-data pipeline:
+    keep ONE representative per duplicate cluster. Policy: longest text,
+    ties by smallest id (deterministic at any cluster size). Documents
+    outside any cluster survive unchanged.
+
+    Returns docs plus ``is_representative`` (true = keep). One broadcast-
+    able join (clusters ≪ corpus: only near-dup members appear) and one
+    per-cluster window."""
+    from pyspark.sql.window import Window
+
+    member = clusters.select(F.col("node").alias(id_col), F.col(cluster_col))
+    joined = docs.join(member, id_col, "left")
+    # split before the window: a single window over the NULL "partition"
+    # would funnel every non-clustered document (the vast majority) into
+    # one task — the exact skew this module exists to avoid
+    outside = joined.where(F.col(cluster_col).isNull()).withColumn(
+        "is_representative", F.lit(True)
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc(F.length(F.col(text_col))), F.asc(id_col)
+    )
+    inside = (
+        joined.where(F.col(cluster_col).isNotNull())
+        .withColumn("is_representative", F.row_number().over(w) == 1)
+    )
+    return inside.unionByName(outside)

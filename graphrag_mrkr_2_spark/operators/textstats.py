@@ -97,3 +97,32 @@ def corpus_language_histogram(df: DataFrame, text_col: str = "text") -> DataFram
         .groupBy("lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def corpus_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = "lang",
+) -> DataFrame:
+    """Corpus-level reporting a curation run ends with: per group (language
+    by default) document count, token totals, and EXACT length percentiles
+    (p50/p95/p99 via Spark's exact ``percentile`` — at reporting
+    cardinality the exact sort-based aggregate is affordable and lets an
+    external SQL engine reproduce the numbers bit-for-bit; swap to
+    approx_percentile when groups reach billions)."""
+    toks = F.size(
+        F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != "")
+    )
+    base = docs.select(
+        (F.col(group_col) if group_col else F.lit("all")).alias("grp"),
+        F.length(text_col).cast("double").alias("n_chars"),
+        toks.cast("long").alias("n_tokens"),
+    )
+    return base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95_chars"),
+        F.expr("percentile(n_chars, 0.99)").alias("p99_chars"),
+    )
