@@ -1689,8 +1689,8 @@ def oracle_sql() -> dict[str, str]:
         # representative selection: longest-text-wins window recomputed
         "dedup_representatives": """
             WITH docs AS (
-              SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
-                     length(text) AS n_chars, doc_id AS raw
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     length(text) AS n_chars
               FROM documents
             ),
             clusters AS (
@@ -1708,7 +1708,7 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_chars DESC, doc_id ASC) AS rn
               FROM joined WHERE cluster_id IS NOT NULL
             )
-            SELECT doc_id, COALESCE(cluster_id, '') AS cluster_id,
+            SELECT doc_id, cluster_id,
                    (rn = 1) AS is_representative,
                    CAST(n_chars AS BIGINT) AS n_chars
             FROM ranked

@@ -567,26 +567,32 @@ def pick_representatives(
     """The step after near-dup clustering in every training-data pipeline:
     keep ONE representative per duplicate cluster. Policy: longest text,
     ties by smallest id (deterministic at any cluster size). Documents
-    outside any cluster survive unchanged.
+    outside any cluster survive unchanged. A node listed in multiple
+    clusters (e.g. raw LSH bands not yet collapsed by connected
+    components) resolves to its lexicographically smallest cluster; any
+    pre-existing ``cluster_col`` on ``docs`` is replaced by the
+    ``clusters`` argument (which is authoritative).
 
-    Returns docs plus ``is_representative`` (true = keep). One broadcast-
-    able join (clusters ≪ corpus: only near-dup members appear) and one
-    per-cluster window."""
+    Plan shape: the window runs over the MEMBER subset only (member ids
+    joined to just (id, length) — near-dup members ≪ corpus), then ONE
+    left join carries the flag back to the full corpus; the non-clustered
+    majority never passes through a window or a second scan."""
     from pyspark.sql.window import Window
 
-    member = clusters.select(F.col("node").alias(id_col), F.col(cluster_col))
-    joined = docs.join(member, id_col, "left")
-    # split before the window: a single window over the NULL "partition"
-    # would funnel every non-clustered document (the vast majority) into
-    # one task — the exact skew this module exists to avoid
-    outside = joined.where(F.col(cluster_col).isNull()).withColumn(
-        "is_representative", F.lit(True)
+    if cluster_col in docs.columns:
+        docs = docs.drop(cluster_col)
+    member = (
+        clusters.select(F.col("node").alias(id_col), F.col(cluster_col))
+        .groupBy(id_col)
+        .agg(F.min(cluster_col).alias(cluster_col))
     )
-    w = Window.partitionBy(cluster_col).orderBy(
-        F.desc(F.length(F.col(text_col))), F.asc(id_col)
-    )
-    inside = (
-        joined.where(F.col(cluster_col).isNotNull())
+    lens = docs.select(F.col(id_col), F.length(F.col(text_col)).alias("__len"))
+    w = Window.partitionBy(cluster_col).orderBy(F.desc("__len"), F.asc(id_col))
+    flags = (
+        member.join(lens, id_col)
         .withColumn("is_representative", F.row_number().over(w) == 1)
+        .select(id_col, cluster_col, "is_representative")
     )
-    return inside.unionByName(outside)
+    return docs.join(flags, id_col, "left").withColumn(
+        "is_representative", F.coalesce("is_representative", F.lit(True))
+    )

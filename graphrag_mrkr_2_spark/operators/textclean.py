@@ -36,6 +36,13 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def ascii_word_tokens(col):
+    """Lowercase ascii-alnum word tokens — THE shared tokenization for
+    repetition stats, n-gram hashing, decontamination, and corpus stats
+    (one definition; textstats.corpus_stats imports it too)."""
+    return F.filter(F.split(F.lower(col), r"[^a-z0-9]+"), lambda w: w != "")
+
+
 def redact_pii(
     df: DataFrame,
     text_col: str = "text",
@@ -107,9 +114,7 @@ def repetition_stats(
     words = df.select(
         F.col(id_col),
         F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != ""
-            )
+            ascii_word_tokens(F.col(text_col))
         ).alias("word"),
     )
     word_counts = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("c"))
@@ -123,9 +128,7 @@ def repetition_stats(
     # per element inside the lambda)
     toks_df = df.select(
         F.col(id_col),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != ""
-        ).alias("__toks"),
+        ascii_word_tokens(F.col(text_col)).alias("__toks"),
     )
     t = F.col("__toks")
     bigrams = toks_df.select(
@@ -162,9 +165,7 @@ def ngram_hashes(
     so the split runs once per row, not once per lambda element."""
     toks_df = df.select(
         F.col(id_col),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != ""
-        ).alias("__toks"),
+        ascii_word_tokens(F.col(text_col)).alias("__toks"),
     )
     t = F.col("__toks")
     grams = F.transform(

@@ -101,7 +101,6 @@ def corpus_language_histogram(df: DataFrame, text_col: str = "text") -> DataFram
 
 def corpus_stats(
     docs: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     group_col: str | None = "lang",
 ) -> DataFrame:
@@ -111,9 +110,9 @@ def corpus_stats(
     cardinality the exact sort-based aggregate is affordable and lets an
     external SQL engine reproduce the numbers bit-for-bit; swap to
     approx_percentile when groups reach billions)."""
-    toks = F.size(
-        F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != "")
-    )
+    from .textclean import ascii_word_tokens
+
+    toks = F.size(ascii_word_tokens(F.col(text_col)))
     base = docs.select(
         (F.col(group_col) if group_col else F.lit("all")).alias("grp"),
         F.length(text_col).cast("double").alias("n_chars"),
