@@ -37,3 +37,28 @@ def test_docstring_counts_match_reality():
         len(em.queries()),
         len(em.oracle_sql()),
     )
+
+
+def test_float_aggregation_queries_partition_invariant(spark):
+    """The driver hash-compares values; 6dp rounding must absorb partial-
+    aggregation order. Re-run the float-heaviest query under different
+    shuffle widths and require identical results."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(
+            tuple(r)
+            for r in em.queries()["er_tfidf_scores"](
+                spark, "/root/testdata/sf0.01"
+            ).collect()
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(
+            tuple(r)
+            for r in em.queries()["er_tfidf_scores"](
+                spark, "/root/testdata/sf0.01"
+            ).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
