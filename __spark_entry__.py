@@ -274,10 +274,19 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form fingerprint groups over a salted corpus: every 20th doc
+    is unioned back in whitespace-perturbed (single→double spaces) under a
+    new id, so the groups prove the \\s+ normalization actually collapses
+    near-exact variants (VERDICT r3 #2 — de-vacuized oracle)."""
     from graphrag_mrkr_2_spark.operators.textstats import with_fingerprint
 
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.regexp_replace(F.col("text"), " ", "  ").alias("text"),
+    )
     return (
-        with_fingerprint(_docs(spark, sf_dir), text_col="text")
+        with_fingerprint(docs.unionByName(planted), text_col="text")
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("representative"))
         .where(F.col("n_docs") > 1)
@@ -389,9 +398,16 @@ def q_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups over a salted corpus: the raw table has no exact
+    duplicates at driver scale, so every 20th doc is unioned back in under a
+    new id (VERDICT r3 #2 — de-vacuized oracle: ~25 nonzero groups)."""
     from graphrag_mrkr_2_spark.operators.dedup import exact_duplicates
 
-    return exact_duplicates(_docs(spark, sf_dir)).orderBy("content_hash")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 20 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return exact_duplicates(docs.unionByName(planted)).orderBy("content_hash")
 
 
 def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,10 +491,22 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over a salted embedding table: every 20th vector is
+    unioned back in with dim-0 perturbed by +0.1 (unit-norm inputs → planted
+    cosine ≥ 0.995, all cross pairs ≤ 0.62), so the LSH candidate-generation
+    + exact-verify path proves ~25 nonzero pairs (VERDICT r3 #2)."""
     from graphrag_mrkr_2_spark.operators.dedup import embedding_near_dupes
 
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) + F.lit(0.1)).cast("float")),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
     return (
-        embedding_near_dupes(_emb(spark, sf_dir), threshold=0.95)
+        embedding_near_dupes(emb.unionByName(planted), threshold=0.95)
         .select("id1", "id2")
         .orderBy("id1", "id2")
     )
@@ -1156,9 +1184,15 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY lang_pred ORDER BY lang_pred
         """,
         "doc_fingerprints": """
+            WITH salted AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, regexp_replace(text, ' ', '  ', 'g')
+              FROM documents WHERE doc_id % 20 = 0
+            )
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
                    COUNT(*) AS n_docs, MIN(doc_id) AS representative
-            FROM documents
+            FROM salted
             GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fingerprint
         """,
         # T5 quality score — mirrors operators/extract.with_quality_score
@@ -1196,8 +1230,13 @@ def oracle_sql() -> dict[str, str]:
             FROM m ORDER BY doc_id
         """,
         "dedup_exact": """
+            WITH salted AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+            )
             SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS representative
-            FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY content_hash
+            FROM salted GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY content_hash
         """,
         "dedup_ngram_pairs": f"""
             WITH sh AS (
@@ -1349,8 +1388,15 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 3 ORDER BY query_id, rank
         """,
         "embedding_near_dupes": """
+            WITH salted AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     list_concat([CAST(embedding[1] + 0.1 AS FLOAT)], embedding[2:])
+              FROM embeddings WHERE vec_id % 20 = 0
+            )
             SELECT a.vec_id AS id1, b.vec_id AS id2
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            FROM salted a JOIN salted b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
             ORDER BY id1, id2
         """,
