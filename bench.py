@@ -313,6 +313,45 @@ def main() -> None:
         lambda: _mlp(docs_skewed, threshold=0.5).count()
     )
 
+    # 4) shards under Zipf tokens: ONE doc carrying 10% of all corpus tokens
+    # through the stratum-less two-phase prefix sum (regression net for the
+    # r4 localCheckpoint removal, VERDICT r3 'Next round' #10). Reports the
+    # skewed/uniform time ratio plus the shard-fill deviation bound: every
+    # shard total must stay <= budget + max_doc (the giant doc overflows its
+    # own shard by construction; nothing else may).
+    from graphrag_mrkr_2_spark.operators.sampling import token_budget_shards as _tbs
+
+    tok_uniform = documents.select("doc_id", F.length("text").alias("n_tok"))
+    total_tok = tok_uniform.agg(F.sum("n_tok")).collect()[0][0] or 1
+    giant_tok = int(total_tok / 9)  # 10% of the NEW total
+    giant = spark.range(1).select(
+        F.lit(10**9).cast("long").alias("doc_id"), F.lit(giant_tok).alias("n_tok")
+    )
+    tok_zipf = tok_uniform.unionByName(giant)
+    shard_budget = max(total_tok // 50, 1)
+
+    def _pack(tok_df):
+        return (
+            _tbs(tok_df, "n_tok", shard_budget)
+            .groupBy("shard")
+            .agg(F.sum("n_tok").alias("t"))
+            .collect()
+        )
+
+    skew["shards_uniform_sec"] = best_of_2(lambda: _pack(tok_uniform))
+    skew["shards_zipf_sec"] = best_of_2(lambda: _pack(tok_zipf))
+    skew["shards_zipf_ratio"] = round(
+        skew["shards_zipf_sec"] / max(skew["shards_uniform_sec"], 1e-9), 3
+    )
+    fills = {r["shard"]: r["t"] for r in _pack(tok_zipf)}
+    max_doc = max(giant_tok, tok_uniform.agg(F.max("n_tok")).collect()[0][0] or 0)
+    skew["shards_zipf_fill_bound_ok"] = bool(
+        all(t <= shard_budget + max_doc for t in fills.values())
+    )
+    skew["shards_zipf_max_over_budget_frac"] = round(
+        (max(fills.values()) - shard_budget) / shard_budget, 3
+    )
+
     res.mentions.unpersist()
 
     # --- entity resolution (ER blocking path, VERDICT r2 #3) ----------------
@@ -392,6 +431,30 @@ def main() -> None:
             repetition_stats(documents).agg(F.avg("top_word_frac")).collect(),
         )
     )
+
+    # --- decontamination at a 10x corpus (round 4: codegen gram path) -------
+    # The corpus-side 8-gram scan is the 100-TB leg of contamination_overlap;
+    # this line times it on 10x-replicated documents probing a 50-doc
+    # benchmark set (VERDICT r3 #3 — codegen explode+lead replaced the
+    # interpreted transform/element_at builder, 2.4x measured).
+    from graphrag_mrkr_2_spark.operators.textclean import contamination_overlap
+
+    corpus_10x = (
+        documents.select(
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("rep"), "doc_id", "text"
+        )
+        .select((F.col("doc_id") + F.col("rep") * 1000000).alias("doc_id"), "text")
+        .localCheckpoint(eager=True)
+    )
+    benchmark_set = documents.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    queries["decontamination_10x"] = best_of_2(
+        lambda: contamination_overlap(corpus_10x, benchmark_set, n=8)
+        .agg(F.count("*"), F.sum("n_hits"))
+        .collect()
+    )
+    corpus_10x.unpersist()
 
     total = round(sum(queries.values()), 3)
     out = {

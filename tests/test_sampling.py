@@ -103,6 +103,63 @@ def test_token_budget_shards_no_single_partition_window(corpus):
 
 
 @pytest.mark.spark
+def test_token_budget_shards_no_localcheckpoint(corpus):
+    """VERDICT r3 #4: the stratum-less path must not pin the corpus with a
+    localCheckpoint (lineage-free executor blocks = full materialization +
+    executor-loss job kill at 100 TB). A checkpointed input shows up as a
+    'Scan ExistingRDD' leaf; the plan must read the real source instead."""
+    sh = token_budget_shards(corpus, "n_tokens", 2000)
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    # the corpus fixture itself is createDataFrame (an ExistingRDD leaf), so
+    # assert on a parquet-backed frame where the leaf type is observable
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        corpus.write.mode("overwrite").parquet(f"{d}/c.parquet")
+        pq = corpus.sparkSession.read.parquet(f"{d}/c.parquet")
+        sh2 = token_budget_shards(pq, "n_tokens", 2000)
+        plan2 = sh2._jdf.queryExecution().executedPlan().toString()
+        # the ONLY driver-built leaf allowed is the O(parallelism) broadcast
+        # offsets table (__pid, __off); the corpus itself must stay a real
+        # FileScan with lineage
+        import re
+
+        leaves = re.findall(r"Scan ExistingRDD\[([^\]]*)\]", plan2)
+        assert all("__off" in leaf for leaf in leaves), plan2
+        assert "FileScan parquet" in plan2, plan2
+        assert "Exchange SinglePartition" not in plan2
+        # still correct against the single-window oracle
+        rows = sorted(
+            ((r["doc_id"], r["n_tokens"]) for r in pq.collect()), key=lambda t: t[0]
+        )
+        cum, expected = 0, {}
+        for doc_id, tok in rows:
+            expected[doc_id] = cum // 2000
+            cum += tok
+        got = {r["doc_id"]: r["shard"] for r in sh2.collect()}
+        assert got == expected
+    assert plan is not None
+
+
+@pytest.mark.spark
+def test_token_budget_shards_string_order_col(spark):
+    """Non-numeric order columns take the content-hash-sample cut path and
+    must still match the single-window oracle exactly."""
+    rows = [(f"doc-{i:05d}", 100 + (i % 7) * 50) for i in range(257)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens int")
+    budget = 1500
+    cum, expected = 0, {}
+    for doc_id, tok in sorted(rows):
+        expected[doc_id] = cum // budget
+        cum += tok
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in token_budget_shards(df, "n_tokens", budget).collect()
+    }
+    assert got == expected
+
+
+@pytest.mark.spark
 def test_token_budget_shards_per_stratum(corpus):
     sh = token_budget_shards(corpus, "n_tokens", 2000, stratum_col="lang")
     # shard ids restart per language
