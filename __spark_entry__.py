@@ -741,6 +741,21 @@ def q_doc_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster codec kernels (functions/imagecodecs.py, r4) with an EXACT
+    oracle: per doc, deterministic formula pixels are encoded to REAL
+    PNG (filters 0-4 cycling) / BMP / GIF bytes and decoded back; the
+    position-weighted pixel checksum of the DECODED image must equal the
+    formula sum DuckDB computes directly — proving encode→decode identity
+    for all three pure-stdlib codecs (zlib+unfilter, BITMAPINFOHEADER,
+    GIF LZW) through the Arrow mapInPandas plumbing."""
+    from graphrag_mrkr_2_spark.operators.multimodal import image_roundtrip_checksums
+
+    return image_roundtrip_checksums(
+        _docs(spark, sf_dir).select("doc_id"), id_col="doc_id", width=16, height=12
+    ).orderBy("doc_id")
+
+
 def _pii_oracle_sql() -> str:
     """Build the doc_pii_redact oracle from the operator's OWN patterns so
     Spark and DuckDB provably run byte-identical regexes."""
@@ -1080,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "query_rerank": q_query_rerank,
         "doc_binary_roundtrip": q_doc_binary_roundtrip,
+        "image_decode_roundtrip": q_image_decode_roundtrip,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_repetition": q_doc_repetition,
         "doc_contamination": q_doc_contamination,
@@ -1624,6 +1640,27 @@ def oracle_sql() -> dict[str, str]:
                    md5(pdf_text) AS pdf_md5,
                    CAST(length(pdf_text) AS BIGINT) AS pdf_chars
             FROM exp ORDER BY doc_id
+        """,
+        # raster codecs: DuckDB computes the formula checksum directly (no
+        # decode) — equality proves the Spark side's PNG/BMP/GIF
+        # encode→decode is the identity on the pixels
+        "image_decode_roundtrip": """
+            SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+                   16 AS width, 12 AS height,
+                   CAST(CAST(SUM(((d.doc_id*7 + r.r*31 + c.c*13 + ch.ch*5) % 256)
+                             * ((r.r*16 + c.c)*3 + ch.ch + 1)) AS BIGINT) AS VARCHAR)
+                     AS png_checksum,
+                   CAST(CAST(SUM(((d.doc_id*7 + r.r*31 + c.c*13 + ch.ch*5) % 256)
+                             * ((r.r*16 + c.c)*3 + ch.ch + 1)) AS BIGINT) AS VARCHAR)
+                     AS bmp_checksum,
+                   CAST(CAST(SUM(((d.doc_id*7 + r.r*31 + c.c*13 + ch.ch*5) % 256)
+                             * ((r.r*16 + c.c)*3 + ch.ch + 1)) AS BIGINT) AS VARCHAR)
+                     AS gif_checksum
+            FROM documents d,
+                 generate_series(0, 11) r(r),
+                 generate_series(0, 15) c(c),
+                 generate_series(0, 2) ch(ch)
+            GROUP BY d.doc_id ORDER BY doc_id
         """,
         # PII redaction: the operator's own RE2-safe patterns (imported, so
         # Spark and DuckDB run byte-identical regexes) on sanitized text

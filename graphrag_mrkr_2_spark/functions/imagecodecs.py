@@ -1,0 +1,462 @@
+"""Pure-stdlib raster image codecs: PNG, BMP, GIF (VERDICT r3 'Next round'
+#5 — the docformats.py playbook applied to S1's raster leg).
+
+The reference OCRs standalone images through PIL/pytesseract
+(ingestion/loaders/image_loader.py:24, core/ocr.py); neither library ships
+in this container, but the CONTAINER formats are pure-public-spec
+decodable with zlib + byte arithmetic, exactly like the r3 PDF/DOCX work:
+
+- PNG (RFC 2083 / W3C PNG spec): chunk stream, IHDR/PLTE/IDAT, zlib
+  inflate, per-scanline filters 0-4 (None/Sub/Up/Average/Paeth),
+  bit-depth 8, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+  6 (RGBA), non-interlaced.
+- BMP (BITMAPINFOHEADER): 24/32-bit uncompressed, bottom-up or top-down,
+  4-byte row padding.
+- GIF (GIF87a/89a spec): logical screen + image descriptors, global/local
+  color tables, extension-block skipping, full LZW decode/encode with
+  variable code width (LSB-first packing, clear/end codes, 12-bit cap).
+
+Encoders exist for all three so every decode path has an exact
+encode→decode round-trip oracle (tests/test_imagecodecs.py) without any
+third-party fixture generator. OCR itself remains the one model seam.
+
+Pixels are numpy uint8 arrays shaped (h, w, c) with c in {1, 2, 3, 4};
+channel order RGB(A). All functions are driver/executor-side kernels —
+Spark-facing plumbing lives in operators/multimodal.py.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per color type
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG to (h, w, c) uint8."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", chunk)
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bit_depth} (only 8)")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    nch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * nch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                c = prev[i - nch] if i >= nch else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = line
+    px = out.reshape(height, width, nch)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        px = palette[px[:, :, 0]]
+    return px
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode (h, w, c) uint8 to PNG, applying ``filter_type`` (0-4) to
+    every scanline — selectable so tests exercise every unfilter path."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    stride = w * nch
+    flat = px.reshape(h, stride)
+    lines = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        cur = flat[y].tobytes()
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = bytes(
+                (cur[i] - (cur[i - nch] if i >= nch else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif filter_type == 2:
+            enc = bytes((cur[i] - prev[i]) & 0xFF for i in range(stride))
+        elif filter_type == 3:
+            enc = bytes(
+                (cur[i] - (((cur[i - nch] if i >= nch else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(stride)
+            )
+        elif filter_type == 4:
+            enc = bytes(
+                (
+                    cur[i]
+                    - _paeth(
+                        cur[i - nch] if i >= nch else 0,
+                        prev[i],
+                        prev[i - nch] if i >= nch else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        lines.append(filter_type)
+        lines += enc
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode an uncompressed 24/32-bit BITMAPINFOHEADER BMP to (h, w, 3|4)
+    uint8 RGB(A)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pix_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack("<ii", data[18:26])
+    (bpp,) = struct.unpack("<H", data[28:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    nch = bpp // 8
+    row_bytes = (width * nch + 3) & ~3
+    px = np.zeros((height, width, nch), dtype=np.uint8)
+    for y in range(height):
+        row = data[pix_off + y * row_bytes : pix_off + y * row_bytes + width * nch]
+        arr = np.frombuffer(row, dtype=np.uint8).reshape(width, nch)
+        py = height - 1 - y if bottom_up else y
+        px[py] = arr
+    # BGR(A) -> RGB(A)
+    if nch >= 3:
+        px = px[:, :, [2, 1, 0] + ([3] if nch == 4 else [])]
+    return px
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 RGB to a 24-bit bottom-up BMP."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_bmp expects (h, w, 3) RGB")
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+    pad = bytes(row_bytes - w * 3)
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        body += px[y, :, [2, 1, 0]].T.tobytes()  # RGB -> BGR
+        body += pad
+    pix_off = 14 + 40
+    file_size = pix_off + len(body)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", file_size, 0, 0, pix_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return header + bytes(body)
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW per the GIF89a spec, LSB-first variable-width codes)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, list[int]] = {i: [i] for i in range(clear)}
+    next_code = end + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits:
+        byte_i = bitpos // 8
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> (bitpos % 8)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: [i] for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + [prev[0]]
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            if next_code < 4096:
+                table[next_code] = prev + [entry[0]]
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, size: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += size
+        while self.nbits >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.buf)
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    bw = _BitWriter()
+
+    def reset():
+        return {(i,): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, code_size = reset()
+    bw.write(clear, code_size)
+    w: tuple[int, ...] = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        bw.write(table[w], code_size)
+        if next_code < 4096:
+            table[wk] = next_code
+            # the encoder grows width when the JUST-ADDED code fills the
+            # current range (decoder grows after its mirrored add)
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+        else:
+            bw.write(clear, code_size)
+            table, next_code, code_size = reset()
+        w = (k,)
+    if w:
+        bw.write(table[w], code_size)
+    bw.write(end, code_size)
+    return bw.flush()
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a non-interlaced GIF87a/89a to (h, w, 3)
+    uint8 RGB."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    global_table = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_table = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _left, _top, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
+        pos += 9
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        table = global_table
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            table = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image without a color table")
+        min_code_size = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos] != 0:
+            size = data[pos]
+            lzw += data[pos + 1 : pos + 1 + size]
+            pos += 1 + size
+        pos += 1
+        indices = _lzw_decode(bytes(lzw), min_code_size)
+        if len(indices) < w * h:
+            raise ValueError("GIF LZW data too short")
+        px = np.asarray(indices[: w * h], dtype=np.int32).reshape(h, w)
+        return table[px]
+    raise ValueError("GIF contains no image descriptor")
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 RGB (<= 256 distinct colors) to a GIF89a."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_gif expects (h, w, 3) RGB")
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    inverse = np.asarray(inverse).reshape(-1)  # numpy 2.0 axis-unique shape quirk
+    if len(colors) > 256:
+        raise ValueError(f"encode_gif needs <=256 colors, got {len(colors)}")
+    # color-table size must be a power of two >= 2
+    bits = max(1, int(len(colors) - 1).bit_length())
+    n = 1 << bits
+    table = np.zeros((n, 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+    min_code_size = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_code_size)
+    lzw = _lzw_encode([int(i) for i in inverse], min_code_size)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# sniffing
+# ---------------------------------------------------------------------------
+
+
+def sniff_image(data: bytes) -> str | None:
+    """Return 'png' | 'bmp' | 'gif' | None from magic bytes."""
+    if not data:
+        return None
+    if data[:8] == _PNG_SIG:
+        return "png"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    return None
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode any supported raster payload to (h, w, c) uint8."""
+    fmt = sniff_image(data)
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "bmp":
+        return decode_bmp(data)
+    if fmt == "gif":
+        return decode_gif(data)
+    raise ValueError("unrecognized image payload (supported: PNG, BMP, GIF)")
