@@ -65,20 +65,34 @@ def normalize_url(col: Column) -> Column:
 
 def url_domain(col: Column, strip_www: bool = True) -> Column:
     """Host part of the URL (lowercased), optionally minus a leading www. —
-    the per-domain grouping key for caps/stats. (True registered-domain
-    extraction needs the public-suffix list — a data seam, same category as
-    the BPE ranks file; host-minus-www is the standard approximation.)"""
+    the cheap approximation kept for callers that explicitly want hosts;
+    the default per-domain grouping key is :func:`registered_domain`."""
     host = F.lower(F.regexp_extract(col, _HOST, 1))
     if strip_www:
         host = F.regexp_replace(host, r"^www\.", "")
     return host
 
 
+def registered_domain(col: Column) -> Column:
+    """PSL-aware registered domain of the URL's host (r4, VERDICT r3 #7):
+    foo.co.uk-style hosts group at the registrable boundary instead of the
+    host-minus-www approximation, so per-domain caps can't be dodged by
+    subdomain fan-out on shared-suffix registries (bbc.co.uk vs
+    news.bbc.co.uk → bbc.co.uk; user1.github.io vs user2.github.io stay
+    distinct). Vendored-subset rules by default; the full PSL file drops in
+    via SPARK_GRAFT_PSL_FILE (functions/psl.py). Pure column expressions —
+    hashed-InSet membership probes, whole-stage codegen."""
+    from ..functions.psl import registered_domain_expr
+
+    return registered_domain_expr(F.lower(F.regexp_extract(col, _HOST, 1)))
+
+
 def with_normalized_urls(
-    df: DataFrame, url_col: str = "url", out_col: str = "norm_url"
+    df: DataFrame, url_col: str = "url", out_col: str = "norm_url", psl: bool = True
 ) -> DataFrame:
+    dom = registered_domain(F.col(out_col)) if psl else url_domain(F.col(out_col))
     return df.withColumn(out_col, normalize_url(F.col(url_col))).withColumn(
-        "domain", url_domain(F.col(out_col))
+        "domain", dom
     )
 
 

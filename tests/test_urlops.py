@@ -36,11 +36,82 @@ class TestNormalize:
         assert norm == "https://www.site.org/Path/File.HTML"  # path case kept
 
     def test_www_and_userinfo_port_stripped_from_domain(self, spark):
+        # r4: domain is the PSL registered domain (subdomains collapse to
+        # the registrable boundary; .co has no 2nd-level rule in the subset
+        # so the implicit '*' rule applies: last two labels)
         _, dom = _norm(spark, "https://user:pw@www.sub.example.co:8443/x")
-        assert dom == "sub.example.co"
+        assert dom == "example.co"
 
     def test_only_tracking_param(self, spark):
         assert _norm(spark, "https://a.example/p?utm_medium=em")[0] == "https://a.example/p"
+
+
+class TestRegisteredDomain:
+    """PSL-aware registered-domain extraction (VERDICT r3 'Next round' #7)."""
+
+    CASES = [
+        # (host/url, expected registered domain)
+        ("https://news.bbc.co.uk/page", "bbc.co.uk"),  # ccTLD 2nd-level rule
+        ("https://bbc.co.uk/", "bbc.co.uk"),
+        ("https://co.uk/", "co.uk"),  # host IS a public suffix -> itself
+        ("https://deep.sub.site.ac.jp/x", "site.ac.jp"),
+        ("https://user1.github.io/repo", "user1.github.io"),  # private rule
+        ("https://a.user1.github.io/r", "user1.github.io"),
+        ("https://www.example.com/", "example.com"),  # www is just a label
+        ("https://only-tld", "only-tld"),  # single label
+        ("https://plain.example.org/", "example.org"),
+        ("https://x.y.anything.ck/", "y.anything.ck"),  # wildcard *.ck
+        ("https://www.ck/", "www.ck"),  # exception !www.ck
+        ("https://sub.www.ck/", "www.ck"),
+        ("https://vm1.uswest.compute.amazonaws.com/", "vm1.uswest.compute.amazonaws.com"),
+        ("https://school.k12.ca.us/", "school.k12.ca.us"),  # 3-label rule
+    ]
+
+    def test_registered_domains(self, spark):
+        df = spark.createDataFrame([(u,) for u, _ in self.CASES], "url string")
+        got = [r["domain"] for r in with_normalized_urls(df).collect()]
+        for (url, want), g in zip(self.CASES, got):
+            assert g == want, f"{url}: got {g}, want {want}"
+
+    def test_caps_group_at_registrable_boundary(self, spark):
+        """Subdomain fan-out on a shared registry suffix must NOT dodge the
+        per-domain cap, while distinct github.io users must keep their own
+        budgets."""
+        rows = [(f"https://sub{i}.corp.co.uk/p{i}",) for i in range(20)]
+        rows += [(f"https://user{i}.github.io/p",) for i in range(5)]
+        df = with_normalized_urls(spark.createDataFrame(rows, "url string"))
+        capped = cap_per_domain(df, max_per_domain=3)
+        counts = {
+            r["domain"]: r["n"]
+            for r in capped.groupBy("domain").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts["corp.co.uk"] == 3  # 20 subdomains -> one budget
+        assert sum(1 for d in counts if d.endswith("github.io")) == 5
+
+    def test_plan_stays_codegen(self, spark):
+        """Membership probes must compile to hashed InSet literals — no
+        join, no Python — on the url scan path."""
+        df = spark.createDataFrame([("https://a.co.uk/x",)], "url string")
+        out = with_normalized_urls(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan and "Python" not in plan
+
+    def test_full_psl_file_seam(self, spark, tmp_path, monkeypatch):
+        """SPARK_GRAFT_PSL_FILE drops in the full list: a rule absent from
+        the vendored subset changes grouping accordingly."""
+        from graphrag_mrkr_2_spark.functions.psl import registered_domain_expr
+
+        dat = tmp_path / "psl.dat"
+        dat.write_text("// test list\nuk\nco.uk\nspecialreg.example\n")
+        monkeypatch.setenv("SPARK_GRAFT_PSL_FILE", str(dat))
+        df = spark.createDataFrame(
+            [("corp.specialreg.example",), ("news.bbc.co.uk",)], "host string"
+        )
+        got = [
+            r["d"]
+            for r in df.select(registered_domain_expr(F.col("host")).alias("d")).collect()
+        ]
+        assert got == ["corp.specialreg.example", "bbc.co.uk"]
 
 
 class TestDomainCap:
