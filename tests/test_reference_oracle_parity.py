@@ -387,3 +387,133 @@ def test_spark_pipeline_matches_actual_reference_100_pages(spark):
         f"spark-only: {sorted(spark_triples - actual)[:5]} "
         f"reference-only: {sorted(actual - spark_triples)[:5]}"
     )
+
+
+def _docs_from_pages(pages: list[dict]):
+    """_reference_docs over arbitrary pre-built page dicts."""
+    ck = HtmlHeadingChunker()
+    docs = []
+    for p in pages:
+        doc_id = document_id_for_url(p["url"])
+        pieces = ck.chunk_html(p["html"].decode())
+        units = assign_text_units(doc_id, p["text"], [c["text"] for c in pieces])
+        kept = [
+            (u["chunk_id"], u["content"])
+            for u in units
+            if should_embed_chunk(u["content"])[0]
+        ]
+        docs.append((doc_id, kept))
+    return docs
+
+
+@needs_reference
+@pytest.mark.spark
+def test_spark_pipeline_matches_actual_reference_1000_pages(spark):
+    """Breadth gate at 1000 pages (VERDICT r3 'Next round' #8 — 10× the r3
+    gate): chunk ids AND triples. The triple set must equal the reference's
+    own EntityExtractor+EntityGraph output exactly, and the distributed
+    chunker must emit exactly the chunk ids the sequential driver-side
+    chunker produces (per-page, order included)."""
+    from graphrag_mrkr_2_spark.plans.pipeline import run_kg_pipeline
+    from graphrag_mrkr_2_spark.sources.pages import generate_pages
+
+    n = 1000
+    docs = _reference_docs(n)
+    actual = _run_actual_reference(docs)
+
+    res = run_kg_pipeline(generate_pages(spark, n), num_partitions=16)
+    spark_triples = {(r["subj"], r["pred"], r["obj"]) for r in res.triples.collect()}
+    spark_chunks = {
+        (r["document_id"], r["chunk_id"]) for r in res.chunks.select(
+            "document_id", "chunk_id"
+        ).collect()
+    }
+    res.mentions.unpersist()
+
+    expected_chunks = {
+        (doc_id, cid) for doc_id, kept in docs for cid, _ in kept
+    }
+    missing = expected_chunks - spark_chunks
+    assert not missing, sorted(missing)[:5]
+    assert len(actual) > 60, "1000-page corpus should yield a larger triple set"
+    assert spark_triples == actual, (
+        f"spark-only: {sorted(spark_triples - actual)[:5]} "
+        f"reference-only: {sorted(actual - spark_triples)[:5]}"
+    )
+
+
+@needs_reference
+@pytest.mark.spark
+def test_adversarial_html_parity(spark):
+    """Hostile HTML through the WHOLE gate (VERDICT r3 #8): deep nesting,
+    malformed entities, mis-nested tags, comment/script traps, unicode
+    soup, a single-tag megapage, attribute bombs, hollow pages — 40 pages
+    (5 per variant). Chunk ids and triples must match the sequential
+    chunker + the reference's real extraction code exactly; nothing may
+    crash, and trap markup must not leak into chunks."""
+    from graphrag_mrkr_2_spark.plans.pipeline import run_kg_pipeline
+    from graphrag_mrkr_2_spark.sources.pages import (
+        generate_adversarial_pages,
+        make_adversarial_page,
+    )
+
+    n = 40
+    pages = [make_adversarial_page(i) for i in range(n)]
+    docs = _docs_from_pages(pages)
+    actual = _run_actual_reference(docs)
+
+    res = run_kg_pipeline(generate_adversarial_pages(spark, n), num_partitions=8)
+    spark_triples = {(r["subj"], r["pred"], r["obj"]) for r in res.triples.collect()}
+    chunk_rows = res.chunks.select("document_id", "chunk_id", "content").collect()
+    res.mentions.unpersist()
+
+    spark_chunk_ids = {(r["document_id"], r["chunk_id"]) for r in chunk_rows}
+    expected_ids = {(doc_id, cid) for doc_id, kept in docs for cid, _ in kept}
+    assert spark_chunk_ids == expected_ids, (
+        f"spark-only: {sorted(spark_chunk_ids - expected_ids)[:3]} "
+        f"seq-only: {sorted(expected_ids - spark_chunk_ids)[:3]}"
+    )
+    # trap markup must never surface in chunk text
+    for r in chunk_rows:
+        assert "ghost heading" not in r["content"]
+        assert "not a heading" not in r["content"]
+        assert "styled" not in r["content"]
+    assert actual, "adversarial corpus still carries extractable mentions"
+    assert spark_triples == actual, (
+        f"spark-only: {sorted(spark_triples - actual)[:5]} "
+        f"reference-only: {sorted(actual - spark_triples)[:5]}"
+    )
+
+
+@needs_reference
+def test_ten_megabyte_single_tag_page_chunks():
+    """The 10 MB single-<p> page (VERDICT r3 #8's extreme case) must chunk
+    without pathological behavior: full coverage of the text, bounded chunk
+    sizes, deterministic ids across two runs."""
+    from graphrag_mrkr_2_spark.sources.pages import make_adversarial_page
+
+    page = make_adversarial_page(5, big_page_chars=10_000_000)
+    assert len(page["html"]) >= 10_000_000
+
+    ck = HtmlHeadingChunker()
+    doc_id = document_id_for_url(page["url"])
+
+    def _units():
+        pieces = ck.chunk_html(page["html"].decode())
+        return assign_text_units(
+            doc_id, page["text"], [c["text"] for c in pieces]
+        )
+
+    units1, units2 = _units(), _units()
+    ids1 = [u["chunk_id"] for u in units1]
+    assert ids1 == [u["chunk_id"] for u in units2]  # deterministic
+    assert len(units1) > 1000  # really split, not one mega-chunk
+    total = sum(len(u["content"]) for u in units1)
+    assert total >= 9_000_000  # covers (almost) all of the text
+    assert max(len(u["content"]) for u in units1) < 100_000
+    # the megapage is two sentences repeated ~70k times — T5's quality gate
+    # must flag that as repetitive and drop every chunk (the CORRECT crawl
+    # behavior for degenerate boilerplate), which _docs_from_pages mirrors
+    verdicts = {should_embed_chunk(u["content"])[1] for u in units1[:50]}
+    assert verdicts == {"repetitive"}
+    assert _docs_from_pages([page])[0][1] == []
