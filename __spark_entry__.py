@@ -4,7 +4,7 @@ entry(spark)    — flagship KG-construction run on a deterministic synthetic
                   pages table (BASELINE.json input_hint shape) → triples DF.
 queries()       — one entry per implemented operator family (SURVEY.md §2 +
                   the training-data suite); each callable (spark, sf_dir) →
-                  DataFrame. 49 queries, 41 with exact DuckDB oracles.
+                  DataFrame. 51 queries, 43 with exact DuckDB oracles.
 oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
                   KG-pipeline queries (chunking/extraction/canonicalization/
                   communities) are not ANSI-SQL-expressible → rows-only check
@@ -756,6 +756,20 @@ def q_image_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_audio_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV codec kernel (functions/audiocodecs.py, r4) with an EXACT oracle:
+    per doc, deterministic formula int16 samples are encoded to REAL
+    RIFF/WAVE bytes and decoded back; the position-weighted sample checksum
+    of the DECODED audio must equal the formula sum DuckDB computes
+    directly — proving encode→decode identity for the pure-stdlib PCM
+    parser through the Arrow mapInPandas plumbing."""
+    from graphrag_mrkr_2_spark.operators.multimodal import audio_roundtrip_checksums
+
+    return audio_roundtrip_checksums(
+        _docs(spark, sf_dir).select("doc_id"), id_col="doc_id", n_samples=400, rate=8000
+    ).orderBy("doc_id")
+
+
 def _pii_oracle_sql() -> str:
     """Build the doc_pii_redact oracle from the operator's OWN patterns so
     Spark and DuckDB provably run byte-identical regexes."""
@@ -1096,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_rerank": q_query_rerank,
         "doc_binary_roundtrip": q_doc_binary_roundtrip,
         "image_decode_roundtrip": q_image_decode_roundtrip,
+        "audio_decode_roundtrip": q_audio_decode_roundtrip,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_repetition": q_doc_repetition,
         "doc_contamination": q_doc_contamination,
@@ -1660,6 +1675,15 @@ def oracle_sql() -> dict[str, str]:
                  generate_series(0, 11) r(r),
                  generate_series(0, 15) c(c),
                  generate_series(0, 2) ch(ch)
+            GROUP BY d.doc_id ORDER BY doc_id
+        """,
+        # WAV codec: DuckDB computes the sample-formula checksum directly
+        "audio_decode_roundtrip": """
+            SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+                   400 AS n_samples, 8000 AS sample_rate,
+                   CAST(CAST(SUM((((d.doc_id*31 + i.i*17) % 65536) - 32768)
+                             * (i.i + 1)) AS BIGINT) AS VARCHAR) AS wav_checksum
+            FROM documents d, generate_series(0, 399) i(i)
             GROUP BY d.doc_id ORDER BY doc_id
         """,
         # PII redaction: the operator's own RE2-safe patterns (imported, so

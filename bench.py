@@ -57,6 +57,32 @@ def main() -> None:
     documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
     embeddings = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
+    # per-query host-load disclosure (VERDICT r3 'Next round' #6 — the
+    # scaling_run.py busy/steal treatment applied per bench line): /proc/stat
+    # busy+steal core-seconds spanning each query's trials, so a slow number
+    # can be attributed to shared-VM interference or ruled noise-free.
+    def _proc_stat():
+        f = open("/proc/stat").readline().split()
+        u, n, s, idle, io, irq, sirq, steal = map(int, f[1:9])
+        return u + n + s + irq + sirq, steal
+
+    query_load: dict = {}
+
+    class _load_span:
+        def __init__(self, label):
+            self.label = label
+
+        def __enter__(self):
+            self.b0, self.s0 = _proc_stat()
+            return self
+
+        def __exit__(self, *exc):
+            b1, s1 = _proc_stat()
+            query_load[self.label] = {
+                "busy_core_s": round((b1 - self.b0) / 100, 1),
+                "steal_core_s": round((s1 - self.s0) / 100, 1),
+            }
+
     # --- kg pipeline -------------------------------------------------------
     # input table materialized to parquet first (input_hint contract: the
     # pipeline reads an on-disk pages table; generation is not pipeline cost)
@@ -112,12 +138,13 @@ def main() -> None:
 
     dt = None
     res = None
-    for _ in range(2):
-        if res is not None:
-            res.mentions.unpersist()
-            spark.catalog.clearCache()
-        res, d = _timed_kg(pages, n_pages)
-        dt = d if dt is None else min(dt, d)
+    with _load_span("kg_pipeline"):
+        for _ in range(2):
+            if res is not None:
+                res.mentions.unpersist()
+                spark.catalog.clearCache()
+            res, d = _timed_kg(pages, n_pages)
+            dt = d if dt is None else min(dt, d)
     n_triples = res.triples.count()
     n_nodes = res.nodes.count()
     queries["kg_pipeline"] = round(dt, 3)
@@ -157,20 +184,30 @@ def main() -> None:
     # chunks were materialized by the unified fused pass inside kg_pipeline —
     # this line now just measures the (cheap) projection of the checkpointed
     # rows instead of a second full HTML parse (was 7-8s in round 1/2a)
-    t0 = time.time()
-    chunks_mat = res.chunks
-    chunks_mat.count()
-    queries["kg_chunk_materialize"] = round(time.time() - t0, 3)
+    with _load_span("kg_chunk_materialize"):
+        t0 = time.time()
+        chunks_mat = res.chunks
+        chunks_mat.count()
+        queries["kg_chunk_materialize"] = round(time.time() - t0, 3)
 
-    def best_of_2(fn):
+    def best_of_2(fn, label=None):
         """min of two runs — interference on this shared VM swings single
         runs by multi-x minute to minute (same rationale as the best-of-3 in
-        scripts/scaling_run.py; steady-state minimum is the honest rate)."""
+        scripts/scaling_run.py; steady-state minimum is the honest rate).
+        ``label`` discloses busy/steal core-seconds across both trials in
+        query_load."""
         times = []
+        b0, s0 = _proc_stat()
         for _ in range(2):
             t0 = time.time()
             fn()
             times.append(time.time() - t0)
+        if label:
+            b1, s1 = _proc_stat()
+            query_load[label] = {
+                "busy_core_s": round((b1 - b0) / 100, 1),
+                "steal_core_s": round((s1 - s0) / 100, 1),
+            }
         return round(min(times), 3)
 
     # fresh lineage per trial (ADVICE r2): re-counting the SAME DataFrame
@@ -181,7 +218,7 @@ def main() -> None:
         return chunk_similarity_edges_grams(with_embeddings(chunks_mat)).count()
 
     extras["kg_similar_edges"] = _similarity_run()
-    queries["kg_similarity"] = best_of_2(_similarity_run)
+    queries["kg_similarity"] = best_of_2(_similarity_run, label="kg_similarity")
 
     # --- communities -------------------------------------------------------
     from graphrag_mrkr_2_spark.operators.communities import (
@@ -207,10 +244,11 @@ def main() -> None:
     queries["kg_communities"] = round(time.time() - t0, 3)
     # second trial (fresh detect_communities — its CC loop is many small
     # jobs, the most interference-sensitive query in the suite)
-    t0 = time.time()
-    mem2 = detect_communities(project_edges(normalize_edge_weights(kg_edges)))
-    mem2.select("community_id").distinct().count()
-    queries["kg_communities"] = min(queries["kg_communities"], round(time.time() - t0, 3))
+    with _load_span("kg_communities"):
+        t0 = time.time()
+        mem2 = detect_communities(project_edges(normalize_edge_weights(kg_edges)))
+        mem2.select("community_id").distinct().count()
+        queries["kg_communities"] = min(queries["kg_communities"], round(time.time() - t0, 3))
 
     # --- adversarial skew suite (VERDICT r2 'Next round' #5) ----------------
     # The 100x-scale claims (capped_provenance, de-skewed CC, bounded LSH
@@ -361,7 +399,7 @@ def main() -> None:
         F.col("doc_id").cast("string").alias("entity_id"),
         F.substring("text", 1, 40).alias("name"),
     ).where(F.length(F.trim(F.col("name"))) > 0)
-    queries["er_blocking"] = best_of_2(lambda: entity_mapping(ents, threshold=0.8).count())
+    queries["er_blocking"] = best_of_2(lambda: entity_mapping(ents, threshold=0.8).count(), label="er_blocking")
 
     # --- dedup -------------------------------------------------------------
     from graphrag_mrkr_2_spark.operators.dedup import (
@@ -369,9 +407,10 @@ def main() -> None:
         minhash_lsh_pairs,
     )
 
-    queries["dedup_exact"] = best_of_2(lambda: exact_duplicates(documents).count())
+    queries["dedup_exact"] = best_of_2(lambda: exact_duplicates(documents).count(), label="dedup_exact")
     queries["dedup_minhash"] = best_of_2(
-        lambda: minhash_lsh_pairs(documents, threshold=0.5).count()
+        lambda: minhash_lsh_pairs(documents, threshold=0.5).count(),
+        label="dedup_minhash",
     )
 
     # --- ann ---------------------------------------------------------------
@@ -380,7 +419,7 @@ def main() -> None:
     q = embeddings.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    queries["ann_knn"] = best_of_2(lambda: knn_join(embeddings, q, k=10).count())
+    queries["ann_knn"] = best_of_2(lambda: knn_join(embeddings, q, k=10).count(), label="ann_knn")
 
     # --- text analysis -----------------------------------------------------
     from graphrag_mrkr_2_spark.operators.extract import with_content_filter
@@ -389,14 +428,15 @@ def main() -> None:
         with_token_counts,
     )
 
-    t0 = time.time()
-    with_content_filter(documents, content_col="text").groupBy(
-        "filter_reason"
-    ).count().collect()
-    with_token_counts(with_lang_id(documents)).groupBy("lang_pred").agg(
-        F.sum("ws_tokens"), F.sum("approx_tokens")
-    ).collect()
-    queries["text_analysis"] = round(time.time() - t0, 3)
+    with _load_span("text_analysis"):
+        t0 = time.time()
+        with_content_filter(documents, content_col="text").groupBy(
+            "filter_reason"
+        ).count().collect()
+        with_token_counts(with_lang_id(documents)).groupBy("lang_pred").agg(
+            F.sum("ws_tokens"), F.sum("approx_tokens")
+        ).collect()
+        queries["text_analysis"] = round(time.time() - t0, 3)
 
     # --- binary document decode (round 3: stdlib DOCX/PDF kernels) ----------
     from graphrag_mrkr_2_spark.operators.multimodal import (
@@ -416,6 +456,7 @@ def main() -> None:
     n_payloads = payloads.count()
     queries["doc_decode"] = best_of_2(
         lambda: decode_documents(payloads).where(F.col("text").isNotNull()).count()
+        , label="doc_decode"
     )
     extras["decode_payloads"] = n_payloads
     extras["decode_docs_per_sec"] = round(n_payloads / max(queries["doc_decode"], 1e-9), 1)
@@ -430,6 +471,7 @@ def main() -> None:
             ).collect(),
             repetition_stats(documents).agg(F.avg("top_word_frac")).collect(),
         )
+        , label="text_hygiene"
     )
 
     # --- decontamination at a 10x corpus (round 4: codegen gram path) -------
@@ -453,6 +495,7 @@ def main() -> None:
         lambda: contamination_overlap(corpus_10x, benchmark_set, n=8)
         .agg(F.count("*"), F.sum("n_hits"))
         .collect()
+        , label="decontamination_10x"
     )
     corpus_10x.unpersist()
 
@@ -465,6 +508,7 @@ def main() -> None:
         "sf": sf,
         **extras,
         "skewed_suite": skew,
+        "query_load": query_load,
         "cpus": cpus,
     }
     print(json.dumps(out))

@@ -438,7 +438,7 @@ def encode_gif(pixels: np.ndarray) -> bytes:
 
 
 def sniff_image(data: bytes) -> str | None:
-    """Return 'png' | 'bmp' | 'gif' | None from magic bytes."""
+    """Return 'png' | 'bmp' | 'gif' | 'jpeg' | None from magic bytes."""
     if not data:
         return None
     if data[:8] == _PNG_SIG:
@@ -447,6 +447,10 @@ def sniff_image(data: bytes) -> str | None:
         return "bmp"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -459,4 +463,15 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_bmp(data)
     if fmt == "gif":
         return decode_gif(data)
-    raise ValueError("unrecognized image payload (supported: PNG, BMP, GIF)")
+    if fmt == "jpeg":
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(data)
+    if fmt == "tiff":
+        from .tiffcodec import decode_tiff
+
+        return decode_tiff(data)
+    raise ValueError(
+        "unrecognized image payload "
+        "(supported: PNG, BMP, GIF, baseline JPEG, baseline TIFF)"
+    )

@@ -1,0 +1,555 @@
+"""Pure-stdlib baseline JPEG codec (r4 follow-on to imagecodecs.py).
+
+The reference's image loader feeds JPEG/PNG/BMP/TIFF through PIL
+(ingestion/loaders/image_loader.py:24); r4 already decodes PNG/BMP/GIF from
+the public specs. This module closes the JPEG leg: a baseline sequential
+DCT decoder (ITU-T T.81): marker parse, DQT (8/16-bit), DHT → canonical
+Huffman, SOF0 (8-bit precision, 1 or 3 components, sampling factors 1-2),
+SOS entropy decode with byte-unstuffing + restart markers, dequantize,
+dezigzag, 8×8 IDCT (exact float DCT-III via one matrix product per block
+batch), chroma upsampling, YCbCr→RGB. Progressive (SOF2) and arithmetic
+coding raise cleanly — they remain the seam, as does TIFF.
+
+An encoder (baseline, 4:4:4, Annex-K standard Huffman + quality-scaled
+quant tables) is included so the decoder has an in-container oracle:
+JPEG is lossy, so round-trip tests assert bounded error on smooth images
+plus exact DC behavior on constant blocks — and encoder output is valid
+input for ANY external decoder, making cross-checks free where PIL exists.
+
+Pixels are (h, w, 3) uint8 RGB (grayscale decodes to (h, w, 1)).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# shared tables
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int32,
+)
+
+# ITU-T T.81 Annex K.1 example quantization tables
+_QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.float64,
+)
+_QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.float64,
+)
+
+# Annex K.3 standard Huffman tables: (bits[1..16], huffval)
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    m = c * np.sqrt(2.0 / 8.0)
+    m[0, :] = np.sqrt(1.0 / 8.0)
+    return m
+
+
+_DCT = _dct_matrix()
+
+
+def _canonical_codes(bits: list[int], values: list[int]):
+    """DHT (bits, huffval) → {(length, code): symbol} (decode) and
+    {symbol: (code, length)} (encode)."""
+    decode: dict[tuple[int, int], int] = {}
+    encode: dict[int, tuple[int, int]] = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = values[vi]
+            decode[(length, code)] = sym
+            encode[sym] = (code, length)
+            vi += 1
+            code += 1
+        code <<= 1
+    return decode, encode
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing and
+    restart-marker awareness."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            self.acc = (self.acc << 8) & 0xFFFFFFFF
+            self.nbits += 8
+            return
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                # restart/EOI/other marker — stop consuming, pad with zeros
+                # (F.2.2.5: the decoder pads past the end of a segment; the
+                # proactive align_restart consumes the marker itself)
+                self.acc = (self.acc << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Consume a restart marker at the current byte boundary."""
+        self.acc = 0
+        self.nbits = 0
+        while self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 1
+        self.pos += 2
+
+
+def _decode_huff(br: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad Huffman code in JPEG stream")
+
+
+def _extend(v: int, t: int) -> int:
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0) JPEG to (h, w, 3) uint8 RGB (grayscale →
+    (h, w, 1))."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.float64)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.float64)
+                    p += 128
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                values = list(seg[p + 17 : p + 17 + n])
+                huff[(tc, th)], _ = _canonical_codes(bits, values)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision = seg[0]
+            if precision != 8:
+                raise ValueError(f"unsupported JPEG precision {precision}")
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG frame type 0xFF{marker:02X} (baseline SOF0 only)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                scan.append({**comp, "td": tds >> 4, "ta": tds & 0xF})
+            # MJPEG quirk: frames routinely omit DHT — players substitute
+            # the Annex-K standard tables (table id 0 = luma, 1 = chroma)
+            for c in scan:
+                for tc, th, std in (
+                    (0, c["td"], _DC_LUMA if c["td"] == 0 else _DC_CHROMA),
+                    (1, c["ta"], _AC_LUMA if c["ta"] == 0 else _AC_CHROMA),
+                ):
+                    if (tc, th) not in huff:
+                        huff[(tc, th)], _ = _canonical_codes(*std)
+            return _decode_scan(
+                data, pos + seglen, frame, scan, qt, huff, restart_interval
+            )
+        pos += seglen
+    raise ValueError("JPEG contains no scan")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {}
+    for c in scan:
+        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        planes[c["id"]] = np.zeros((ph, pw), dtype=np.float64)
+    pred = {c["id"]: 0 for c in scan}
+    br = _BitReader(data, pos)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.align_restart()
+                pred = {c["id"]: 0 for c in scan}
+            for c in scan:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = _decode_block(br, huff[(0, c["td"])], huff[(1, c["ta"])])
+                        # DC is differential on the QUANTIZED value (F.2.1.3)
+                        blk[0] += pred[c["id"]]
+                        pred[c["id"]] = blk[0]
+                        # qt tables are stored zigzag-ordered (as in DQT)
+                        blk = blk * qt[c["tq"]]
+                        sq = np.zeros(64)
+                        sq[_ZIGZAG] = blk
+                        px = _DCT.T @ sq.reshape(8, 8) @ _DCT + 128.0
+                        y0, x0 = (my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_count += 1
+    # upsample + color convert
+    out_planes = []
+    for c in scan:
+        p = planes[c["id"]]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        y = np.clip(out_planes[0], 0, 255)
+        return y[:, :, None].round().astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(rgb.round(), 0, 255).astype(np.uint8)
+
+
+def _decode_block(br: _BitReader, dc_table: dict, ac_table: dict) -> np.ndarray:
+    blk = np.zeros(64)
+    t = _decode_huff(br, dc_table)
+    diff = _extend(br.read_bits(t), t) if t else 0
+    blk[0] = diff
+    k = 1
+    while k < 64:
+        rs = _decode_huff(br, ac_table)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run overflows block")
+        blk[k] = _extend(br.read_bits(s), s)
+        k += 1
+    return blk
+
+
+# ---------------------------------------------------------------------------
+# encoder (baseline 4:4:4, standard tables)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriterJ:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.acc = (self.acc << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)
+            self.buf.append(self.acc)
+            if self.acc == 0xFF:
+                self.buf.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.buf)
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.floor((table * s + 50) / 100)
+    return np.clip(q, 1, 255)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value → (size, code) per F.1.2.1 (one's-complement for negatives)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    code = v if v >= 0 else v + (1 << size) - 1
+    return size, code
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """Encode (h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8 to a
+    baseline JPEG with the Annex-K standard tables. ``subsampling``:
+    '444' (one block per component per MCU) or '420' (2x2 Y blocks +
+    box-filtered Cb/Cr per MCU — exercises the decoder's interleaved-MCU
+    and chroma-upsampling paths)."""
+    px = np.asarray(pixels, dtype=np.float64)
+    gray = px.ndim == 2 or px.shape[2] == 1
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w = px.shape[:2]
+    if gray:
+        comps = [px[:, :, 0] - 128.0]
+        qts = [_quality_scale(_QT_LUMA, quality)]
+        qids = [0]
+    else:  # noqa: RET506 — symmetric branches
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        comps = [y - 128.0, cb - 128.0, cr - 128.0]
+        qts = [_quality_scale(_QT_LUMA, quality), _quality_scale(_QT_CHROMA, quality)]
+        qids = [0, 1, 1]
+
+    # quant tables travel (and are applied to zigzag coefficients) in
+    # ZIGZAG order, matching the DQT wire format the decoder reads
+    qzs = [q[_ZIGZAG] for q in qts]
+
+    _, dc_l_enc = _canonical_codes(*_DC_LUMA)
+    _, ac_l_enc = _canonical_codes(*_AC_LUMA)
+    _, dc_c_enc = _canonical_codes(*_DC_CHROMA)
+    _, ac_c_enc = _canonical_codes(*_AC_CHROMA)
+    enc_tables = [(dc_l_enc, ac_l_enc)] + [(dc_c_enc, ac_c_enc)] * 2
+
+    def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+        ph = ((plane.shape[0] + mult - 1) // mult) * mult
+        pw = ((plane.shape[1] + mult - 1) // mult) * mult
+        out = np.empty((ph, pw))
+        out[: plane.shape[0], : plane.shape[1]] = plane
+        out[plane.shape[0] :, : plane.shape[1]] = plane[-1:, :]
+        out[:, plane.shape[1] :] = out[:, plane.shape[1] - 1 : plane.shape[1]]
+        return out
+
+    def _emit_block(block: np.ndarray, ci: int, pred: list[int]) -> None:
+        coeffs = _DCT @ block @ _DCT.T
+        zz = coeffs.reshape(64)[_ZIGZAG]
+        q = np.round(zz / qzs[qids[ci]]).astype(np.int64)
+        dc_enc, ac_enc = enc_tables[ci]
+        diff = int(q[0]) - pred[ci]
+        pred[ci] = int(q[0])
+        size, code = _magnitude(diff)
+        hc, hl = dc_enc[size]
+        bw.write(hc, hl)
+        if size:
+            bw.write(code, size)
+        run = 0
+        last_nz = 0
+        for k in range(1, 64):
+            if q[k] != 0:
+                last_nz = k
+        k = 1
+        while k <= last_nz:
+            if q[k] == 0:
+                run += 1
+                k += 1
+                continue
+            while run >= 16:
+                hc, hl = ac_enc[0xF0]
+                bw.write(hc, hl)
+                run -= 16
+            size, code = _magnitude(int(q[k]))
+            hc, hl = ac_enc[(run << 4) | size]
+            bw.write(hc, hl)
+            bw.write(code, size)
+            run = 0
+            k += 1
+        if last_nz < 63:
+            hc, hl = ac_enc[0x00]
+            bw.write(hc, hl)
+
+    bw = _BitWriterJ()
+    pred = [0] * len(comps)
+    if gray or subsampling == "444":
+        samplings = [0x11] * len(comps)
+        planes = [_pad_to(c, 8) for c in comps]
+        for by in range((h + 7) // 8):
+            for bx in range((w + 7) // 8):
+                for ci, p in enumerate(planes):
+                    _emit_block(p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], ci, pred)
+    elif subsampling == "420":
+        samplings = [0x22, 0x11, 0x11]
+        yp = _pad_to(comps[0], 16)
+        # chroma: 2x2 box mean on the padded full-res plane, then pad to 8
+        subs = []
+        for c in comps[1:]:
+            cp = _pad_to(c, 2)
+            subs.append(
+                _pad_to((cp[0::2, 0::2] + cp[1::2, 0::2] + cp[0::2, 1::2] + cp[1::2, 1::2]) / 4.0, 8)
+            )
+        for by in range((h + 15) // 16):
+            for bx in range((w + 15) // 16):
+                for vy in (0, 1):
+                    for hx in (0, 1):
+                        y0, x0 = by * 16 + vy * 8, bx * 16 + hx * 8
+                        _emit_block(yp[y0 : y0 + 8, x0 : x0 + 8], 0, pred)
+                for ci, p in enumerate(subs, start=1):
+                    _emit_block(p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], ci, pred)
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r} ('444'/'420')")
+    entropy = bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, qz in enumerate(qzs):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(x) for x in qz)
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, samplings[ci], qids[ci]])
+    for tc, th, (bits, values) in (
+        (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA),
+    )[: 2 if gray else 4]:
+        out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(values))
+        out += bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        td_ta = 0x00 if ci == 0 else 0x11
+        out += bytes([ci + 1, td_ta])
+    out += b"\x00\x3f\x00"
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -11,15 +11,22 @@ Kernel status:
   the ``read_binary_documents`` loader. These mirror the reference's loader
   semantics (ingestion/loaders/{pdf,docx,xlsx,pptx}_loader.py) without the
   codec libraries.
-- **Raster image pixels are DECODED FOR REAL (r4)** for PNG/BMP/GIF —
-  pure-stdlib kernels in ``functions/imagecodecs.py`` (zlib inflate +
-  scanline unfilter, BITMAPINFOHEADER, GIF LZW), the same playbook as
-  docformats. ``image_features`` consumes real pixels for those formats;
-  JPEG/TIFF and OCR remain the codec/model seams (reference
-  ingestion/loaders/image_loader.py:24, core/ocr.py), as do audio
-  samples and video frames (ffmpeg-class codecs). Each remaining stub
-  either raises NotImplementedError (strict mode) or produces a
-  deterministic fake (test mode) so pipelines stay wireable end-to-end.
+- **Raster image pixels are DECODED FOR REAL (r4)** for the reference
+  image loader's ENTIRE container list — PNG/BMP/GIF
+  (``functions/imagecodecs.py``: zlib inflate + scanline unfilter,
+  BITMAPINFOHEADER, GIF LZW), baseline JPEG (``functions/jpegcodec.py``:
+  marker parse, canonical Huffman, IDCT, chroma upsampling) and baseline
+  TIFF (``functions/tiffcodec.py``: IFD walk, strips, PackBits) — the
+  same playbook as docformats. ``image_features`` consumes real pixels
+  for all of them. **Audio RIFF/WAVE PCM decodes for real too**
+  (``functions/audiocodecs.py``) feeding ``audio_features`` true
+  RMS/zero-crossing/duration. Remaining seams: progressive JPEG,
+  LZW/JPEG-compressed TIFF, WEBP/AVIF, OCR (model), compressed audio
+  (MP3/AAC/Opus) and video frames (ffmpeg-class codecs). Each remaining
+  stub either raises NotImplementedError (strict mode) or produces a
+  deterministic fake (test mode) so pipelines stay wireable end-to-end;
+  corrupt payloads of a RECOGNIZED container quarantine to the fallback
+  instead of failing the job.
 
 Design notes for 100 TB of media:
 - payloads stay in ``binary`` columns; all row-multiplying work happens in
@@ -189,10 +196,11 @@ def image_features(
 ) -> DataFrame:
     """Decode → featurize images via mapInPandas.
 
-    PNG/BMP/GIF payloads decode FOR REAL through the pure-stdlib kernels
-    (functions/imagecodecs.py — r4, VERDICT r3 #5); the feature is a
-    luminance histogram over the actual pixels. Unrecognized payloads
-    (JPEG/TIFF — the remaining codec seam): strict=True raises
+    PNG/BMP/GIF/baseline-JPEG payloads decode FOR REAL through the pure-
+    stdlib kernels (functions/imagecodecs.py + jpegcodec.py — r4, VERDICT
+    r3 #5); the feature is a luminance histogram over the actual pixels.
+    Unrecognized payloads (TIFF/progressive-JPEG — the remaining codec
+    seam): strict=True raises
     NotImplementedError, strict=False falls back to the deterministic fake
     so the Arrow plumbing stays testable end-to-end.
     """
@@ -203,14 +211,20 @@ def image_features(
             rows = []
             for rec in pdf.itertuples(index=False):
                 payload = bytes(rec.payload) if rec.payload is not None else b""
+                px = None
                 if sniff_image(payload):
-                    px = decode_image(payload)
-                elif strict:
+                    try:
+                        px = decode_image(payload)
+                    except Exception:
+                        if strict:
+                            raise
+                        px = None  # corrupt container -> fake fallback
+                if px is None and strict:
                     raise NotImplementedError(
-                        "image decode beyond PNG/BMP/GIF requires codec "
-                        "libraries not present in this environment"
+                        "image decode beyond PNG/BMP/GIF/JPEG/TIFF requires "
+                        "codec libraries not present in this environment"
                     )
-                else:
+                if px is None:
                     meta = rec.meta if isinstance(rec.meta, dict) else (rec.meta.asDict() if rec.meta else {})
                     w = int(meta.get("width") or 8)
                     h = int(meta.get("height") or 8)
@@ -229,6 +243,107 @@ def image_features(
     return media.where(F.col("kind") == "image").select("media_id", "payload", "meta").mapInPandas(
         _extract, IMAGE_FEATURE_SCHEMA
     )
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("rms", FloatType(), True),
+        StructField("zero_crossing_rate", FloatType(), True),
+    ]
+)
+
+
+def audio_features(
+    media: DataFrame,
+    strict: bool = False,
+) -> DataFrame:
+    """Decode → featurize audio via mapInPandas (r4).
+
+    RIFF/WAVE PCM payloads decode FOR REAL through the pure-stdlib kernel
+    (functions/audiocodecs.py); features are computed on the actual
+    samples: RMS amplitude (mean over channels, int16-normalized) and
+    zero-crossing rate of channel 0, plus the container's true sample
+    rate / channel count / duration. Compressed audio (MP3/AAC/Opus — the
+    codec seam, like JPEG for images): strict=True raises
+    NotImplementedError, strict=False emits metadata-derived fakes so the
+    Arrow plumbing stays testable.
+    """
+    from graphrag_mrkr_2_spark.functions.audiocodecs import decode_wav, sniff_audio
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(rec.payload) if rec.payload is not None else b""
+                decoded = None
+                if sniff_audio(payload):
+                    try:
+                        decoded = decode_wav(payload)
+                    except Exception:
+                        if strict:
+                            raise
+                        decoded = None  # corrupt container -> fake fallback
+                if decoded is not None:
+                    samples, rate = decoded
+                    x = samples.astype(np.float64)
+                    if samples.dtype == np.uint8:
+                        x = (x - 128.0) * 256.0  # align 8-bit to int16 scale
+                    n = len(x)
+                    xn = x / 32768.0
+                    rms = float(np.sqrt(np.mean(xn * xn))) if n else 0.0
+                    ch0 = x[:, 0]
+                    zcr = (
+                        float(np.mean(np.signbit(ch0[1:]) != np.signbit(ch0[:-1])))
+                        if n > 1
+                        else 0.0
+                    )
+                    rows.append(
+                        {
+                            "media_id": rec.media_id,
+                            "sample_rate": int(rate),
+                            "n_channels": int(samples.shape[1]),
+                            "duration_ms": int(round(1000.0 * n / rate)) if rate else 0,
+                            "rms": np.float32(rms),
+                            "zero_crossing_rate": np.float32(zcr),
+                        }
+                    )
+                elif strict:
+                    raise NotImplementedError(
+                        "audio decode beyond RIFF/WAVE PCM requires codec "
+                        "libraries not present in this environment"
+                    )
+                else:
+                    meta = rec.meta if isinstance(rec.meta, dict) else (rec.meta.asDict() if rec.meta else {})
+                    seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "big")
+                    rows.append(
+                        {
+                            "media_id": rec.media_id,
+                            "sample_rate": 16000,
+                            "n_channels": 1,
+                            "duration_ms": int(meta.get("duration_ms") or 0),
+                            "rms": np.float32((seed % 1000) / 1000.0),
+                            "zero_crossing_rate": np.float32((seed % 97) / 97.0),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_channels",
+                    "duration_ms",
+                    "rms",
+                    "zero_crossing_rate",
+                ],
+            )
+
+    return media.where(F.col("kind") == "audio").select(
+        "media_id", "payload", "meta"
+    ).mapInPandas(_extract, AUDIO_FEATURE_SCHEMA)
 
 
 IMAGE_ROUNDTRIP_SCHEMA = StructType(
@@ -311,6 +426,55 @@ def image_roundtrip_checksums(
     return df.select(F.col(id_col)).mapInPandas(_roundtrip, IMAGE_ROUNDTRIP_SCHEMA)
 
 
+AUDIO_ROUNDTRIP_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("n_samples", IntegerType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("wav_checksum", StringType(), True),
+    ]
+)
+
+
+def audio_roundtrip_checksums(
+    df: DataFrame, id_col: str = "doc_id", n_samples: int = 400, rate: int = 8000
+) -> DataFrame:
+    """Driver-oracle kernel for the WAV codec (image_roundtrip_checksums
+    style): per id, deterministic mono int16 samples
+    s(i) = ((id*31 + i*17) mod 65536) - 32768 are encoded to REAL RIFF/WAVE
+    bytes and decoded back; the column carries the position-weighted
+    checksum sum(s(i) * (i+1)) of the DECODED samples as a string — DuckDB
+    recomputes the same sum from the formula, so a match proves
+    encode→decode identity."""
+    from graphrag_mrkr_2_spark.functions.audiocodecs import decode_wav, encode_wav
+
+    idx = np.arange(n_samples, dtype=np.int64)
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                doc_id = int(getattr(rec, id_col))
+                s = (((doc_id * 31 + idx * 17) % 65536) - 32768).astype(np.int16)
+                back, got_rate = decode_wav(encode_wav(s, rate))
+                checksum = int(
+                    (back[:, 0].astype(np.int64) * (idx + 1)).sum()
+                )
+                rows.append(
+                    {
+                        "doc_id": str(doc_id),
+                        "n_samples": int(back.shape[0]),
+                        "sample_rate": int(got_rate),
+                        "wav_checksum": str(checksum),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "sample_rate", "wav_checksum"]
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(_roundtrip, AUDIO_ROUNDTRIP_SCHEMA)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("media_id", StringType(), False),
@@ -325,22 +489,45 @@ def sample_video_frames(
     every_ms: int = 1000,
     strict: bool = False,
 ) -> DataFrame:
-    """Frame sampling seam (row-multiplying mapInPandas). Deterministic fake
-    frames derived from (payload hash, frame index); a real implementation
-    swaps the kernel for an ffmpeg/pyav call with identical shape."""
+    """Frame sampling via row-multiplying mapInPandas (r4: REAL for MJPEG
+    AVI). RIFF/AVI payloads are container-walked (functions/avicodec.py)
+    and their MJPEG frames sampled every ``every_ms`` by the container's
+    own fps — each emitted ``frame`` is the frame's raw JPEG bytes, which
+    image_features decodes directly (the two-operator chain is real video
+    → pixels with zero native libraries). Other codecs (H.264/VP9 — the
+    ffmpeg seam): strict=True raises, strict=False emits deterministic
+    fake frames; corrupt AVI containers quarantine to the fake path."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from graphrag_mrkr_2_spark.functions.avicodec import extract_frames, sniff_video
+
         for pdf in batches:
             rows = []
             for rec in pdf.itertuples(index=False):
+                payload = bytes(rec.payload) if rec.payload is not None else b""
+                sampled = None
+                if sniff_video(payload):
+                    try:
+                        sampled = extract_frames(payload, every_ms=every_ms)
+                    except Exception:
+                        if strict:
+                            raise
+                        sampled = None  # corrupt/non-MJPEG -> fake fallback
+                if sampled is not None:
+                    for i, jpeg in sampled:
+                        rows.append(
+                            {"media_id": rec.media_id, "frame_index": i, "frame": jpeg}
+                        )
+                    continue
                 if strict:
                     raise NotImplementedError(
-                        "video decode requires codec libraries not present in this environment"
+                        "video decode beyond MJPEG-AVI requires codec "
+                        "libraries not present in this environment"
                     )
                 meta = rec.meta if isinstance(rec.meta, dict) else (rec.meta.asDict() if rec.meta else {})
                 duration = int(meta.get("duration_ms") or 0)
                 n_frames = max(1, duration // every_ms)
-                digest = hashlib.sha256(rec.payload or b"").digest()
+                digest = hashlib.sha256(payload).digest()
                 for i in range(n_frames):
                     rows.append(
                         {
@@ -354,6 +541,119 @@ def sample_video_frames(
     return media.where(F.col("kind") == "video").select("media_id", "payload", "meta").mapInPandas(
         _sample, FRAME_SCHEMA
     )
+
+
+def probe_media(payload: bytes) -> dict:
+    """Sniff kind/codec and extract REAL container metadata (dims, sample
+    rate, duration) from a raw payload — header-only reads, no full decode:
+    PNG IHDR, BMP/GIF headers, JPEG SOF scan, TIFF IFD, WAV fmt chunk, AVI
+    avih. Unknown payloads come back kind=None (quarantine upstream)."""
+    import struct as _struct
+
+    from graphrag_mrkr_2_spark.functions.audiocodecs import sniff_audio
+    from graphrag_mrkr_2_spark.functions.avicodec import parse_avi, sniff_video
+    from graphrag_mrkr_2_spark.functions.imagecodecs import sniff_image
+
+    out = {"kind": None, "codec": None, "width": None, "height": None, "duration_ms": None}
+    img = sniff_image(payload)
+    if img:
+        out["kind"], out["codec"] = "image", img
+        try:
+            if img == "png":
+                w, h = _struct.unpack(">II", payload[16:24])
+            elif img == "bmp":
+                w, h = _struct.unpack("<ii", payload[18:26])
+                h = abs(h)
+            elif img == "gif":
+                w, h = _struct.unpack("<HH", payload[6:10])
+            elif img == "jpeg":
+                w = h = None
+                pos = 2
+                while pos + 4 <= len(payload):
+                    if payload[pos] != 0xFF:
+                        pos += 1
+                        continue
+                    marker = payload[pos + 1]
+                    if marker in (0xC0, 0xC1, 0xC2):
+                        h, w = _struct.unpack(">HH", payload[pos + 5 : pos + 9])
+                        break
+                    if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                        pos += 2
+                        continue
+                    (ln,) = _struct.unpack(">H", payload[pos + 2 : pos + 4])
+                    pos += 2 + ln
+            else:  # tiff — walk the first IFD for tags 256/257
+                from graphrag_mrkr_2_spark.functions.tiffcodec import decode_tiff  # noqa: F401
+
+                e = "<" if payload[:2] == b"II" else ">"
+                (ifd,) = _struct.unpack(e + "I", payload[4:8])
+                (n,) = _struct.unpack(e + "H", payload[ifd : ifd + 2])
+                w = h = None
+                for k in range(n):
+                    tag, ftype, _cnt = _struct.unpack(
+                        e + "HHI", payload[ifd + 2 + 12 * k : ifd + 10 + 12 * k]
+                    )
+                    raw = payload[ifd + 10 + 12 * k : ifd + 14 + 12 * k]
+                    val = _struct.unpack(e + ("I" if ftype == 4 else "HH"), raw)[0]
+                    if tag == 256:
+                        w = val
+                    elif tag == 257:
+                        h = val
+            out["width"], out["height"] = (int(w) if w else None), (int(h) if h else None)
+        except Exception:
+            pass  # header-probe failure: keep kind/codec, dims unknown
+        return out
+    if sniff_audio(payload):
+        out["kind"], out["codec"] = "audio", "wav"
+        try:
+            from graphrag_mrkr_2_spark.functions.audiocodecs import decode_wav
+
+            samples, rate = decode_wav(payload)
+            out["duration_ms"] = int(round(1000.0 * len(samples) / rate)) if rate else None
+        except Exception:
+            pass
+        return out
+    if sniff_video(payload):
+        out["kind"] = "video"
+        try:
+            info = parse_avi(payload)
+            out["codec"] = (info["codec"] or "avi").lower()
+            out["width"], out["height"] = info["width"] or None, info["height"] or None
+            if info["fps"]:
+                out["duration_ms"] = int(round(1000.0 * len(info["frames"]) / info["fps"]))
+        except Exception:
+            out["codec"] = "avi"
+        return out
+    return out
+
+
+def with_probed_media(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+    """(id, payload) → full MEDIA_SCHEMA rows with kind/codec/dims/duration
+    probed from the real container headers. Unknown payloads keep
+    kind='unknown' so downstream filters can quarantine them."""
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(getattr(rec, payload_col)) if getattr(rec, payload_col) is not None else b""
+                p = probe_media(payload)
+                rows.append(
+                    {
+                        "media_id": str(getattr(rec, id_col)),
+                        "kind": p["kind"] or "unknown",
+                        "payload": payload,
+                        "meta": {
+                            "codec": p["codec"],
+                            "width": p["width"],
+                            "height": p["height"],
+                            "duration_ms": p["duration_ms"],
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(_probe, MEDIA_SCHEMA)
 
 
 def metadata_only_stats(media: DataFrame) -> DataFrame:

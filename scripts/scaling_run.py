@@ -59,12 +59,17 @@ spark.catalog.clearCache()
 
 best = None
 for trial in range(3):
-    b0, s0 = stat()
-    t0 = time.time()
-    res = run_kg_pipeline(pages, num_partitions=cores * 6)
-    n_triples = res.triples.count()
-    dt = time.time() - t0
-    b1, s1 = stat()
+    try:
+        b0, s0 = stat()
+        t0 = time.time()
+        res = run_kg_pipeline(pages, num_partitions=cores * 6)
+        n_triples = res.triples.count()
+        dt = time.time() - t0
+        b1, s1 = stat()
+    except Exception as exc:  # a memory-pressure-killed trial must not void the level
+        print("TRIALFAIL " + json.dumps({{"cores": cores, "trial": trial,
+              "err": str(exc)[:200]}}), flush=True)
+        continue
     rec = {{"cores": cores, "n_pages": n_pages, "sec": round(dt, 2),
            "docs_per_sec": round(n_pages / dt, 2),
            "triples_per_sec": round(n_triples / dt, 2),
@@ -75,7 +80,8 @@ for trial in range(3):
     if best is None or rec["sec"] < best["sec"]:
         best = rec
     spark.catalog.clearCache()
-print("RESULT " + json.dumps(best), flush=True)
+if best is not None:
+    print("RESULT " + json.dumps(best), flush=True)
 spark.stop()
 """
 
@@ -90,6 +96,11 @@ def run_at(cores: int, n_pages: int, pages_dir: str) -> tuple[dict, list[dict]]:
             trials.append(json.loads(line[6:]))
         elif line.startswith("RESULT "):
             result = json.loads(line[7:])
+    if result is None and trials:
+        # the subprocess died after >=1 completed trial (shared-VM memory
+        # pressure); best-of-completed is still a valid steady-state floor
+        result = min(trials, key=lambda t: t["sec"])
+        result = {**result, "degraded": f"only {len(trials)}/3 trials completed"}
     if result is None:
         raise RuntimeError(
             f"run at {cores} cores failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
@@ -143,6 +154,11 @@ def measure_pair(low: int, high: int, n_pages: int, pages_dir: str) -> dict:
 
 def pair_section(s: dict) -> str:
     low, high = s["low_cores"], s["high_cores"]
+    if "failed" in s:
+        return (
+            f"## Results — {low}→{high} cores\n\nFAILED this run "
+            f"(shared-VM interference/memory pressure):\n```\n{s['failed']}\n```\n"
+        )
     r_low, r_high = s["low"], s["high"]
     return f"""## Results — {low}→{high} cores
 
@@ -168,7 +184,14 @@ def main() -> None:
     pages_dir = ensure_pages(n_pages)
     summaries = []
     for low, high in pairs:
-        s = measure_pair(low, high, n_pages, pages_dir)
+        try:
+            s = measure_pair(low, high, n_pages, pages_dir)
+        except RuntimeError as exc:  # record the failure, keep other pairs
+            print(f"PAIR {low}->{high} FAILED: {exc}", file=sys.stderr)
+            summaries.append(
+                {"low_cores": low, "high_cores": high, "failed": str(exc)[:800]}
+            )
+            continue
         print(json.dumps(s, indent=2))
         summaries.append(s)
 

@@ -174,7 +174,9 @@ class TestSniffAndDispatch:
         assert sniff_image(encode_png(px)) == "png"
         assert sniff_image(encode_bmp(px)) == "bmp"
         assert sniff_image(encode_gif(px)) == "gif"
-        assert sniff_image(b"\xff\xd8\xff") is None  # JPEG: the codec seam
+        assert sniff_image(b"\xff\xd8\xff\xe0") == "jpeg"
+        assert sniff_image(b"II*\x00") == "tiff"
+        assert sniff_image(b"RIFFxxxxWEBP") is None  # WEBP: the codec seam
         assert sniff_image(b"") is None
 
     def test_decode_image_dispatch(self):
@@ -182,7 +184,7 @@ class TestSniffAndDispatch:
         for enc in (encode_png, encode_bmp, encode_gif):
             assert (decode_image(enc(px)) == px).all()
         with pytest.raises(ValueError, match="unrecognized"):
-            decode_image(b"\xff\xd8\xff JPEG")
+            decode_image(b"RIFFxxxxWEBPdata")
 
 
 @pytest.mark.spark
@@ -209,11 +211,11 @@ class TestSparkWiring:
         assert feats["black"][0] == pytest.approx(1.0)
         assert feats["white"][-1] == pytest.approx(1.0)
 
-    def test_strict_still_raises_for_jpeg(self, spark):
+    def test_strict_still_raises_for_webp(self, spark):
         from graphrag_mrkr_2_spark.operators.multimodal import image_features
 
         media = spark.createDataFrame(
-            [("j", "image", bytearray(b"\xff\xd8\xff"), ("jpeg", 4, 4, None))],
+            [("t", "image", bytearray(b"RIFFxxxxWEBPdata"), ("webp", 4, 4, None))],
             "media_id string, kind string, payload binary, "
             "meta struct<codec:string,width:int,height:int,duration_ms:int>",
         )
