@@ -502,7 +502,10 @@ def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
         F.concat(
             F.array((F.element_at("embedding", 1) + F.lit(0.1)).cast("float")),
-            F.slice("embedding", 2, 63),
+            # open-ended tail, matching the oracle's embedding[2:] (a
+            # hard-coded 63 would diverge if the table ever grew past 64
+            # dims — review r4 finding #5)
+            F.expr("slice(embedding, 2, size(embedding) - 1)"),
         ).alias("embedding"),
     )
     return (

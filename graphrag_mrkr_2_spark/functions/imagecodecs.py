@@ -89,31 +89,48 @@ def decode_png(data: bytes) -> np.ndarray:
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG IDAT size mismatch")
     out = np.zeros((height, stride), dtype=np.uint8)
-    prev = bytearray(stride)
+    prev = bytes(stride)
     for y in range(height):
         off = y * (stride + 1)
         ftype = raw[off]
-        line = bytearray(raw[off + 1 : off + 1 + stride])
+        cur = raw[off + 1 : off + 1 + stride]
+        # filters 0/1/2 (the common adaptive choices) run vectorized —
+        # Sub's left-recurrence is a per-lane prefix sum mod 256 (review r4
+        # finding #7); Average/Paeth depend on left AND up reconstructed
+        # bytes, an inherently sequential recurrence, and stay byte loops
         if ftype == 0:
-            pass
-        elif ftype == 1:  # Sub
-            for i in range(nch, stride):
-                line[i] = (line[i] + line[i - nch]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
+            line = cur
+        elif ftype == 1:  # Sub: per-channel-lane cumsum mod 256
+            lanes = np.frombuffer(cur, dtype=np.uint8).reshape(width, nch)
+            line = (
+                (np.cumsum(lanes, axis=0, dtype=np.int64) % 256)
+                .astype(np.uint8)
+                .tobytes()
+            )
+        elif ftype == 2:  # Up: one vector add against the previous row
+            line = (
+                (
+                    np.frombuffer(cur, dtype=np.uint8).astype(np.int16)
+                    + np.frombuffer(prev, dtype=np.uint8)
+                )
+                & 0xFF
+            ).astype(np.uint8).tobytes()
         elif ftype == 3:  # Average
+            buf = bytearray(cur)
             for i in range(stride):
-                a = line[i - nch] if i >= nch else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+                a = buf[i - nch] if i >= nch else 0
+                buf[i] = (buf[i] + ((a + prev[i]) >> 1)) & 0xFF
+            line = bytes(buf)
         elif ftype == 4:  # Paeth
+            buf = bytearray(cur)
             for i in range(stride):
-                a = line[i - nch] if i >= nch else 0
+                a = buf[i - nch] if i >= nch else 0
                 c = prev[i - nch] if i >= nch else 0
-                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+                buf[i] = (buf[i] + _paeth(a, prev[i], c)) & 0xFF
+            line = bytes(buf)
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
-        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        out[y] = np.frombuffer(line, dtype=np.uint8)
         prev = line
     px = out.reshape(height, width, nch)
     if color_type == 3:
@@ -141,43 +158,36 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
     h, w, nch = px.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
     stride = w * nch
-    flat = px.reshape(h, stride)
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad filter type {filter_type}")
+    # forward filtering reads ONLY original bytes, so every filter is fully
+    # vectorizable over the whole image (review r4 finding #7): `left` /
+    # `up` / `upleft` are shifted views of the original pixel matrix
+    flat = px.reshape(h, stride).astype(np.int16)
+    left = np.zeros_like(flat)
+    left[:, nch:] = flat[:, :-nch]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    upleft = np.zeros_like(flat)
+    upleft[1:, nch:] = flat[:-1, :-nch]
+    if filter_type == 0:
+        enc = flat
+    elif filter_type == 1:
+        enc = flat - left
+    elif filter_type == 2:
+        enc = flat - up
+    elif filter_type == 3:
+        enc = flat - ((left + up) >> 1)
+    else:  # Paeth predictor, vectorized
+        p = left + up - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+        enc = flat - pred
+    enc = (enc & 0xFF).astype(np.uint8)
     lines = bytearray()
-    prev = bytes(stride)
     for y in range(h):
-        cur = flat[y].tobytes()
-        if filter_type == 0:
-            enc = cur
-        elif filter_type == 1:
-            enc = bytes(
-                (cur[i] - (cur[i - nch] if i >= nch else 0)) & 0xFF
-                for i in range(stride)
-            )
-        elif filter_type == 2:
-            enc = bytes((cur[i] - prev[i]) & 0xFF for i in range(stride))
-        elif filter_type == 3:
-            enc = bytes(
-                (cur[i] - (((cur[i - nch] if i >= nch else 0) + prev[i]) >> 1)) & 0xFF
-                for i in range(stride)
-            )
-        elif filter_type == 4:
-            enc = bytes(
-                (
-                    cur[i]
-                    - _paeth(
-                        cur[i - nch] if i >= nch else 0,
-                        prev[i],
-                        prev[i - nch] if i >= nch else 0,
-                    )
-                )
-                & 0xFF
-                for i in range(stride)
-            )
-        else:
-            raise ValueError(f"bad filter type {filter_type}")
         lines.append(filter_type)
-        lines += enc
-        prev = cur
+        lines += enc[y].tobytes()
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     return (
         _PNG_SIG

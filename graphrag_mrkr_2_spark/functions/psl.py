@@ -119,19 +119,27 @@ _PRIVATE = [
 PSL_RULES: tuple[str, ...] = tuple(_ICANN + _PRIVATE)
 
 
+@lru_cache(maxsize=8)
+def _load_rules_file(path: str, mtime: float) -> tuple[str, ...]:
+    """Parse a public_suffix_list.dat once per (path, mtime) — every plan
+    construction would otherwise re-read and re-parse the ~240 KB file
+    (review r4 finding #9); mtime in the key keeps edits visible."""
+    rules = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            rules.append(line.split()[0])
+    return tuple(rules)
+
+
 def load_rules() -> tuple[str, ...]:
     """The active rule set: the full PSL file named by SPARK_GRAFT_PSL_FILE
     when present (data seam), else the vendored subset."""
     path = os.environ.get("SPARK_GRAFT_PSL_FILE")
     if path and os.path.exists(path):
-        rules = []
-        with open(path, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if not line or line.startswith("//"):
-                    continue
-                rules.append(line.split()[0])
-        return tuple(rules)
+        return _load_rules_file(path, os.path.getmtime(path))
     return PSL_RULES
 
 
@@ -173,6 +181,12 @@ def registered_domain_expr(host: Column, rules: tuple[str, ...] | None = None) -
     """
     normal, wild, exc = _compiled(rules if rules is not None else load_rules())
     nl = F.size(F.split(host, r"\."))
+    # IP literals have no registrable boundary — the implicit '*' rule would
+    # truncate 104.16.2.8 to '2.8' and merge unrelated servers into one cap
+    # group (review r4 finding #3; real PSL libraries special-case these).
+    # IPv4 = four dotted decimal octets; IPv6 hosts carry ':' (URL parsing
+    # strips the brackets with the port pattern).
+    is_ip = host.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$") | host.contains(":")
 
     def last(k: int) -> Column:
         return F.substring_index(host, ".", -k)
@@ -200,4 +214,4 @@ def registered_domain_expr(host: Column, rules: tuple[str, ...] | None = None) -
     out = F.when(nl >= 2, last(2)).otherwise(host)  # implicit '*' rule
     for cond, value in reversed(branches):
         out = F.when(cond, value).otherwise(out)
-    return out
+    return F.when(is_ip, host).otherwise(out)

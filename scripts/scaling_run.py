@@ -69,6 +69,9 @@ for trial in range(3):
     except Exception as exc:  # a memory-pressure-killed trial must not void the level
         print("TRIALFAIL " + json.dumps({{"cores": cores, "trial": trial,
               "err": str(exc)[:200]}}), flush=True)
+        # still clear cached fragments: the NEXT trial must not reuse
+        # partially warmed state the uniform protocol excludes
+        spark.catalog.clearCache()
         continue
     rec = {{"cores": cores, "n_pages": n_pages, "sec": round(dt, 2),
            "docs_per_sec": round(n_pages / dt, 2),

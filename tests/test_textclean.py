@@ -110,6 +110,10 @@ class TestContamination:
             ("repeat", "x y z x y z x y z"),
             ("unicode", "café déjà vu café déjà vu encore une fois"),
             ("longish", " ".join(f"w{i % 7}" for i in range(50))),
+            # duplicate id: each ROW must gram independently (the window
+            # keys on a per-row id, never on doc_id — review r4 finding #1)
+            ("dup", "alpha beta gamma delta"),
+            ("dup", "zeta eta theta iota"),
         ]
         df = spark.createDataFrame(rows, "doc_id string, text string")
         for n in (2, 3, 8):

@@ -73,6 +73,17 @@ class TestRegisteredDomain:
         for (url, want), g in zip(self.CASES, got):
             assert g == want, f"{url}: got {g}, want {want}"
 
+    def test_ip_literal_hosts_kept_whole(self, spark):
+        """IPv4 hosts have no registrable boundary — the implicit '*' rule
+        must NOT truncate 104.16.2.8 to '2.8' and merge unrelated servers
+        into one cap group (review r4 finding #3)."""
+        df = spark.createDataFrame(
+            [("http://104.16.2.8/a",), ("http://93.184.2.8/b",), ("https://10.0.0.1:8080/c",)],
+            "url string",
+        )
+        doms = [r["domain"] for r in with_normalized_urls(df).collect()]
+        assert doms == ["104.16.2.8", "93.184.2.8", "10.0.0.1"]
+
     def test_caps_group_at_registrable_boundary(self, spark):
         """Subdomain fan-out on a shared registry suffix must NOT dodge the
         per-domain cap, while distinct github.io users must keep their own
