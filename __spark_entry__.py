@@ -505,7 +505,7 @@ def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
             # open-ended tail, matching the oracle's embedding[2:] (a
             # hard-coded 63 would diverge if the table ever grew past 64
             # dims — review r4 finding #5)
-            F.expr("slice(embedding, 2, size(embedding) - 1)"),
+            F.expr("slice(embedding, 2, greatest(size(embedding) - 1, 0))"),
         ).alias("embedding"),
     )
     return (

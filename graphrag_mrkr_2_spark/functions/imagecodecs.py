@@ -162,28 +162,34 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
         raise ValueError(f"bad filter type {filter_type}")
     # forward filtering reads ONLY original bytes, so every filter is fully
     # vectorizable over the whole image (review r4 finding #7): `left` /
-    # `up` / `upleft` are shifted views of the original pixel matrix
-    flat = px.reshape(h, stride).astype(np.int16)
-    left = np.zeros_like(flat)
-    left[:, nch:] = flat[:, :-nch]
-    up = np.zeros_like(flat)
-    up[1:] = flat[:-1]
-    upleft = np.zeros_like(flat)
-    upleft[1:, nch:] = flat[:-1, :-nch]
+    # `up` / `upleft` are shifted views of the original pixel matrix —
+    # built only for the filters that use them (the filter-0 default path
+    # copies nothing beyond the reshape)
     if filter_type == 0:
-        enc = flat
-    elif filter_type == 1:
-        enc = flat - left
-    elif filter_type == 2:
-        enc = flat - up
-    elif filter_type == 3:
-        enc = flat - ((left + up) >> 1)
-    else:  # Paeth predictor, vectorized
-        p = left + up - upleft
-        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
-        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
-        enc = flat - pred
-    enc = (enc & 0xFF).astype(np.uint8)
+        enc = px.reshape(h, stride)
+    else:
+        flat = px.reshape(h, stride).astype(np.int16)
+        left = np.zeros_like(flat)
+        left[:, nch:] = flat[:, :-nch]
+        if filter_type == 1:
+            enc = flat - left
+        else:
+            up = np.zeros_like(flat)
+            up[1:] = flat[:-1]
+            if filter_type == 2:
+                enc = flat - up
+            elif filter_type == 3:
+                enc = flat - ((left + up) >> 1)
+            else:  # Paeth predictor, vectorized
+                upleft = np.zeros_like(flat)
+                upleft[1:, nch:] = flat[:-1, :-nch]
+                p = left + up - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                )
+                enc = flat - pred
+        enc = (enc & 0xFF).astype(np.uint8)
     lines = bytearray()
     for y in range(h):
         lines.append(filter_type)

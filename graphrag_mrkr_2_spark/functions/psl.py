@@ -184,9 +184,13 @@ def registered_domain_expr(host: Column, rules: tuple[str, ...] | None = None) -
     # IP literals have no registrable boundary — the implicit '*' rule would
     # truncate 104.16.2.8 to '2.8' and merge unrelated servers into one cap
     # group (review r4 finding #3; real PSL libraries special-case these).
-    # IPv4 = four dotted decimal octets; IPv6 hosts carry ':' (URL parsing
-    # strips the brackets with the port pattern).
-    is_ip = host.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$") | host.contains(":")
+    # IPv4 = four dotted decimal octets; IPv6 arrives bracketed from the
+    # URL host capture (urlops._HOST keeps [..] whole) or bare with ':'.
+    is_ip = (
+        host.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$")
+        | host.contains(":")
+        | host.startswith("[")
+    )
 
     def last(k: int) -> Column:
         return F.substring_index(host, ".", -k)

@@ -99,6 +99,7 @@ def token_budget_shards(
     shard_budget: int,
     order_col: str = "doc_id",
     stratum_col: str | None = None,
+    snapshot_dir: str | None = None,
 ) -> DataFrame:
     """Assign each doc a shard id such that every shard's cumulative token
     count stays within ~budget: shard = floor((cumsum - tokens) / budget)
@@ -119,9 +120,10 @@ def token_budget_shards(
          r3 'What's wrong' #4: the old eager localCheckpoint stored the
          whole corpus on executors lineage-free — a full materialization
          and a job-fatal executor-loss hazard at 100 TB; literal bounds
-         recompute like any other expression, and the bucketed frame is
-         held in an ordinary lineage-KEPT persist so the two consumers see
-         identical rows even over nondeterministic upstreams);
+         recompute like any other expression; deterministic inputs — the
+         engine's checkpointed stages and source tables — need no pinning
+         at all, and nondeterministic upstreams route through the
+         ``snapshot_dir`` stage snapshot);
       2. per-bucket local cumsum — a window keyed by the bucket id, fully
          parallel;
       3. per-bucket totals (one row per bucket, O(parallelism) — the same
@@ -150,24 +152,23 @@ def token_budget_shards(
         return df.withColumn("shard", shard.cast("long"))
 
     spark = df.sparkSession
+    # The totals collect and the windowed pass are two scans that must see
+    # the SAME rows. With the engine's normal inputs — checkpointed stage
+    # parquet / source tables — re-scanning is deterministic and nothing
+    # needs pinning. For a NONDETERMINISTIC upstream (sample(), rand(), a
+    # directory being appended to) pass ``snapshot_dir``: the bucketed
+    # frame is written there once and both consumers read the snapshot —
+    # the engine's real checkpoint primitive, durable and lineage-safe
+    # (an ordinary persist() would neither bound memory across calls nor
+    # survive executor loss consistently — review r4 pass-2 findings #1/#2).
     cuts = _range_cut_points(df, order_col)
     pid = F.lit(0)
     for c in cuts:
         pid = pid + F.when(F.col(order_col) > F.lit(c), 1).otherwise(0)
-    # persist (lineage-KEPT cache, spills to disk) so the totals collect and
-    # the windowed pass read the SAME rows: two plain scans of a
-    # nondeterministic upstream (sample(), rand(), a directory being
-    # appended to) could otherwise bucket different rows — offsets from
-    # data the shard pass no longer matches (review r4 finding #2). Unlike
-    # the old eager localCheckpoint this stores nothing lineage-free: a
-    # lost partition recomputes like any other stage. A cluster pipeline
-    # that already checkpointed the stage via the catalog reads the
-    # snapshot instead and needs no cache.
-    from pyspark import StorageLevel
-
-    bucketed = df.withColumn("__pid", pid.cast("int")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    bucketed = df.withColumn("__pid", pid.cast("int"))
+    if snapshot_dir is not None:
+        bucketed.write.mode("overwrite").parquet(snapshot_dir)
+        bucketed = spark.read.parquet(snapshot_dir)
 
     w_local = Window.partitionBy("__pid").orderBy(F.col(order_col).asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -189,8 +190,8 @@ def token_budget_shards(
     shard = F.floor(
         (F.col("__off") + F.col("__cum_local") - F.col(tokens_col)) / F.lit(shard_budget)
     )
-    # inner join is safe: the persisted bucketed frame guarantees every
-    # __pid the window emits was seen by the totals pass
+    # inner join is safe for deterministic/snapshotted inputs: every __pid
+    # the window emits was seen by the totals pass
     return (
         local.join(F.broadcast(off_df), "__pid")
         .withColumn("shard", shard.cast("long"))

@@ -46,7 +46,10 @@ URL_NORM_STEPS: list[tuple[str, str]] = [
 ]
 
 _SCHEME_HOST = r"^([^/?#]*://[^/?#]*)"
-_HOST = r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+# host capture: bracketed IPv6 literals are taken WHOLE (the ':' inside
+# brackets must not truncate the host — review r4 pass-2 finding #4);
+# otherwise the host ends at the first ':' (port), '/', '?' or '#'
+_HOST = r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?(\[[^\]]*\]|[^/?#:]+)"
 
 
 def normalize_url(col: Column) -> Column:

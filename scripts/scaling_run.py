@@ -70,8 +70,12 @@ for trial in range(3):
         print("TRIALFAIL " + json.dumps({{"cores": cores, "trial": trial,
               "err": str(exc)[:200]}}), flush=True)
         # still clear cached fragments: the NEXT trial must not reuse
-        # partially warmed state the uniform protocol excludes
-        spark.catalog.clearCache()
+        # partially warmed state the uniform protocol excludes — but a
+        # dead SparkContext must not escape the handler either
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
         continue
     rec = {{"cores": cores, "n_pages": n_pages, "sec": round(dt, 2),
            "docs_per_sec": round(n_pages / dt, 2),

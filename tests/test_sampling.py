@@ -142,6 +142,27 @@ def test_token_budget_shards_no_localcheckpoint(corpus):
 
 
 @pytest.mark.spark
+def test_token_budget_shards_snapshot_dir(corpus, tmp_path):
+    """snapshot_dir routes the bucketed frame through a durable stage
+    snapshot (the cluster path for nondeterministic upstreams — review r4
+    pass-2 findings #1/#2): identical shard ids, snapshot actually
+    written."""
+    import os
+
+    budget = 2000
+    snap = str(tmp_path / "shards_stage")
+    base = {r["doc_id"]: r["shard"] for r in token_budget_shards(corpus, "n_tokens", budget).collect()}
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in token_budget_shards(
+            corpus, "n_tokens", budget, snapshot_dir=snap
+        ).collect()
+    }
+    assert got == base
+    assert os.path.exists(os.path.join(snap, "_SUCCESS"))
+
+
+@pytest.mark.spark
 def test_token_budget_shards_string_order_col(spark):
     """Non-numeric order columns take the content-hash-sample cut path and
     must still match the single-window oracle exactly."""

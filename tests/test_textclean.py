@@ -110,15 +110,35 @@ class TestContamination:
             ("repeat", "x y z x y z x y z"),
             ("unicode", "café déjà vu café déjà vu encore une fois"),
             ("longish", " ".join(f"w{i % 7}" for i in range(50))),
-            # duplicate id: each ROW must gram independently (the window
-            # keys on a per-row id, never on doc_id — review r4 finding #1)
-            ("dup", "alpha beta gamma delta"),
-            ("dup", "zeta eta theta iota"),
         ]
         df = spark.createDataFrame(rows, "doc_id string, text string")
         for n in (2, 3, 8):
             got = sorted(
                 (r["doc_id"], r["gram_hash"]) for r in ngram_hashes(df, n).collect()
+            )
+            want = sorted(
+                (r["doc_id"], r["gram_hash"])
+                for r in _ngram_hashes_interpreted(df, n).collect()
+            )
+            assert got == want, f"n={n}"
+
+    def test_ngram_hashes_duplicate_ids_mode(self, spark):
+        """unique_id=False keys the window on a per-row id: rows sharing a
+        doc_id gram independently, matching the per-row interpreted builder
+        (review r4 finding #1 / pass-2 finding #3: the default keeps the
+        id-keyed single-exchange path for the unique-id contract)."""
+        from graphrag_mrkr_2_spark.operators.textclean import _ngram_hashes_interpreted
+
+        rows = [
+            ("dup", "alpha beta gamma delta"),
+            ("dup", "zeta eta theta iota"),
+            ("solo", "one two three four five"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        for n in (2, 3):
+            got = sorted(
+                (r["doc_id"], r["gram_hash"])
+                for r in ngram_hashes(df, n, unique_id=False).collect()
             )
             want = sorted(
                 (r["doc_id"], r["gram_hash"])

@@ -84,6 +84,17 @@ class TestRegisteredDomain:
         doms = [r["domain"] for r in with_normalized_urls(df).collect()]
         assert doms == ["104.16.2.8", "93.184.2.8", "10.0.0.1"]
 
+    def test_ipv6_literal_hosts_kept_whole(self, spark):
+        """Bracketed IPv6 hosts must be captured whole (the ':' inside the
+        brackets is not a port separator) and never merged by the implicit
+        '*' rule (review r4 pass-2 finding #4)."""
+        df = spark.createDataFrame(
+            [("http://[2606:4700::1]/a",), ("http://[2001:db8::2]:8080/b",)],
+            "url string",
+        )
+        doms = [r["domain"] for r in with_normalized_urls(df).collect()]
+        assert doms == ["[2606:4700::1]", "[2001:db8::2]"]
+
     def test_caps_group_at_registrable_boundary(self, spark):
         """Subdomain fan-out on a shared registry suffix must NOT dodge the
         per-domain cap, while distinct github.io users must keep their own
