@@ -4,7 +4,7 @@ entry(spark)    — flagship KG-construction run on a deterministic synthetic
                   pages table (BASELINE.json input_hint shape) → triples DF.
 queries()       — one entry per implemented operator family (SURVEY.md §2 +
                   the training-data suite); each callable (spark, sf_dir) →
-                  DataFrame. 51 queries, 43 with exact DuckDB oracles.
+                  DataFrame. 54 queries, 46 with exact DuckDB oracles.
 oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
                   KG-pipeline queries (chunking/extraction/canonicalization/
                   communities) are not ANSI-SQL-expressible → rows-only check
@@ -394,6 +394,97 @@ def q_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.desc("revenue"), F.asc("p_type"))
+    )
+
+
+def q_returned_items_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer —
+    lineitem('R') ⋈ orders ⋈ customer ⋈ broadcast(nation), top 20. The
+    return-flag filter is pushed to the fact scan; only the rollup
+    shuffles."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year — lineitem ⋈ broadcast(supplier) ⋈ orders ⋈ customer with the
+    nation dimension broadcast on BOTH legs; the cross-pair predicate
+    prunes before the rollup."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.join(F.broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(
+            F.col("supp_nation").isin("NATION_0", "NATION_1")
+            & F.col("cust_nation").isin("NATION_0", "NATION_1")
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold —
+    a fact self-aggregation (partial-agg groupBy on the join key) feeding
+    a semi-join back into orders ⋈ customer, top 20 by price."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 280)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            "o_orderkey",
+            "c_name",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            F.round("total_qty", 4).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
     )
 
 
@@ -1135,6 +1226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_nations_revenue": q_top_nations_revenue,
         "shipping_priority": q_shipping_priority,
         "part_type_revenue": q_part_type_revenue,
+        "returned_items_revenue": q_returned_items_revenue,
+        "volume_shipping": q_volume_shipping,
+        "large_orders": q_large_orders,
     }
 
 
@@ -2148,5 +2242,47 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_type
             ORDER BY revenue DESC, p_type ASC
+        """,
+        "returned_items_revenue": """
+            SELECT c_custkey, c_name, n_name,
+                   ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+        """,
+        "volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN ('NATION_0', 'NATION_1')
+              AND n2.n_name IN ('NATION_0', 'NATION_1')
+              AND n1.n_name <> n2.n_name
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "large_orders": """
+            WITH big AS (
+              SELECT l_orderkey, SUM(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 280
+            )
+            SELECT o_orderkey, c_name,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   ROUND(o_totalprice, 4) AS o_totalprice,
+                   ROUND(total_qty, 4) AS total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
         """,
     }
