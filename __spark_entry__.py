@@ -2053,8 +2053,8 @@ def oracle_sql() -> dict[str, str]:
                   '[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*$', '', 'g'),
                   '\\?&', '?', 'g'),
                   '[?&]$', '', 'g'),
-                  '^(http://[^/:?#]+):80([/?#]|$)', '\\1\\2', 'g'),
-                  '^(https://[^/:?#]+):443([/?#]|$)', '\\1\\2', 'g'),
+                  '^(http://(?:\\[[^\\]]*\\]|[^/:?#]+)):80([/?#]|$)', '\\1\\2', 'g'),
+                  '^(https://(?:\\[[^\\]]*\\]|[^/:?#]+)):443([/?#]|$)', '\\1\\2', 'g'),
                   '^([a-z]+://[^/?#]+)/$', '\\1', 'g') AS norm_url
               FROM lowered
             ),

@@ -187,13 +187,25 @@ def token_budget_shards(
         offsets.append((b, acc))
         acc += t or 0
     off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    # left join + raise_error turns the DETECTABLE slice of
+    # nondeterministic-input misuse (a bucket the totals pass never saw)
+    # into a loud failure instead of silently dropping rows (review r4
+    # pass-3 #2); same-bucket row drift is undetectable by construction —
+    # snapshot_dir is the guarantee for such sources.
+    off_checked = F.when(
+        F.col("__off").isNull(),
+        F.raise_error(
+            F.lit(
+                "token_budget_shards: bucket unseen by the totals pass — "
+                "nondeterministic input? pass snapshot_dir"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__off"))
     shard = F.floor(
-        (F.col("__off") + F.col("__cum_local") - F.col(tokens_col)) / F.lit(shard_budget)
+        (off_checked + F.col("__cum_local") - F.col(tokens_col)) / F.lit(shard_budget)
     )
-    # inner join is safe for deterministic/snapshotted inputs: every __pid
-    # the window emits was seen by the totals pass
     return (
-        local.join(F.broadcast(off_df), "__pid")
+        local.join(F.broadcast(off_df), "__pid", "left")
         .withColumn("shard", shard.cast("long"))
         .drop("__pid", "__cum_local", "__off")
     )

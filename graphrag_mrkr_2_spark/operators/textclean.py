@@ -245,6 +245,7 @@ def contamination_overlap(
     text_col: str = "text",
     bench_id_col: str = "bench_id",
     broadcast_bench: bool = True,
+    docs_unique_id: bool = True,
 ) -> DataFrame:
     """GPT-3-style decontamination: per (document, benchmark n-gram set)
     overlap. Returns (doc_id, n_hits, n_grams, overlap_frac) for documents
@@ -253,16 +254,28 @@ def contamination_overlap(
     Plan: benchmark grams are hashed + distinct once (tiny → broadcast);
     document grams probe with an inner equi-join, then one partial-agg
     groupBy. At 10^12 docs this is a broadcast-hash probe per partition —
-    no shuffle of the corpus side.
+    no shuffle of the corpus side, whose single gram exchange is reused by
+    the distinct/groupBys (ngram_hashes unique_id=True).
+
+    The BENCHMARK side always grams per physical row (unique_id=False):
+    "any benchmark row" invites duplicate ``bench_id`` values (one id per
+    benchmark name, many rows), the side is small, and a duplicate-keyed
+    window would silently corrupt the probe set (review r4 pass-3 #1).
+    Set ``docs_unique_id=False`` if the CORPUS side can carry duplicate
+    ids too (costs downstream re-exchanges).
     """
     bench_grams = (
-        ngram_hashes(benchmark, n, id_col=bench_id_col, text_col=text_col)
+        ngram_hashes(
+            benchmark, n, id_col=bench_id_col, text_col=text_col, unique_id=False
+        )
         .select("gram_hash")
         .distinct()
     )
     if broadcast_bench:
         bench_grams = F.broadcast(bench_grams)
-    doc_grams = ngram_hashes(docs, n, id_col=id_col, text_col=text_col).distinct()
+    doc_grams = ngram_hashes(
+        docs, n, id_col=id_col, text_col=text_col, unique_id=docs_unique_id
+    ).distinct()
     totals = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
         doc_grams.join(bench_grams, "gram_hash")

@@ -38,9 +38,10 @@ URL_NORM_STEPS: list[tuple[str, str]] = [
     # tidy leftover separators: '?&' -> '?', trailing '?' or '&'
     (r"\?&", "?"),
     (r"[?&]$", ""),
-    # default ports
-    (r"^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
-    (r"^(https://[^/:?#]+):443([/?#]|$)", "$1$2"),
+    # default ports (bracketed IPv6 hosts carry ':' inside [] — the
+    # alternation keeps the rule matching them; review r4 pass-3 #3)
+    (r"^(http://(?:\[[^\]]*\]|[^/:?#]+)):80([/?#]|$)", "$1$2"),
+    (r"^(https://(?:\[[^\]]*\]|[^/:?#]+)):443([/?#]|$)", "$1$2"),
     # trailing slash on a bare host
     (r"^([a-z]+://[^/?#]+)/$", "$1"),
 ]

@@ -87,6 +87,23 @@ class TestContamination:
         assert out["dirty"]["n_hits"] >= 1
         assert 0 < out["dirty"]["overlap_frac"] <= 1.0
 
+    def test_duplicate_bench_ids_still_detected(self, spark):
+        """A benchmark keyed by NAME (duplicate bench_id rows) must still
+        catch verbatim contamination — the bench side grams per physical
+        row (review r4 pass-3 finding #1)."""
+        bench = spark.createDataFrame(
+            [("b", "alpha beta gamma delta"), ("b", "zeta eta theta iota")],
+            "bench_id string, text string",
+        )
+        docs = spark.createDataFrame(
+            [("dirty", "prefix zeta eta theta iota suffix"),
+             ("clean", "totally unrelated words right here")],
+            "doc_id string, text string",
+        )
+        out = {r["doc_id"]: r for r in contamination_overlap(docs, bench, n=4).collect()}
+        assert "dirty" in out and out["dirty"]["n_hits"] >= 1
+        assert "clean" not in out
+
     def test_ngram_count(self, spark):
         df = spark.createDataFrame(
             [("d", "one two three four five")], "doc_id string, text string"

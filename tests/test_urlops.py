@@ -221,3 +221,17 @@ class TestReviewRegressions:
         n_docs = res.mentions.select("document_id").distinct().count()
         # utm-variant urls hash to DIFFERENT document ids -> both kept
         assert n_docs == 8
+
+
+class TestIpv6Normalization:
+    def test_default_port_stripped_inside_brackets(self, spark):
+        """Equivalent IPv6 URLs with/without a default port must normalize
+        identically (review r4 pass-3 finding #3)."""
+        df = spark.createDataFrame(
+            [("http://[2606:4700::1]:80/a",), ("http://[2606:4700::1]/a",),
+             ("https://[2001:db8::2]:443/b",), ("https://[2001:db8::2]/b",)],
+            "url string",
+        )
+        norms = [r["norm_url"] for r in with_normalized_urls(df).collect()]
+        assert norms[0] == norms[1] == "http://[2606:4700::1]/a"
+        assert norms[2] == norms[3] == "https://[2001:db8::2]/b"
