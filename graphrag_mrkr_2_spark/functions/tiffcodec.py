@@ -6,12 +6,15 @@ TIFF 6.0 baseline per the public spec: header (II/MM byte order), IFD
 walk, the baseline tags (ImageWidth/ImageLength/BitsPerSample/Compression/
 PhotometricInterpretation/StripOffsets/SamplesPerPixel/RowsPerStrip/
 StripByteCounts), 8-bit samples, grayscale (incl. WhiteIsZero inversion)
-and RGB(A), strip assembly, Compression 1 (none) and 32773 (PackBits).
-LZW/JPEG-in-TIFF compression raises cleanly — that sliver plus OCR is all
-that remains of the raster seam.
+and RGB(A), strip assembly, Compression 1 (none), 5 (LZW per §13 with the
+spec's early-change variable widths) and 32773 (PackBits), and Predictor 2
+(horizontal differencing, the standard LZW companion). JPEG-in-TIFF
+raises cleanly — that sliver plus OCR is all that remains of the raster
+seam.
 
-An encoder (uncompressed, single strip, little-endian) is included for the
-exact encode→decode round-trip oracle. Pixels are (h, w, c) uint8.
+An encoder (single strip, little-endian, optional LZW + predictor) is
+included for the exact encode→decode round-trip oracle. Pixels are
+(h, w, c) uint8.
 """
 
 from __future__ import annotations
@@ -36,6 +39,110 @@ def _unpackbits(data: bytes, expected: int) -> bytes:
             out += data[i : i + 1] * (1 - n)
             i += 1
     return bytes(out[:expected])
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first variable-width codes, 8-bit symbols,
+    Clear=256, EOI=257, first entry 258, initial width 9, 12-bit cap, and
+    the spec's EARLY CHANGE — widths grow one code sooner than GIF because
+    the decoder runs one add behind the encoder (libtiff's MAXCODE-1)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code = 258
+    width = 9
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + width <= total_bits and len(out) < expected:
+        byte_i = bitpos // 8
+        chunk = data[byte_i : byte_i + 3].ljust(3, b"\x00")
+        window = int.from_bytes(chunk, "big")
+        shift = 24 - (bitpos % 8) - width
+        code = (window >> shift) & ((1 << width) - 1)
+        bitpos += width
+        if code == CLEAR:
+            table = {i: bytes([i]) for i in range(256)}
+            next_code = 258
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"bad TIFF LZW code {code}")
+            if next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                # early change: the encoder is one add ahead — grow when
+                # ITS next free entry (next_code + 1) crosses the width
+                if next_code + 1 > (1 << width) - 2 and width < 12:
+                    width += 1
+        out += entry
+        prev = entry
+    return bytes(out[:expected])
+
+
+class _MsbBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc = (self.acc << width) | code
+        self.nbits += width
+        while self.nbits >= 8:
+            self.buf.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.buf.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.buf)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    CLEAR, EOI = 256, 257
+    bw = _MsbBitWriter()
+
+    def reset():
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, next_code, width = reset()
+    bw.write(CLEAR, width)
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        bw.write(table[w], width)
+        if next_code < 4094:  # leave room: table refills at 4094 per spec
+            table[wk] = next_code
+            next_code += 1
+            # encoder-side early change (decoder checks next_code + 1: it
+            # runs one add behind)
+            if next_code > (1 << width) - 2 and width < 12:
+                width += 1
+        else:
+            bw.write(CLEAR, width)
+            table, next_code, width = reset()
+        w = bytes([b])
+    if w:
+        bw.write(table[w], width)
+    bw.write(EOI, width)
+    return bw.flush()
 
 
 def decode_tiff(data: bytes) -> np.ndarray:
@@ -94,10 +201,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise ValueError("TIFF missing strip offsets/byte counts")
     if any(b != 8 for b in bits):
         raise ValueError(f"unsupported TIFF bit depths {bits} (8-bit only)")
-    if compression not in (1, 32773):
+    predictor = one(317, 1)
+    if compression not in (1, 5, 32773):
         raise ValueError(
-            f"unsupported TIFF compression {compression} (none/PackBits only)"
+            f"unsupported TIFF compression {compression} (none/LZW/PackBits only)"
         )
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     if photometric not in (0, 1, 2):
         raise ValueError(f"unsupported TIFF photometric {photometric}")
 
@@ -109,26 +219,49 @@ def decode_tiff(data: bytes) -> np.ndarray:
         body = data[off : off + cnt]
         if compression == 32773:
             body = _unpackbits(body, strip_rows * row_bytes)
+        elif compression == 5:
+            body = _tiff_lzw_decode(body, strip_rows * row_bytes)
         raw += body[: strip_rows * row_bytes]
         remaining_rows -= strip_rows
     if len(raw) < h * row_bytes:
         raise ValueError("TIFF strip data too short")
     px = np.frombuffer(bytes(raw[: h * row_bytes]), dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing: undo = per-row cumsum
+        px = (np.cumsum(px, axis=1, dtype=np.int64) % 256).astype(np.uint8)
     if photometric == 0:  # WhiteIsZero
         px = 255 - px
     return px
 
 
-def encode_tiff(pixels: np.ndarray) -> bytes:
-    """Encode (h, w, c∈{1,3,4}) uint8 to an uncompressed little-endian
-    single-strip TIFF."""
+def encode_tiff(
+    pixels: np.ndarray, compression: str = "none", predictor: int = 1
+) -> bytes:
+    """Encode (h, w, c∈{1,3,4}) uint8 to a little-endian single-strip TIFF.
+    ``compression``: 'none' or 'lzw' (TIFF §13, early-change widths);
+    ``predictor``: 1 (none) or 2 (horizontal differencing — the standard
+    LZW companion). Round-trip oracle for the decoder's compressed paths."""
     px = np.ascontiguousarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, spp = px.shape
     if spp not in (1, 3, 4):
         raise ValueError("encode_tiff expects 1, 3 or 4 channels")
-    body = px.tobytes()
+    if predictor == 2:
+        diff = px.astype(np.int16)
+        diff[:, 1:, :] -= px[:, :-1, :].astype(np.int16)
+        body_px = (diff & 0xFF).astype(np.uint8)
+    elif predictor == 1:
+        body_px = px
+    else:
+        raise ValueError(f"unsupported predictor {predictor}")
+    body = body_px.tobytes()
+    if compression == "lzw":
+        comp_tag = 5
+        body = _tiff_lzw_encode(body)
+    elif compression == "none":
+        comp_tag = 1
+    else:
+        raise ValueError(f"unsupported compression {compression!r}")
     photometric = 1 if spp == 1 else 2
 
     entries = []
@@ -153,8 +286,10 @@ def encode_tiff(pixels: np.ndarray) -> bytes:
         entry(258, 3, 1, short(8))
     else:
         entry(258, 3, spp, long_(bits_off))
-    entry(259, 3, 1, short(1))
+    entry(259, 3, 1, short(comp_tag))
     entry(262, 3, 1, short(photometric))
+    if predictor == 2:
+        entry(317, 3, 1, short(2))
     entry(273, 4, 1, long_(data_off))
     entry(277, 3, 1, short(spp))
     entry(278, 4, 1, long_(h))

@@ -146,14 +146,6 @@ class TestVariants:
         back = decode_tiff(bytes(out))
         assert (back == px).all()
 
-    def test_lzw_rejected_cleanly(self):
-        px = np.zeros((2, 2, 1), dtype=np.uint8)
-        data = bytearray(encode_tiff(px))
-        i = bytes(data).index(struct.pack("<HHI", 259, 3, 1))
-        data[i + 8 : i + 10] = struct.pack("<H", 5)  # LZW
-        with pytest.raises(ValueError, match="compression"):
-            decode_tiff(bytes(data))
-
     def test_garbage_rejected(self):
         with pytest.raises(ValueError, match="TIFF"):
             decode_tiff(b"not a tiff")
@@ -167,3 +159,66 @@ class TestDispatch:
         data = encode_tiff(px)
         assert sniff_image(data) == "tiff"
         assert (decode_image(data) == px).all()
+
+
+class TestLzw:
+    def test_lzw_stream_roundtrip_with_width_growth(self):
+        """Enough distinct material to push the code width through 9→10→11
+        bits (and table churn) — self-consistency of the early-change
+        variable-width codec."""
+        from graphrag_mrkr_2_spark.functions.tiffcodec import (
+            _tiff_lzw_decode,
+            _tiff_lzw_encode,
+        )
+
+        rng = np.random.RandomState(7)
+        data = bytes(rng.randint(0, 256, size=20000, dtype=np.uint8))
+        comp = _tiff_lzw_encode(data)
+        assert _tiff_lzw_decode(comp, len(data)) == data
+        # compressible data too
+        data2 = (b"abcabcabd" * 500) + bytes(range(256)) * 4
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data2), len(data2)) == data2
+
+    def test_lzw_early_change_boundary(self):
+        """The 9→10-bit switch happens one code EARLY (TIFF quirk vs GIF):
+        a stream long enough to add entry 509 must still round-trip
+        byte-exactly across the boundary."""
+        from graphrag_mrkr_2_spark.functions.tiffcodec import (
+            _tiff_lzw_decode,
+            _tiff_lzw_encode,
+        )
+
+        # incompressible pattern: ~1 new table entry per 1-2 input bytes,
+        # comfortably crossing 510 entries
+        data = bytes((i * 7 + (i >> 3)) % 256 for i in range(1500))
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+
+    @pytest.mark.parametrize("channels", [1, 3])
+    @pytest.mark.parametrize("predictor", [1, 2])
+    def test_tiff_lzw_image_roundtrip(self, channels, predictor):
+        rng = np.random.RandomState(channels + predictor)
+        px = rng.randint(0, 256, size=(19, 23, channels), dtype=np.uint8)
+        data = encode_tiff(px, compression="lzw", predictor=predictor)
+        back = decode_tiff(data)
+        assert back.shape == px.shape and (back == px).all()
+        # the compressed payload really is LZW (tag 259 == 5)
+        i = bytes(data).index(struct.pack("<HHI", 259, 3, 1))
+        assert struct.unpack("<H", data[i + 8 : i + 10])[0] == 5
+
+    def test_predictor_improves_gradient_compression(self):
+        """Horizontal differencing exists to make smooth content compress —
+        verify the size win on a gradient."""
+        yy, xx = np.mgrid[0:64, 0:64]
+        px = ((yy + xx) % 256).astype(np.uint8)[:, :, None]
+        plain = encode_tiff(px, compression="lzw", predictor=1)
+        pred = encode_tiff(px, compression="lzw", predictor=2)
+        assert len(pred) < len(plain)
+        assert (decode_tiff(pred) == px).all()
+
+    def test_jpeg_in_tiff_still_rejected(self):
+        px = np.zeros((2, 2, 1), dtype=np.uint8)
+        data = bytearray(encode_tiff(px))
+        i = bytes(data).index(struct.pack("<HHI", 259, 3, 1))
+        data[i + 8 : i + 10] = struct.pack("<H", 7)  # JPEG-in-TIFF
+        with pytest.raises(ValueError, match="compression"):
+            decode_tiff(bytes(data))
