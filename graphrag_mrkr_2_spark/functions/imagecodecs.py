@@ -363,6 +363,142 @@ def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
     return bw.flush()
 
 
+def gif_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
+    """Decode ALL frames of a non-interlaced animated GIF to
+    [(delay_ms, (h, w, 3) uint8 RGB)], composited onto the logical screen
+    per the GIF89a disposal model (disposal 0/1 = draw over previous,
+    2 = restore background, 3 = restore previous; transparency honored
+    through the GCE transparent-color index)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, bg_idx, _aspect = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    global_table = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_table = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    if global_table is not None and bg_idx < len(global_table):
+        canvas = np.tile(global_table[bg_idx], (sh, sw, 1)).astype(np.uint8)
+        background = canvas.copy()
+    else:
+        canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+        background = canvas.copy()
+    frames: list[tuple[int, np.ndarray]] = []
+    delay_ms = 0
+    transparent: int | None = None
+    disposal = 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = data[pos]
+            pos += 1
+            if label == 0xF9 and data[pos] >= 4:  # Graphic Control Extension
+                gflags, delay_cs, tidx = struct.unpack(
+                    "<BHB", data[pos + 1 : pos + 5]
+                )
+                delay_ms = delay_cs * 10
+                disposal = (gflags >> 2) & 0x7
+                transparent = tidx if gflags & 1 else None
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
+        pos += 9
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        table = global_table
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            table = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image without a color table")
+        min_code_size = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos] != 0:
+            size = data[pos]
+            lzw += data[pos + 1 : pos + 1 + size]
+            pos += 1 + size
+        pos += 1
+        indices = _lzw_decode(bytes(lzw), min_code_size)
+        if len(indices) < w * h:
+            raise ValueError("GIF LZW data too short")
+        idx = np.asarray(indices[: w * h], dtype=np.int32).reshape(h, w)
+        before = canvas.copy()
+        region = canvas[top : top + h, left : left + w]
+        px = table[idx]
+        if transparent is not None:
+            mask = (idx != transparent)[:, :, None]
+            region[...] = np.where(mask, px, region)
+        else:
+            region[...] = px
+        frames.append((delay_ms, canvas.copy()))
+        if disposal == 2:  # restore background in the frame's region
+            canvas[top : top + h, left : left + w] = background[
+                top : top + h, left : left + w
+            ]
+        elif disposal == 3:  # restore what was there before this frame
+            canvas = before
+        delay_ms = 0
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF contains no image descriptor")
+    return frames
+
+
+def encode_gif_frames(
+    frames: list[np.ndarray], delays_ms: list[int] | None = None
+) -> bytes:
+    """Encode full-screen RGB frames (shared <=256-color palette across all
+    frames) to an animated GIF89a with per-frame GCE delays — the
+    round-trip oracle for :func:`gif_frames` (disposal 0, no
+    transparency)."""
+    if not frames:
+        raise ValueError("encode_gif_frames needs at least one frame")
+    h, w, _ = frames[0].shape
+    stack = np.concatenate([f.reshape(-1, 3) for f in frames], axis=0)
+    colors, inverse = np.unique(stack, axis=0, return_inverse=True)
+    inverse = np.asarray(inverse).reshape(-1)
+    if len(colors) > 256:
+        raise ValueError(f"encode_gif_frames needs <=256 colors, got {len(colors)}")
+    bits = max(1, int(len(colors) - 1).bit_length())
+    n = 1 << bits
+    table = np.zeros((n, 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+    min_code_size = max(2, bits)
+    delays_ms = delays_ms or [100] * len(frames)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += table.tobytes()
+    per = w * h
+    for fi, _frame in enumerate(frames):
+        delay_cs = max(0, delays_ms[fi] // 10)
+        out += b"\x21\xf9\x04" + struct.pack("<BHB", 0, delay_cs, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code_size)
+        seg = _lzw_encode(
+            [int(i) for i in inverse[fi * per : (fi + 1) * per]], min_code_size
+        )
+        for i in range(0, len(seg), 255):
+            chunk = seg[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def decode_gif(data: bytes) -> np.ndarray:
     """Decode the FIRST frame of a non-interlaced GIF87a/89a to (h, w, 3)
     uint8 RGB."""

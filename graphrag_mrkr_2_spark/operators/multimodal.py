@@ -492,16 +492,35 @@ def sample_video_frames(
     strict: bool = False,
 ) -> DataFrame:
     """Frame sampling via row-multiplying mapInPandas (r4: REAL for MJPEG
-    AVI). RIFF/AVI payloads are container-walked (functions/avicodec.py)
-    and their MJPEG frames sampled every ``every_ms`` by the container's
-    own fps — each emitted ``frame`` is the frame's raw JPEG bytes, which
-    image_features decodes directly (the two-operator chain is real video
-    → pixels with zero native libraries). Other codecs (H.264/VP9 — the
+    AVI and animated GIF). RIFF/AVI payloads are container-walked
+    (functions/avicodec.py) and their MJPEG frames sampled every
+    ``every_ms`` by the container's own fps — each emitted ``frame`` is
+    the frame's raw JPEG bytes. Animated GIFs are composited per the
+    disposal model (functions/imagecodecs.gif_frames) and sampled by their
+    own per-frame delays — emitted as PNG bytes. Either way
+    image_features decodes the emitted frames directly (real video →
+    pixels with zero native libraries). Other codecs (H.264/VP9 — the
     ffmpeg seam): strict=True raises, strict=False emits deterministic
-    fake frames; corrupt AVI containers quarantine to the fake path."""
+    fake frames; corrupt containers quarantine to the fake path."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from graphrag_mrkr_2_spark.functions.avicodec import extract_frames, sniff_video
+        from graphrag_mrkr_2_spark.functions.imagecodecs import (
+            encode_png,
+            gif_frames,
+            sniff_image,
+        )
+
+        def _sample_gif(payload: bytes) -> list[tuple[int, bytes]]:
+            frames = gif_frames(payload)
+            picked = []
+            cum, next_t = 0, 0
+            for i, (delay, px) in enumerate(frames):
+                if cum >= next_t:
+                    picked.append((i, encode_png(px)))
+                    next_t += every_ms
+                cum += max(delay, 10)  # browsers clamp 0-delay frames too
+            return picked
 
         for pdf in batches:
             rows = []
@@ -515,6 +534,13 @@ def sample_video_frames(
                         if strict:
                             raise
                         sampled = None  # corrupt/non-MJPEG -> fake fallback
+                elif sniff_image(payload) == "gif":
+                    try:
+                        sampled = _sample_gif(payload)
+                    except Exception:
+                        if strict:
+                            raise
+                        sampled = None
                 if sampled is not None:
                     for i, jpeg in sampled:
                         rows.append(

@@ -137,3 +137,28 @@ class TestSparkWiring:
         )
         frames = sample_video_frames(media, every_ms=1000).collect()
         assert [r["frame_index"] for r in frames] == [0, 1, 2]
+
+
+@pytest.mark.spark
+class TestAnimatedGifSampling:
+    def test_gif_frames_sampled_and_decodable(self, spark):
+        """Animated GIF video payloads sample by their own frame delays and
+        emit PNG frames the image layer decodes (real gif -> pixels)."""
+        from graphrag_mrkr_2_spark.functions.imagecodecs import (
+            decode_png,
+            encode_gif_frames,
+        )
+        from graphrag_mrkr_2_spark.operators.multimodal import sample_video_frames
+
+        frames = [np.full((6, 7, 3), 30 * i, dtype=np.uint8) for i in range(6)]
+        gif = encode_gif_frames(frames, delays_ms=[500] * 6)  # 3s at 2 fps
+        media = spark.createDataFrame(
+            [("g", "video", bytearray(gif), ("gif", 7, 6, 3000))],
+            "media_id string, kind string, payload binary, "
+            "meta struct<codec:string,width:int,height:int,duration_ms:int>",
+        )
+        got = sample_video_frames(media, every_ms=1000, strict=True).collect()
+        assert [r["frame_index"] for r in got] == [0, 2, 4]
+        for r in got:
+            px = decode_png(bytes(r["frame"]))
+            assert (px == 30 * r["frame_index"]).all()

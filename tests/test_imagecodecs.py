@@ -244,3 +244,77 @@ class TestSparkWiring:
             assert row["png_checksum"] == str(expected)
             assert row["bmp_checksum"] == str(expected)
             assert row["gif_checksum"] == str(expected)
+
+
+class TestAnimatedGif:
+    def test_multiframe_roundtrip_with_delays(self):
+        from graphrag_mrkr_2_spark.functions.imagecodecs import (
+            encode_gif_frames,
+            gif_frames,
+        )
+
+        rng = np.random.RandomState(2)
+        pal = rng.randint(0, 256, size=(64, 3), dtype=np.uint8)
+        frames = [pal[rng.randint(0, 64, size=(9, 11))] for _ in range(4)]
+        delays = [40, 80, 120, 0]
+        data = encode_gif_frames(frames, delays)
+        got = gif_frames(data)
+        assert [d for d, _ in got] == delays
+        for (_, g), f in zip(got, frames):
+            assert g.shape == f.shape and (g == f).all()
+
+    def test_first_frame_matches_decode_gif(self):
+        from graphrag_mrkr_2_spark.functions.imagecodecs import (
+            decode_gif,
+            encode_gif_frames,
+            gif_frames,
+        )
+
+        frames = [
+            np.full((5, 6, 3), 10, dtype=np.uint8),
+            np.full((5, 6, 3), 200, dtype=np.uint8),
+        ]
+        data = encode_gif_frames(frames)
+        assert (decode_gif(data) == gif_frames(data)[0][1]).all()
+
+    def test_transparency_and_partial_frame_compositing(self):
+        """Hand-build frame 2 as a sub-rectangle with a transparent index:
+        transparent pixels must show frame 1's pixels through."""
+        import struct
+
+        from graphrag_mrkr_2_spark.functions.imagecodecs import (
+            _lzw_encode,
+            gif_frames,
+        )
+
+        # palette: 0=red 1=green 2=blue(transparent stand-in)
+        table = b"\xff\x00\x00" + b"\x00\xff\x00" + b"\x00\x00\xff" + b"\x00\x00\x00"
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0)  # 4-entry table
+        out += table
+
+        def img(left, top, w, h, indices, gce=None):
+            if gce is not None:
+                out.extend(b"\x21\xf9\x04" + gce + b"\x00")
+            out.extend(b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0))
+            out.append(2)
+            seg = _lzw_encode(indices, 2)
+            for i in range(0, len(seg), 255):
+                chunk = seg[i : i + 255]
+                out.append(len(chunk))
+                out.extend(chunk)
+            out.append(0)
+
+        img(0, 0, 4, 4, [0] * 16)  # frame 1: all red
+        # frame 2: 2x2 box at (1,1): [green, transparent, transparent, green]
+        img(1, 1, 2, 2, [1, 2, 2, 1], gce=struct.pack("<BHB", 0x01, 5, 2))
+        out += b"\x3b"
+
+        frames = gif_frames(bytes(out))
+        assert len(frames) == 2
+        f2 = frames[1][1]
+        assert (f2[1, 1] == [0, 255, 0]).all()  # green drawn
+        assert (f2[1, 2] == [255, 0, 0]).all()  # transparent -> red beneath
+        assert (f2[2, 1] == [255, 0, 0]).all()
+        assert (f2[2, 2] == [0, 255, 0]).all()
+        assert frames[1][0] == 50  # 5 cs -> 50 ms
