@@ -434,8 +434,13 @@ def gif_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
         if len(indices) < w * h:
             raise ValueError("GIF LZW data too short")
         idx = np.asarray(indices[: w * h], dtype=np.int32).reshape(h, w)
-        before = canvas.copy()
-        region = canvas[top : top + h, left : left + w]
+        # clip rects that overhang the logical screen (browsers clip too —
+        # review r4 pass-4 finding #3)
+        ch_, cw_ = max(0, min(h, sh - top)), max(0, min(w, sw - left))
+        idx = idx[:ch_, :cw_]
+        # 'before' snapshot only when the disposal mode needs it (pass-4 #4)
+        before = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + ch_, left : left + cw_]
         px = table[idx]
         if transparent is not None:
             mask = (idx != transparent)[:, :, None]
@@ -444,10 +449,10 @@ def gif_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
             region[...] = px
         frames.append((delay_ms, canvas.copy()))
         if disposal == 2:  # restore background in the frame's region
-            canvas[top : top + h, left : left + w] = background[
-                top : top + h, left : left + w
+            canvas[top : top + ch_, left : left + cw_] = background[
+                top : top + ch_, left : left + cw_
             ]
-        elif disposal == 3:  # restore what was there before this frame
+        elif disposal == 3 and before is not None:  # restore pre-frame pixels
             canvas = before
         delay_ms = 0
         transparent = None
@@ -455,6 +460,30 @@ def gif_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
     if not frames:
         raise ValueError("GIF contains no image descriptor")
     return frames
+
+
+def _gif_palette(stack: np.ndarray):
+    """Quantize (n, 3) uint8 rows to a power-of-two GIF color table.
+    Returns (table bytes-ready array, per-pixel indices, bits,
+    min_code_size) — the ONE palette builder shared by encode_gif and
+    encode_gif_frames (review r4 pass-4 finding #5)."""
+    colors, inverse = np.unique(stack, axis=0, return_inverse=True)
+    inverse = np.asarray(inverse).reshape(-1)  # numpy 2.0 axis-unique quirk
+    if len(colors) > 256:
+        raise ValueError(f"GIF encoding needs <=256 colors, got {len(colors)}")
+    bits = max(1, int(len(colors) - 1).bit_length())
+    table = np.zeros((1 << bits, 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+    return table, inverse, bits, max(2, bits)
+
+
+def _write_subblocks(out: bytearray, seg: bytes) -> None:
+    """Append LZW data as <=255-byte GIF sub-blocks plus the terminator."""
+    for i in range(0, len(seg), 255):
+        chunk = seg[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00"
 
 
 def encode_gif_frames(
@@ -467,17 +496,13 @@ def encode_gif_frames(
     if not frames:
         raise ValueError("encode_gif_frames needs at least one frame")
     h, w, _ = frames[0].shape
-    stack = np.concatenate([f.reshape(-1, 3) for f in frames], axis=0)
-    colors, inverse = np.unique(stack, axis=0, return_inverse=True)
-    inverse = np.asarray(inverse).reshape(-1)
-    if len(colors) > 256:
-        raise ValueError(f"encode_gif_frames needs <=256 colors, got {len(colors)}")
-    bits = max(1, int(len(colors) - 1).bit_length())
-    n = 1 << bits
-    table = np.zeros((n, 3), dtype=np.uint8)
-    table[: len(colors)] = colors
-    min_code_size = max(2, bits)
+    if any(f.shape != (h, w, 3) for f in frames):
+        raise ValueError("encode_gif_frames needs uniform (h, w, 3) frames")
     delays_ms = delays_ms or [100] * len(frames)
+    if len(delays_ms) != len(frames):
+        raise ValueError("delays_ms must have one entry per frame")
+    stack = np.concatenate([f.reshape(-1, 3) for f in frames], axis=0)
+    table, inverse, bits, min_code_size = _gif_palette(stack)
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
     out += table.tobytes()
@@ -487,14 +512,12 @@ def encode_gif_frames(
         out += b"\x21\xf9\x04" + struct.pack("<BHB", 0, delay_cs, 0) + b"\x00"
         out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
         out.append(min_code_size)
-        seg = _lzw_encode(
-            [int(i) for i in inverse[fi * per : (fi + 1) * per]], min_code_size
+        _write_subblocks(
+            out,
+            _lzw_encode(
+                [int(i) for i in inverse[fi * per : (fi + 1) * per]], min_code_size
+            ),
         )
-        for i in range(0, len(seg), 255):
-            chunk = seg[i : i + 255]
-            out.append(len(chunk))
-            out += chunk
-        out += b"\x00"
     out += b"\x3b"
     return bytes(out)
 
@@ -554,33 +577,22 @@ def decode_gif(data: bytes) -> np.ndarray:
 
 
 def encode_gif(pixels: np.ndarray) -> bytes:
-    """Encode (h, w, 3) uint8 RGB (<= 256 distinct colors) to a GIF89a."""
+    """Encode (h, w, 3) uint8 RGB (<= 256 distinct colors) to a GIF89a —
+    single-frame body built on the same palette/sub-block helpers as
+    encode_gif_frames (review r4 pass-4 finding #5: one copy of that
+    logic)."""
     px = np.ascontiguousarray(pixels, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("encode_gif expects (h, w, 3) RGB")
     h, w, _ = px.shape
-    flat = px.reshape(-1, 3)
-    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
-    inverse = np.asarray(inverse).reshape(-1)  # numpy 2.0 axis-unique shape quirk
-    if len(colors) > 256:
-        raise ValueError(f"encode_gif needs <=256 colors, got {len(colors)}")
-    # color-table size must be a power of two >= 2
-    bits = max(1, int(len(colors) - 1).bit_length())
-    n = 1 << bits
-    table = np.zeros((n, 3), dtype=np.uint8)
-    table[: len(colors)] = colors
-    min_code_size = max(2, bits)
+    table, inverse, bits, min_code_size = _gif_palette(px.reshape(-1, 3))
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
     out += table.tobytes()
     out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
     out.append(min_code_size)
-    lzw = _lzw_encode([int(i) for i in inverse], min_code_size)
-    for i in range(0, len(lzw), 255):
-        chunk = lzw[i : i + 255]
-        out.append(len(chunk))
-        out += chunk
-    out += b"\x00\x3b"
+    _write_subblocks(out, _lzw_encode([int(i) for i in inverse], min_code_size))
+    out += b"\x3b"
     return bytes(out)
 
 

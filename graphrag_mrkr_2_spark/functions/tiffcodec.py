@@ -83,7 +83,8 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
                 next_code += 1
                 # early change: the encoder is one add ahead — grow when
                 # ITS next free entry (next_code + 1) crosses the width
-                if next_code + 1 > (1 << width) - 2 and width < 12:
+                # (threshold (1<<w)-1, verified byte-exact against libtiff)
+                if next_code + 1 > (1 << width) - 1 and width < 12:
                     width += 1
         out += entry
         prev = entry
@@ -132,8 +133,8 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
             table[wk] = next_code
             next_code += 1
             # encoder-side early change (decoder checks next_code + 1: it
-            # runs one add behind)
-            if next_code > (1 << width) - 2 and width < 12:
+            # runs one add behind); threshold (1<<w)-1 per libtiff
+            if next_code > (1 << width) - 1 and width < 12:
                 width += 1
         else:
             bw.write(CLEAR, width)

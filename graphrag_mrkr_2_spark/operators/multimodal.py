@@ -18,11 +18,13 @@ Kernel status:
   marker parse, canonical Huffman, IDCT, chroma upsampling) and baseline
   TIFF (``functions/tiffcodec.py``: IFD walk, strips, PackBits) — the
   same playbook as docformats. ``image_features`` consumes real pixels
-  for all of them. **Audio RIFF/WAVE PCM decodes for real too**
+  for all of them (TIFF incl. LZW + horizontal predictor, interop-tested
+  against libtiff). **Audio RIFF/WAVE PCM decodes for real too**
   (``functions/audiocodecs.py``) feeding ``audio_features`` true
-  RMS/zero-crossing/duration. Remaining seams: progressive JPEG,
-  LZW/JPEG-compressed TIFF, WEBP/AVIF, OCR (model), compressed audio
-  (MP3/AAC/Opus) and video frames (ffmpeg-class codecs). Each remaining
+  RMS/zero-crossing/duration; **video frames sample for real** from
+  MJPEG-AVI and animated GIF. Remaining seams: progressive JPEG,
+  JPEG-in-TIFF, WEBP/AVIF, OCR (model), compressed audio
+  (MP3/AAC/Opus) and compressed video (ffmpeg-class codecs). Each remaining
   stub either raises NotImplementedError (strict mode) or produces a
   deterministic fake (test mode) so pipelines stay wireable end-to-end;
   corrupt payloads of a RECOGNIZED container quarantine to the fallback
@@ -518,7 +520,11 @@ def sample_video_frames(
             for i, (delay, px) in enumerate(frames):
                 if cum >= next_t:
                     picked.append((i, encode_png(px)))
-                    next_t += every_ms
+                    # catch the clock up past cum — a long frame must not
+                    # bank credit that lets a later rapid burst all emit
+                    # (review r4 pass-4 finding #2)
+                    while next_t <= cum:
+                        next_t += every_ms
                 cum += max(delay, 10)  # browsers clamp 0-delay frames too
             return picked
 

@@ -162,3 +162,20 @@ class TestAnimatedGifSampling:
         for r in got:
             px = decode_png(bytes(r["frame"]))
             assert (px == 30 * r["frame_index"]).all()
+
+    def test_long_frame_does_not_bank_sampling_credit(self, spark):
+        """A 5 s frame followed by a 40 ms burst must yield the long frame
+        plus ONE burst frame, not the whole burst (review r4 pass-4
+        finding #2: the sampling clock catches up past cum)."""
+        from graphrag_mrkr_2_spark.functions.imagecodecs import encode_gif_frames
+        from graphrag_mrkr_2_spark.operators.multimodal import sample_video_frames
+
+        frames = [np.full((4, 4, 3), 20 * i, dtype=np.uint8) for i in range(6)]
+        gif = encode_gif_frames(frames, delays_ms=[5000, 10, 10, 10, 10, 10])
+        media = spark.createDataFrame(
+            [("g", "video", bytearray(gif), ("gif", 4, 4, 5050))],
+            "media_id string, kind string, payload binary, "
+            "meta struct<codec:string,width:int,height:int,duration_ms:int>",
+        )
+        got = sample_video_frames(media, every_ms=1000, strict=True).collect()
+        assert [r["frame_index"] for r in got] == [0, 1]

@@ -318,3 +318,39 @@ class TestAnimatedGif:
         assert (f2[2, 1] == [255, 0, 0]).all()
         assert (f2[2, 2] == [0, 255, 0]).all()
         assert frames[1][0] == 50  # 5 cs -> 50 ms
+
+    def test_overhanging_frame_rect_clipped(self):
+        """A frame rect extending past the logical screen must clip (as
+        browsers do), not crash (review r4 pass-4 finding #3)."""
+        import struct as _s
+
+        from graphrag_mrkr_2_spark.functions.imagecodecs import (
+            _lzw_encode,
+            gif_frames,
+        )
+
+        table = b"\xff\x00\x00" + b"\x00\xff\x00" + b"\x00\x00\xff" + b"\x00\x00\x00"
+        out = bytearray(b"GIF89a")
+        out += _s.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0)
+        out += table
+        # 4x5 image on a 4x4 screen: bottom row must be dropped
+        out += b"\x2c" + _s.pack("<HHHHB", 0, 0, 4, 5, 0)
+        out.append(2)
+        seg = _lzw_encode([1] * 20, 2)
+        for i in range(0, len(seg), 255):
+            out.append(len(seg[i : i + 255]))
+            out += seg[i : i + 255]
+        out += b"\x00\x3b"
+        frames = gif_frames(bytes(out))
+        assert frames[0][1].shape == (4, 4, 3)
+        assert (frames[0][1] == [0, 255, 0]).all()
+
+    def test_encoder_validates_shapes_and_delays(self):
+        from graphrag_mrkr_2_spark.functions.imagecodecs import encode_gif_frames
+
+        a = np.zeros((4, 4, 3), dtype=np.uint8)
+        b = np.zeros((2, 2, 3), dtype=np.uint8)
+        with pytest.raises(ValueError, match="uniform"):
+            encode_gif_frames([a, b])
+        with pytest.raises(ValueError, match="delays"):
+            encode_gif_frames([a, a], delays_ms=[10])

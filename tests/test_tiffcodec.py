@@ -222,3 +222,72 @@ class TestLzw:
         data[i + 8 : i + 10] = struct.pack("<H", 7)  # JPEG-in-TIFF
         with pytest.raises(ValueError, match="compression"):
             decode_tiff(bytes(data))
+
+
+class TestLibtiffInterop:
+    """Bidirectional A/B against the REAL libtiff (via ctypes) — the hard
+    conformance oracle for the LZW early-change widths (review r4 pass-4
+    finding #1: a self-consistent off-by-one was invisible to round-trip
+    tests until checked against libtiff). Skips where the library is
+    absent."""
+
+    LIB = "/lib/x86_64-linux-gnu/libtiff.so.6"
+
+    @pytest.fixture()
+    def lt(self):
+        import ctypes
+        import os
+
+        if not os.path.exists(self.LIB):
+            pytest.skip("libtiff shared library not present")
+        lib = ctypes.CDLL(self.LIB)
+        lib.TIFFOpen.restype = ctypes.c_void_p
+        lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.TIFFSetField.restype = ctypes.c_int
+        lib.TIFFWriteScanline.restype = ctypes.c_int
+        lib.TIFFReadScanline.restype = ctypes.c_int
+        return lib
+
+    def _write(self, lt, path, px, predictor):
+        import ctypes
+
+        h, w, spp = px.shape
+        tif = ctypes.c_void_p(lt.TIFFOpen(path.encode(), b"w"))
+        assert tif.value
+        for tag, val in [(256, w), (257, h), (258, 8), (259, 5),
+                         (262, 1 if spp == 1 else 2), (277, spp), (278, h), (284, 1)]:
+            assert lt.TIFFSetField(tif, ctypes.c_uint32(tag), val) == 1
+        if predictor == 2:
+            assert lt.TIFFSetField(tif, ctypes.c_uint32(317), 2) == 1
+        for y in range(h):
+            buf = ctypes.create_string_buffer(px[y].tobytes(), w * spp)
+            assert lt.TIFFWriteScanline(tif, buf, ctypes.c_uint32(y), ctypes.c_uint16(0)) == 1
+        lt.TIFFClose(tif)
+
+    def _read(self, lt, path, h, w, spp):
+        import ctypes
+
+        tif = ctypes.c_void_p(lt.TIFFOpen(path.encode(), b"r"))
+        assert tif.value
+        out = np.zeros((h, w, spp), dtype=np.uint8)
+        buf = ctypes.create_string_buffer(w * spp)
+        for y in range(h):
+            assert lt.TIFFReadScanline(tif, buf, ctypes.c_uint32(y), ctypes.c_uint16(0)) == 1
+            out[y] = np.frombuffer(buf.raw, dtype=np.uint8).reshape(w, spp)
+        lt.TIFFClose(tif)
+        return out
+
+    @pytest.mark.parametrize("spp", [1, 3])
+    @pytest.mark.parametrize("predictor", [1, 2])
+    def test_bidirectional_lzw(self, lt, tmp_path, spp, predictor):
+        rng = np.random.RandomState(spp * 10 + predictor)
+        px = rng.randint(0, 256, size=(40, 50, spp), dtype=np.uint8)
+        # libtiff writes -> our decoder reads
+        p1 = str(tmp_path / "theirs.tif")
+        self._write(lt, p1, px, predictor)
+        assert (decode_tiff(open(p1, "rb").read()) == px).all()
+        # our encoder writes -> libtiff reads
+        p2 = str(tmp_path / "ours.tif")
+        with open(p2, "wb") as f:
+            f.write(encode_tiff(px, compression="lzw", predictor=predictor))
+        assert (self._read(lt, p2, 40, 50, spp) == px).all()
