@@ -13,8 +13,9 @@ decodable with zlib + byte arithmetic, exactly like the r3 PDF/DOCX work:
 - BMP (BITMAPINFOHEADER): 24/32-bit uncompressed, bottom-up or top-down,
   4-byte row padding.
 - GIF (GIF87a/89a spec): logical screen + image descriptors, global/local
-  color tables, extension-block skipping, full LZW decode/encode with
-  variable code width (LSB-first packing, clear/end codes, 12-bit cap).
+  color tables, extension-block skipping, 4-pass interlace, full LZW
+  decode/encode with variable code width (LSB-first packing, clear/end
+  codes, 12-bit cap), animated frames with disposal compositing.
 
 Encoders exist for all three so every decode path has an exact
 encode→decode round-trip oracle (tests/test_imagecodecs.py) without any
@@ -363,6 +364,22 @@ def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
     return bw.flush()
 
 
+def _deinterlace(idx: np.ndarray) -> np.ndarray:
+    """Undo GIF 4-pass interlacing: stream rows arrive in pass order
+    (every 8th from 0, every 8th from 4, every 4th from 2, every 2nd
+    from 1); map them back to display order."""
+    h = idx.shape[0]
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    out = np.empty_like(idx)
+    out[order] = idx
+    return out
+
+
 def gif_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
     """Decode ALL frames of a non-interlaced animated GIF to
     [(delay_ms, (h, w, 3) uint8 RGB)], composited onto the logical screen
@@ -413,8 +430,6 @@ def gif_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
         left, top, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
-        if iflags & 0x40:
-            raise ValueError("interlaced GIF not supported")
         table = global_table
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
@@ -434,6 +449,8 @@ def gif_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
         if len(indices) < w * h:
             raise ValueError("GIF LZW data too short")
         idx = np.asarray(indices[: w * h], dtype=np.int32).reshape(h, w)
+        if iflags & 0x40:
+            idx = _deinterlace(idx)
         # clip rects that overhang the logical screen (browsers clip too —
         # review r4 pass-4 finding #3)
         ch_, cw_ = max(0, min(h, sh - top)), max(0, min(w, sw - left))
@@ -551,8 +568,7 @@ def decode_gif(data: bytes) -> np.ndarray:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
         _left, _top, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
-        if iflags & 0x40:
-            raise ValueError("interlaced GIF not supported")
+        interlaced = bool(iflags & 0x40)
         table = global_table
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
@@ -572,6 +588,8 @@ def decode_gif(data: bytes) -> np.ndarray:
         if len(indices) < w * h:
             raise ValueError("GIF LZW data too short")
         px = np.asarray(indices[: w * h], dtype=np.int32).reshape(h, w)
+        if interlaced:
+            px = _deinterlace(px)
         return table[px]
     raise ValueError("GIF contains no image descriptor")
 

@@ -1,0 +1,125 @@
+"""Conformance A/B against the JVM's javax.imageio — REAL independent
+PNG/JPEG/BMP/GIF codecs that ship inside the JDK Spark already runs on
+(the same move as the libtiff ctypes A/B: round-trip tests only prove
+self-consistency; an independent implementation proves the wire format).
+
+Both directions per format:
+  - our encoder's bytes must decode identically in ImageIO;
+  - ImageIO-written files must decode identically in our decoders
+    (JPEG: within the codec's documented lossy bound).
+"""
+
+import numpy as np
+import pytest
+
+from graphrag_mrkr_2_spark.functions.imagecodecs import (
+    decode_bmp,
+    decode_gif,
+    decode_png,
+    encode_bmp,
+    encode_gif,
+    encode_png,
+)
+from graphrag_mrkr_2_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+
+def _imageio_read(spark, data: bytes) -> np.ndarray:
+    """ImageIO.read -> (h, w, 3) uint8 RGB."""
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(data))
+    )
+    assert img is not None, "ImageIO could not parse the payload"
+    w, h = img.getWidth(), img.getHeight()
+    argb = list(img.getRGB(0, 0, w, h, None, 0, w))
+    arr = np.asarray(argb, dtype=np.int64).reshape(h, w)
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    out[:, :, 0] = (arr >> 16) & 0xFF
+    out[:, :, 1] = (arr >> 8) & 0xFF
+    out[:, :, 2] = arr & 0xFF
+    return out
+
+
+def _imageio_write(spark, px: np.ndarray, fmt: str) -> bytes:
+    """(h, w, 3) uint8 RGB -> ImageIO-encoded bytes."""
+    jvm = spark._jvm
+    gateway = spark.sparkContext._gateway
+    h, w, _ = px.shape
+    img = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    flat = (
+        (px[:, :, 0].astype(np.int64) << 16)
+        | (px[:, :, 1].astype(np.int64) << 8)
+        | px[:, :, 2].astype(np.int64)
+    ).reshape(-1)
+    jarr = gateway.new_array(jvm.int, len(flat))
+    for i, v in enumerate(flat):
+        jarr[i] = int(v)
+    img.setRGB(0, 0, w, h, jarr, 0, w)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ok = jvm.javax.imageio.ImageIO.write(img, fmt, baos)
+    assert ok, f"ImageIO has no writer for {fmt}"
+    return bytes(baos.toByteArray())
+
+
+@pytest.fixture(scope="module")
+def rgb():
+    rng = np.random.RandomState(17)
+    return rng.randint(0, 256, size=(10, 13, 3), dtype=np.uint8)
+
+
+@pytest.mark.spark
+class TestOursToImageIO:
+    @pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+    def test_png_every_filter(self, spark, rgb, ftype):
+        got = _imageio_read(spark, encode_png(rgb, filter_type=ftype))
+        assert (got == rgb).all(), f"filter {ftype}"
+
+    def test_bmp(self, spark, rgb):
+        assert (_imageio_read(spark, encode_bmp(rgb)) == rgb).all()
+
+    def test_gif(self, spark):
+        rng = np.random.RandomState(4)
+        pal = rng.randint(0, 256, size=(64, 3), dtype=np.uint8)
+        px = pal[rng.randint(0, 64, size=(9, 12))]
+        assert (_imageio_read(spark, encode_gif(px)) == px).all()
+
+    def test_gif_12bit_dictionary(self, spark):
+        """Large-image LZW (width growth + table churn) must also be
+        readable by the independent decoder, not just our own."""
+        rng = np.random.RandomState(9)
+        pal = rng.randint(0, 256, size=(256, 3), dtype=np.uint8)
+        px = pal[rng.randint(0, 256, size=(80, 90))]
+        assert (_imageio_read(spark, encode_gif(px)) == px).all()
+
+    @pytest.mark.parametrize("subsampling", ["444", "420"])
+    def test_jpeg(self, spark, subsampling):
+        yy, xx = np.mgrid[0:24, 0:32]
+        px = np.stack([40 + yy * 2, 60 + xx, 50 + yy + xx], axis=2).astype(np.uint8)
+        got = _imageio_read(spark, encode_jpeg(px, quality=95, subsampling=subsampling))
+        err = np.abs(got.astype(int) - px.astype(int))
+        assert err.max() <= 8, (subsampling, int(err.max()))
+
+
+@pytest.mark.spark
+class TestImageIOToOurs:
+    def test_png(self, spark, rgb):
+        assert (decode_png(_imageio_write(spark, rgb, "png")) == rgb).all()
+
+    def test_bmp(self, spark, rgb):
+        assert (decode_bmp(_imageio_write(spark, rgb, "bmp")) == rgb).all()
+
+    def test_gif(self, spark):
+        # limited palette so the JDK GIF writer needs no quantization
+        px = np.zeros((8, 9, 3), dtype=np.uint8)
+        px[2:5, 3:7] = [255, 0, 0]
+        px[6:, :4] = [0, 0, 255]
+        assert (decode_gif(_imageio_write(spark, px, "gif")) == px).all()
+
+    def test_jpeg(self, spark):
+        yy, xx = np.mgrid[0:24, 0:32]
+        px = np.stack([40 + yy * 2, 60 + xx, 50 + yy + xx], axis=2).astype(np.uint8)
+        got = decode_jpeg(_imageio_write(spark, px, "jpg"))
+        err = np.abs(got.astype(int) - px.astype(int))
+        assert err.max() <= 12, int(err.max())
