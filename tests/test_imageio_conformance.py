@@ -123,3 +123,47 @@ class TestImageIOToOurs:
         got = decode_jpeg(_imageio_write(spark, px, "jpg"))
         err = np.abs(got.astype(int) - px.astype(int))
         assert err.max() <= 12, int(err.max())
+
+
+@pytest.mark.spark
+class TestJavaxSoundWav:
+    """Same independent-oracle move for WAV: javax.sound.sampled is the
+    JDK's real RIFF/WAVE reader."""
+
+    def test_our_wav_parsed_by_javax_sound(self, spark):
+        from graphrag_mrkr_2_spark.functions.audiocodecs import encode_wav
+
+        rng = np.random.RandomState(3)
+        samples = rng.randint(-32768, 32768, size=(500, 2)).astype(np.int16)
+        data = encode_wav(samples, 22050)
+        jvm = spark._jvm
+        ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+            jvm.java.io.ByteArrayInputStream(bytearray(data))
+        )
+        fmt = ais.getFormat()
+        assert int(fmt.getSampleRate()) == 22050
+        assert fmt.getChannels() == 2
+        assert fmt.getSampleSizeInBits() == 16
+        assert int(ais.getFrameLength()) == 500
+        raw = bytes(ais.readAllBytes())
+        got = np.frombuffer(raw, dtype="<i2").reshape(-1, 2)
+        assert (got == samples).all()
+
+    def test_javax_sound_wav_parsed_by_ours(self, spark):
+        from graphrag_mrkr_2_spark.functions.audiocodecs import decode_wav
+
+        jvm = spark._jvm
+        fmt = jvm.javax.sound.sampled.AudioFormat(8000.0, 16, 1, True, False)
+        samples = np.arange(-100, 100, dtype=np.int16)
+        raw = samples.astype("<i2").tobytes()
+        ais = jvm.javax.sound.sampled.AudioInputStream(
+            jvm.java.io.ByteArrayInputStream(bytearray(raw)), fmt, len(samples)
+        )
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.javax.sound.sampled.AudioSystem.write(
+            ais, jvm.javax.sound.sampled.AudioFileFormat.Type.WAVE, baos
+        )
+        back, rate = decode_wav(bytes(baos.toByteArray()))
+        assert rate == 8000
+        assert back.shape == (200, 1)
+        assert (back[:, 0] == samples).all()
