@@ -22,8 +22,42 @@ import struct
 import numpy as np
 
 
+def _ulaw_table() -> np.ndarray:
+    """G.711 μ-law byte → int16 (the CCITT reference expansion)."""
+    out = np.zeros(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        out[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    return out
+
+
+def _alaw_table() -> np.ndarray:
+    """G.711 A-law byte → int16."""
+    out = np.zeros(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out[b] = t if (a & 0x80) else -t
+    return out
+
+
+_ULAW = _ulaw_table()
+_ALAW = _alaw_table()
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode a PCM WAV payload → (samples (n, channels), sample_rate)."""
+    """Decode a PCM / G.711 μ-law / A-law WAV payload →
+    (samples (n, channels), sample_rate). Companded formats (codes 6/7)
+    expand to int16 through the CCITT tables."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
@@ -43,8 +77,18 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
+    if audio_format in (6, 7):  # A-law / μ-law (8-bit companded)
+        if bits != 8:
+            raise ValueError(f"G.711 WAV with bit depth {bits} (must be 8)")
+        table = _ALAW if audio_format == 6 else _ULAW
+        idx = np.frombuffer(
+            raw[: len(raw) - (len(raw) % n_channels)], dtype=np.uint8
+        )
+        return table[idx].reshape(-1, n_channels), sample_rate
     if audio_format != 1:
-        raise ValueError(f"unsupported WAV format code {audio_format} (PCM only)")
+        raise ValueError(
+            f"unsupported WAV format code {audio_format} (PCM/A-law/mu-law only)"
+        )
     if bits == 16:
         samples = np.frombuffer(raw[: len(raw) - (len(raw) % (2 * n_channels))], dtype="<i2")
     elif bits == 8:

@@ -167,3 +167,37 @@ class TestJavaxSoundWav:
         assert rate == 8000
         assert back.shape == (200, 1)
         assert (back[:, 0] == samples).all()
+
+    @pytest.mark.parametrize("enc_name", ["ULAW", "ALAW"])
+    def test_g711_wav_expansion_matches_javax_sound(self, spark, enc_name):
+        """G.711 companded WAVs (format codes 7/6): our CCITT expansion
+        tables must agree with the JDK's converter. javax.sound expands
+        8-bit μ-law/A-law to 16-bit PCM; our decode_wav of the companded
+        file must match that expansion sample-for-sample."""
+        from graphrag_mrkr_2_spark.functions.audiocodecs import decode_wav
+
+        jvm = spark._jvm
+        Encoding = jvm.javax.sound.sampled.AudioFormat.Encoding
+        enc = getattr(Encoding, enc_name)
+        comp_fmt = jvm.javax.sound.sampled.AudioFormat(enc, 8000.0, 8, 1, 1, 8000.0, False)
+        payload = bytes(range(256))  # every companded byte value once
+        ais = jvm.javax.sound.sampled.AudioInputStream(
+            jvm.java.io.ByteArrayInputStream(bytearray(payload)), comp_fmt, 256
+        )
+        # write the companded stream as a WAV (format code 7/6)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.javax.sound.sampled.AudioSystem.write(
+            ais, jvm.javax.sound.sampled.AudioFileFormat.Type.WAVE, baos
+        )
+        wav = bytes(baos.toByteArray())
+        ours, rate = decode_wav(wav)
+        assert rate == 8000 and ours.shape == (256, 1)
+
+        # the JDK's own expansion to 16-bit signed little-endian PCM
+        ais2 = jvm.javax.sound.sampled.AudioInputStream(
+            jvm.java.io.ByteArrayInputStream(bytearray(payload)), comp_fmt, 256
+        )
+        pcm_fmt = jvm.javax.sound.sampled.AudioFormat(8000.0, 16, 1, True, False)
+        conv = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(pcm_fmt, ais2)
+        theirs = np.frombuffer(bytes(conv.readAllBytes()), dtype="<i2")
+        assert (ours[:, 0] == theirs).all()
