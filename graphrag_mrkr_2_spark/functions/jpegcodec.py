@@ -1,14 +1,16 @@
-"""Pure-stdlib baseline JPEG codec (r4 follow-on to imagecodecs.py).
+"""Pure-stdlib JPEG codec (r4 follow-on to imagecodecs.py).
 
 The reference's image loader feeds JPEG/PNG/BMP/TIFF through PIL
 (ingestion/loaders/image_loader.py:24); r4 already decodes PNG/BMP/GIF from
-the public specs. This module closes the JPEG leg: a baseline sequential
-DCT decoder (ITU-T T.81): marker parse, DQT (8/16-bit), DHT → canonical
-Huffman, SOF0 (8-bit precision, 1 or 3 components, sampling factors 1-2),
+the public specs. This module closes the JPEG leg: a DCT decoder
+(ITU-T T.81): marker parse, DQT (8/16-bit), DHT → canonical Huffman,
+SOF0/SOF1 baseline sequential AND SOF2 progressive (Annex G: spectral
+selection, successive approximation with DC/AC first + refinement scans,
+EOB-run coding), 8-bit precision, 1 or 3 components, sampling factors 1-2,
 SOS entropy decode with byte-unstuffing + restart markers, dequantize,
-dezigzag, 8×8 IDCT (exact float DCT-III via one matrix product per block
-batch), chroma upsampling, YCbCr→RGB. Progressive (SOF2) and arithmetic
-coding raise cleanly — they remain the seam, as does TIFF.
+dezigzag, batched 8×8 IDCT (exact float DCT-III via one einsum per plane),
+chroma upsampling, YCbCr→RGB. Arithmetic coding and lossless/hierarchical
+frames raise cleanly — they remain the seam.
 
 An encoder (baseline, 4:4:4, Annex-K standard Huffman + quality-scaled
 quant tables) is included so the decoder has an in-container oracle:
@@ -212,16 +214,24 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0) JPEG to (h, w, 3) uint8 RGB (grayscale →
-    (h, w, 1))."""
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG to
+    (h, w, 3) uint8 RGB (grayscale → (h, w, 1)).
+
+    Progressive streams accumulate quantized coefficients across scans
+    (spectral selection + successive approximation, T.81 Annex G) and the
+    image reconstructs once, after EOI. Baseline fills the same
+    coefficient arrays from its single interleaved scan, so both paths
+    share one batched-IDCT reconstruction."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    coefs: dict[int, np.ndarray] = {}
     restart_interval = 0
-    while pos < len(data):
+    scanned = False
+    while pos < len(data) - 1:
         if data[pos] != 0xFF:
             pos += 1
             continue
@@ -254,7 +264,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 values = list(seg[p + 17 : p + 17 + n])
                 huff[(tc, th)], _ = _canonical_codes(bits, values)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
@@ -264,10 +274,29 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            frame = {
+                "h": h,
+                "w": w,
+                "comps": comps,
+                "hmax": hmax,
+                "vmax": vmax,
+                "mcux": (w + 8 * hmax - 1) // (8 * hmax),
+                "mcuy": (h + 8 * vmax - 1) // (8 * vmax),
+                "progressive": marker == 0xC2,
+            }
+            coefs = {
+                c["id"]: np.zeros(
+                    (frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64),
+                    dtype=np.int32,
+                )
+                for c in comps
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"unsupported JPEG frame type 0xFF{marker:02X} (baseline SOF0 only)"
+                f"unsupported JPEG frame type 0xFF{marker:02X} "
+                "(sequential SOF0/SOF1 and progressive SOF2 only)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -280,66 +309,211 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append({**comp, "td": tds >> 4, "ta": tds & 0xF})
-            # MJPEG quirk: frames routinely omit DHT — players substitute
-            # the Annex-K standard tables (table id 0 = luma, 1 = chroma)
-            for c in scan:
-                for tc, th, std in (
-                    (0, c["td"], _DC_LUMA if c["td"] == 0 else _DC_CHROMA),
-                    (1, c["ta"], _AC_LUMA if c["ta"] == 0 else _AC_CHROMA),
-                ):
-                    if (tc, th) not in huff:
-                        huff[(tc, th)], _ = _canonical_codes(*std)
-            return _decode_scan(
-                data, pos + seglen, frame, scan, qt, huff, restart_interval
-            )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            if frame["progressive"]:
+                end = _decode_progressive_scan(
+                    data, pos + seglen, frame, scan, coefs, huff,
+                    restart_interval, ss, se, ah, al,
+                )
+            else:
+                # MJPEG quirk: frames routinely omit DHT — players substitute
+                # the Annex-K standard tables (table id 0 = luma, 1 = chroma)
+                for c in scan:
+                    for tc, th, std in (
+                        (0, c["td"], _DC_LUMA if c["td"] == 0 else _DC_CHROMA),
+                        (1, c["ta"], _AC_LUMA if c["ta"] == 0 else _AC_CHROMA),
+                    ):
+                        if (tc, th) not in huff:
+                            huff[(tc, th)], _ = _canonical_codes(*std)
+                end = _decode_baseline_scan(
+                    data, pos + seglen, frame, scan, coefs, huff, restart_interval
+                )
+            scanned = True
+            pos = _next_marker(data, end)
+            continue
         pos += seglen
-    raise ValueError("JPEG contains no scan")
+    if frame is None or not scanned:
+        raise ValueError("JPEG contains no scan")
+    return _reconstruct(frame, coefs, qt)
 
 
-def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in scan)
-    vmax = max(c["v"] for c in scan)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = {}
-    for c in scan:
-        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
-        planes[c["id"]] = np.zeros((ph, pw), dtype=np.float64)
-    pred = {c["id"]: 0 for c in scan}
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the first real marker at/after ``pos`` — skips entropy
+    bytes, 0xFF00 stuffing, and restart markers."""
+    while pos < len(data) - 1:
+        if (
+            data[pos] == 0xFF
+            and data[pos + 1] != 0x00
+            and not (0xD0 <= data[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _scan_mcus(frame: dict, scan: list[dict]):
+    """Yield one list of (comp, block_row, block_col) per restart unit:
+    interleaved MCUs for multi-component scans; single blocks over the
+    component's own ceil-sized grid for non-interleaved scans (F.2.3 /
+    A.2.2 — NOT the MCU-padded grid)."""
+    if len(scan) == 1:
+        c = scan[0]
+        cw = (frame["w"] * c["h"] + frame["hmax"] - 1) // frame["hmax"]
+        ch = (frame["h"] * c["v"] + frame["vmax"] - 1) // frame["vmax"]
+        for byi in range((ch + 7) // 8):
+            for bxi in range((cw + 7) // 8):
+                yield [(c, byi, bxi)]
+    else:
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                units = []
+                for c in scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            units.append((c, my * c["v"] + by, mx * c["h"] + bx))
+                yield units
+
+
+def _decode_baseline_scan(data, pos, frame, scan, coefs, huff, restart_interval):
+    """Baseline sequential scan → quantized-coefficient arrays."""
     br = _BitReader(data, pos)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.align_restart()
-                pred = {c["id"]: 0 for c in scan}
-            for c in scan:
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = _decode_block(br, huff[(0, c["td"])], huff[(1, c["ta"])])
-                        # DC is differential on the QUANTIZED value (F.2.1.3)
-                        blk[0] += pred[c["id"]]
-                        pred[c["id"]] = blk[0]
-                        # qt tables are stored zigzag-ordered (as in DQT)
-                        blk = blk * qt[c["tq"]]
-                        sq = np.zeros(64)
-                        sq[_ZIGZAG] = blk
-                        px = _DCT.T @ sq.reshape(8, 8) @ _DCT + 128.0
-                        y0, x0 = (my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8
-                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
-            mcu_count += 1
-    # upsample + color convert
-    out_planes = []
-    for c in scan:
-        p = planes[c["id"]]
+    pred = {c["id"]: 0 for c in scan}
+    for n, units in enumerate(_scan_mcus(frame, scan)):
+        if restart_interval and n and n % restart_interval == 0:
+            br.align_restart()
+            pred = {c["id"]: 0 for c in scan}
+        for c, byi, bxi in units:
+            blk = _decode_block(br, huff[(0, c["td"])], huff[(1, c["ta"])])
+            # DC is differential on the QUANTIZED value (F.2.1.3)
+            blk[0] += pred[c["id"]]
+            pred[c["id"]] = blk[0]
+            coefs[c["id"]][byi, bxi] = blk
+    return br.pos
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, coefs, huff, restart_interval, ss, se, ah, al
+):
+    """One progressive scan (T.81 Annex G) accumulated into ``coefs``."""
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan with nonzero spectral end")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    br = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c in scan}
+    eobrun = 0
+    for n, units in enumerate(_scan_mcus(frame, scan)):
+        if restart_interval and n and n % restart_interval == 0:
+            br.align_restart()
+            pred = {c["id"]: 0 for c in scan}
+            eobrun = 0
+        for c, byi, bxi in units:
+            blk = coefs[c["id"]][byi, bxi]
+            if ss == 0:
+                if ah == 0:  # DC first scan (G.1.2.1)
+                    t = _decode_huff(br, huff[(0, c["td"])])
+                    diff = _extend(br.read_bits(t), t) if t else 0
+                    pred[c["id"]] += diff
+                    blk[0] = pred[c["id"]] << al
+                elif br.read_bit():  # DC refinement: append one bit
+                    blk[0] += 1 << al
+            else:
+                eobrun = _ac_progressive(
+                    br, huff[(1, c["ta"])], blk, ss, se, ah, al, eobrun
+                )
+    return br.pos
+
+
+def _ac_progressive(br, table, blk, ss, se, ah, al, eobrun):
+    """AC band of one block in a progressive scan; returns the EOB run
+    remaining (blocks whose band is entirely coded by the run)."""
+    if ah == 0:  # first scan for this band (G.1.2.2)
+        if eobrun:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = _decode_huff(br, table)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:  # EOBn: run of 2^r + appended bits blocks
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                k += 16  # ZRL
+            else:
+                k += r
+                if k > 63:
+                    raise ValueError("JPEG AC run overflows block")
+                blk[k] = _extend(br.read_bits(s), s) << al
+                k += 1
+        return eobrun
+    # refinement scan (G.1.2.3): correction bit per already-nonzero
+    # coefficient; newly-nonzero coefficients arrive with magnitude 1<<al
+    p1 = 1 << al
+    if eobrun:
+        for k in range(ss, se + 1):
+            if blk[k] and br.read_bit() and not (blk[k] & p1):
+                blk[k] += p1 if blk[k] > 0 else -p1
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, table)
+        r, s = rs >> 4, rs & 0xF
+        val = 0
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                r = 64  # correction-bits-only sweep to the end of the band
+        else:
+            if s != 1:
+                raise ValueError("progressive AC refinement magnitude must be 1")
+            val = p1 if br.read_bit() else -p1
+        while k <= se:
+            if blk[k]:
+                if br.read_bit() and not (blk[k] & p1):
+                    blk[k] += p1 if blk[k] > 0 else -p1
+            else:
+                if r == 0:
+                    if val:
+                        blk[k] = val
+                    k += 1
+                    break
+                r -= 1
+            k += 1
+    return eobrun
+
+
+def _reconstruct(frame: dict, coefs: dict, qt: dict) -> np.ndarray:
+    """Dequantize + dezigzag + batched IDCT + upsample + color convert."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    planes = []
+    for c in frame["comps"]:
+        # qt tables are stored zigzag-ordered (as in DQT)
+        blk = coefs[c["id"]].astype(np.float64) * qt[c["tq"]][None, None, :]
+        nby, nbx = blk.shape[:2]
+        sq = np.zeros((nby, nbx, 64))
+        sq[:, :, _ZIGZAG] = blk
+        px = (
+            np.einsum("ij,abjk,kl->abil", _DCT.T, sq.reshape(nby, nbx, 8, 8), _DCT)
+            + 128.0
+        )
+        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         if c["h"] != hmax or c["v"] != vmax:
-            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        out_planes.append(p[:h, :w])
-    if len(out_planes) == 1:
-        y = np.clip(out_planes[0], 0, 255)
+            plane = np.repeat(
+                np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(planes[0], 0, 255)
         return y[:, :, None].round().astype(np.uint8)
-    y, cb, cr = out_planes
+    if len(planes) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(planes)}")
+    y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)

@@ -22,7 +22,9 @@ Kernel status:
   against libtiff). **Audio RIFF/WAVE PCM decodes for real too**
   (``functions/audiocodecs.py``) feeding ``audio_features`` true
   RMS/zero-crossing/duration; **video frames sample for real** from
-  MJPEG-AVI and animated GIF. Remaining seams: progressive JPEG,
+  MJPEG-AVI and animated GIF; progressive (SOF2) JPEG decodes for real
+  (T.81 Annex G, bit-identical to the baseline decode of the same
+  coefficients, pinned vs the JDK writer). Remaining seams:
   JPEG-in-TIFF, WEBP/AVIF, OCR (model), compressed audio
   (MP3/AAC/Opus) and compressed video (ffmpeg-class codecs). Each remaining
   stub either raises NotImplementedError (strict mode) or produces a
@@ -198,14 +200,15 @@ def image_features(
 ) -> DataFrame:
     """Decode → featurize images via mapInPandas.
 
-    PNG/BMP/GIF/baseline-JPEG/baseline-TIFF payloads decode FOR REAL
+    PNG/BMP/GIF/JPEG (baseline + progressive)/baseline-TIFF payloads
+    decode FOR REAL
     through the pure-stdlib kernels (functions/imagecodecs.py + jpegcodec
     + tiffcodec — r4, VERDICT r3 #5); the feature is a luminance histogram
     over the actual pixels. Unrecognized payloads (WEBP/AVIF — the
     remaining codec seam): strict=True raises NotImplementedError,
     strict=False falls back to the deterministic fake. Corrupt or
-    unsupported-variant payloads of a RECOGNIZED container (progressive
-    JPEG, LZW TIFF, truncated files) quarantine to the same fake fallback
+    unsupported-variant payloads of a RECOGNIZED container (lossless
+    JPEG, JPEG-in-TIFF, truncated files) quarantine to the same fake fallback
     (or re-raise under strict) so one bad file can't fail a 100 TB job.
     """
     from graphrag_mrkr_2_spark.functions.imagecodecs import decode_image, sniff_image

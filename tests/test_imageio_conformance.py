@@ -63,6 +63,53 @@ def _imageio_write(spark, px: np.ndarray, fmt: str) -> bytes:
     return bytes(baos.toByteArray())
 
 
+def _java_image(spark, px: np.ndarray, gray: bool = False):
+    """(h, w, 3) uint8 RGB -> BufferedImage (TYPE_BYTE_GRAY when gray)."""
+    jvm = spark._jvm
+    gateway = spark.sparkContext._gateway
+    h, w, _ = px.shape
+    itype = (
+        jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        if gray
+        else jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    img = jvm.java.awt.image.BufferedImage(w, h, itype)
+    flat = (
+        (px[:, :, 0].astype(np.int64) << 16)
+        | (px[:, :, 1].astype(np.int64) << 8)
+        | px[:, :, 2].astype(np.int64)
+    ).reshape(-1)
+    jarr = gateway.new_array(jvm.int, len(flat))
+    for i, v in enumerate(flat):
+        jarr[i] = int(v)
+    img.setRGB(0, 0, w, h, jarr, 0, w)
+    return img
+
+
+def _imageio_write_progressive_jpeg(
+    spark, px: np.ndarray, gray: bool = False
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> progressive (SOF2) JPEG via the JDK writer
+    (JPEGImageWriteParam MODE_DEFAULT emits libjpeg's standard
+    progression script: DC first+refine, AC spectral bands + successive
+    approximation — every Annex-G decode path)."""
+    jvm = spark._jvm
+    img = _java_image(spark, px, gray)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.flush()
+    writer.dispose()
+    data = bytes(baos.toByteArray())
+    sof2, sos = data.find(b"\xff\xc2"), data.find(b"\xff\xda")
+    assert sof2 != -1 and sof2 < sos, "JDK did not emit a progressive frame"
+    return data
+
+
 @pytest.fixture(scope="module")
 def rgb():
     rng = np.random.RandomState(17)
@@ -123,6 +170,55 @@ class TestImageIOToOurs:
         got = decode_jpeg(_imageio_write(spark, px, "jpg"))
         err = np.abs(got.astype(int) - px.astype(int))
         assert err.max() <= 12, int(err.max())
+
+    def test_progressive_jpeg_smooth(self, spark):
+        """JDK-written SOF2 stream. Strong oracle: the JDK writer encodes
+        the SAME quantized coefficients in baseline and progressive mode,
+        so our Annex-G decode of the progressive file must be
+        BIT-IDENTICAL to our (JDK-conformance-proven) baseline decode of
+        the baseline file. The decode must also track the JDK's own
+        decode of the progressive file (≤3: its fancy triangular chroma
+        upsampling vs our replication) and the original (lossy bound)."""
+        yy, xx = np.mgrid[0:40, 0:56]
+        px = np.stack([40 + yy * 2, 60 + xx, 50 + yy + xx], axis=2).astype(np.uint8)
+        data = _imageio_write_progressive_jpeg(spark, px)
+        ours = decode_jpeg(data)
+        base = decode_jpeg(_imageio_write(spark, px, "jpg"))
+        assert (ours == base).all()
+        theirs = _imageio_read(spark, data)
+        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 3
+        assert np.abs(ours.astype(int) - px.astype(int)).max() <= 12
+
+    def test_progressive_jpeg_noise(self, spark):
+        """Dense random content exercises ZRL, EOB-run lengths > 1, and
+        the refinement correction-bit sweeps; same bit-identity oracle
+        (the vs-JDK pixel bound is meaningless on noise because chroma
+        upsampling of random chroma diverges by design)."""
+        rng = np.random.RandomState(23)
+        px = rng.randint(0, 256, size=(33, 47, 3), dtype=np.uint8)
+        data = _imageio_write_progressive_jpeg(spark, px)
+        ours = decode_jpeg(data)
+        base = decode_jpeg(_imageio_write(spark, px, "jpg"))
+        assert (ours == base).all()
+
+    def test_progressive_jpeg_grayscale(self, spark):
+        """Single-component progressive: the DC scan is NON-interleaved
+        (block grid = the component's own ceil dims, not MCU-padded) —
+        a path the 3-component tests never reach."""
+        yy, xx = np.mgrid[0:21, 0:29]
+        g = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+        px = np.stack([g, g, g], axis=2)
+        data = _imageio_write_progressive_jpeg(spark, px, gray=True)
+        ours = decode_jpeg(data)
+        assert ours.shape == (21, 29, 1)
+        # baseline encode of the same grayscale image → same coefficients
+        jvm = spark._jvm
+        baos = jvm.java.io.ByteArrayOutputStream()
+        assert jvm.javax.imageio.ImageIO.write(
+            _java_image(spark, px, gray=True), "jpg", baos
+        )
+        base = decode_jpeg(bytes(baos.toByteArray()))
+        assert (ours == base).all()
 
 
 @pytest.mark.spark

@@ -115,11 +115,20 @@ class TestStructure:
         back = decode_jpeg(spliced)
         assert int(np.abs(back.astype(int) - 90).max()) <= 1
 
-    def test_progressive_rejected_cleanly(self):
+    def test_lossless_rejected_cleanly(self):
         data = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
         i = bytes(data).index(b"\xff\xc0")
-        data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-        with pytest.raises(ValueError, match="SOF0"):
+        data[i + 1] = 0xC3  # flip SOF0 -> SOF3 (lossless)
+        with pytest.raises(ValueError, match="SOF2"):
+            decode_jpeg(bytes(data))
+
+    def test_baseline_stream_with_sof2_marker_rejected(self):
+        """A baseline full-band scan (Ss=0, Se=63) is illegal under a
+        progressive SOF — the decoder must refuse rather than misparse."""
+        data = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+        i = bytes(data).index(b"\xff\xc0")
+        data[i + 1] = 0xC2
+        with pytest.raises(ValueError, match="spectral"):
             decode_jpeg(bytes(data))
 
     def test_garbage_rejected(self):
