@@ -77,6 +77,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
+    if n_channels == 0:
+        raise ValueError("WAV declares zero channels")
     if audio_format in (6, 7):  # A-law / μ-law (8-bit companded)
         if bits != 8:
             raise ValueError(f"G.711 WAV with bit depth {bits} (must be 8)")

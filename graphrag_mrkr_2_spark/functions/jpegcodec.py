@@ -237,6 +237,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             continue
         marker = data[pos + 1]
         pos += 2
+        if marker == 0xFF:  # legal fill byte before a marker (B.1.1.2)
+            pos -= 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
@@ -398,8 +401,15 @@ def _decode_progressive_scan(
     """One progressive scan (T.81 Annex G) accumulated into ``coefs``."""
     if ss == 0 and se != 0:
         raise ValueError("progressive DC scan with nonzero spectral end")
+    if se > 63 or ss > se:
+        raise ValueError(f"bad progressive spectral band Ss={ss} Se={se}")
     if ss > 0 and len(scan) != 1:
         raise ValueError("progressive AC scan must be non-interleaved")
+    for c in scan:
+        if ss == 0 and ah == 0 and (0, c["td"]) not in huff:
+            raise ValueError(f"JPEG scan references undefined DC table {c['td']}")
+        if ss > 0 and (1, c["ta"]) not in huff:
+            raise ValueError(f"JPEG scan references undefined AC table {c['ta']}")
     br = _BitReader(data, pos)
     pred = {c["id"]: 0 for c in scan}
     eobrun = 0

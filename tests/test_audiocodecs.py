@@ -59,6 +59,13 @@ class TestWav:
         with pytest.raises(ValueError, match="format code"):
             decode_wav(bytes(data))
 
+    def test_rejects_zero_channels(self):
+        s = np.zeros(10, dtype=np.int16)
+        data = bytearray(encode_wav(s, 8000))
+        data[22:24] = b"\x00\x00"  # corrupt fmt: nChannels = 0
+        with pytest.raises(ValueError, match="zero channels"):
+            decode_wav(bytes(data))
+
     def test_sniff(self):
         assert sniff_audio(encode_wav(np.zeros(4, dtype=np.int16), 8000)) == "wav"
         assert sniff_audio(b"ID3\x03") is None  # mp3: the codec seam

@@ -40,25 +40,11 @@ def _imageio_read(spark, data: bytes) -> np.ndarray:
     return out
 
 
-def _imageio_write(spark, px: np.ndarray, fmt: str) -> bytes:
+def _imageio_write(spark, px: np.ndarray, fmt: str, gray: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB -> ImageIO-encoded bytes."""
     jvm = spark._jvm
-    gateway = spark.sparkContext._gateway
-    h, w, _ = px.shape
-    img = jvm.java.awt.image.BufferedImage(
-        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
-    )
-    flat = (
-        (px[:, :, 0].astype(np.int64) << 16)
-        | (px[:, :, 1].astype(np.int64) << 8)
-        | px[:, :, 2].astype(np.int64)
-    ).reshape(-1)
-    jarr = gateway.new_array(jvm.int, len(flat))
-    for i, v in enumerate(flat):
-        jarr[i] = int(v)
-    img.setRGB(0, 0, w, h, jarr, 0, w)
     baos = jvm.java.io.ByteArrayOutputStream()
-    ok = jvm.javax.imageio.ImageIO.write(img, fmt, baos)
+    ok = jvm.javax.imageio.ImageIO.write(_java_image(spark, px, gray), fmt, baos)
     assert ok, f"ImageIO has no writer for {fmt}"
     return bytes(baos.toByteArray())
 
@@ -212,12 +198,7 @@ class TestImageIOToOurs:
         ours = decode_jpeg(data)
         assert ours.shape == (21, 29, 1)
         # baseline encode of the same grayscale image → same coefficients
-        jvm = spark._jvm
-        baos = jvm.java.io.ByteArrayOutputStream()
-        assert jvm.javax.imageio.ImageIO.write(
-            _java_image(spark, px, gray=True), "jpg", baos
-        )
-        base = decode_jpeg(bytes(baos.toByteArray()))
+        base = decode_jpeg(_imageio_write(spark, px, "jpg", gray=True))
         assert (ours == base).all()
 
 

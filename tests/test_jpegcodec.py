@@ -115,6 +115,16 @@ class TestStructure:
         back = decode_jpeg(spliced)
         assert int(np.abs(back.astype(int) - 90).max()) <= 1
 
+    def test_fill_bytes_before_marker(self):
+        """0xFF fill bytes before a marker are legal padding (B.1.1.2) —
+        they must not be misread as a marker with a garbage length."""
+        px = np.full((8, 8, 3), 90, dtype=np.uint8)
+        data = encode_jpeg(px)
+        i = data.index(b"\xff\xdb")
+        spliced = data[:i] + b"\xff\xff\xff" + data[i:]
+        back = decode_jpeg(spliced)
+        assert int(np.abs(back.astype(int) - 90).max()) <= 1
+
     def test_lossless_rejected_cleanly(self):
         data = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
         i = bytes(data).index(b"\xff\xc0")
