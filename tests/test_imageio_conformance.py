@@ -201,6 +201,29 @@ class TestImageIOToOurs:
         base = decode_jpeg(_imageio_write(spark, px, "jpg", gray=True))
         assert (ours == base).all()
 
+    def test_progressive_jpeg_through_image_features(self, spark):
+        """Operator-level wiring: a progressive JPEG must flow through
+        with_probed_media → image_features in STRICT mode (real decode,
+        no quarantine fallback) with correct probed dimensions."""
+        from graphrag_mrkr_2_spark.operators.multimodal import (
+            image_features,
+            with_probed_media,
+        )
+
+        yy, xx = np.mgrid[0:24, 0:32]
+        px = np.stack([40 + yy * 2, 60 + xx, 50 + yy + xx], axis=2).astype(np.uint8)
+        data = _imageio_write_progressive_jpeg(spark, px)
+        raw = spark.createDataFrame(
+            [("prog", bytearray(data))], "media_id string, payload binary"
+        )
+        media = with_probed_media(raw)
+        meta = media.collect()[0]["meta"]
+        assert meta["codec"] == "jpeg" and meta["width"] == 32 and meta["height"] == 24
+        feats = image_features(media, dim=8, strict=True).collect()
+        assert len(feats) == 1
+        hist = np.array(feats[0]["feature"])
+        assert hist.sum() == pytest.approx(1.0) and (hist >= 0).all()
+
 
 @pytest.mark.spark
 class TestJavaxSoundWav:
