@@ -72,6 +72,11 @@ def parse_avi(data: bytes) -> dict:
         raise ValueError("not a RIFF/AVI payload")
     frames: list[bytes] = []
     info = {"fps": 0.0, "width": 0, "height": 0, "codec": ""}
+    # Stream index of the FIRST vids strh (hdrl precedes movi, so this is
+    # resolved before any frame chunks are seen).  Frame chunks from other
+    # streams (e.g. a second video or a text stream) must not interleave
+    # into the sample set — match the vids stream's 2-digit prefix only.
+    state = {"strh_seen": 0, "vids_stream": None}
 
     def walk(start: int, end: int) -> None:
         pos = start
@@ -89,12 +94,19 @@ def parse_avi(data: bytes) -> dict:
                     "<II", data[body_start + 32 : body_start + 40]
                 )
             elif fourcc == b"strh":
-                if data[body_start : body_start + 4] == b"vids":
+                if (
+                    data[body_start : body_start + 4] == b"vids"
+                    and state["vids_stream"] is None
+                ):
+                    state["vids_stream"] = state["strh_seen"]
                     info["codec"] = data[body_start + 4 : body_start + 8].decode(
                         "ascii", "replace"
                     )
+                state["strh_seen"] += 1
             elif fourcc[2:] in (b"dc", b"db") and size:
-                frames.append(data[body_start : body_start + size])
+                want = b"%02d" % (state["vids_stream"] or 0)
+                if fourcc[:2] == want:
+                    frames.append(data[body_start : body_start + size])
             pos = body_start + size + (size & 1)
 
     walk(12, 8 + struct.unpack("<I", data[4:8])[0])

@@ -620,7 +620,7 @@ def encode_gif(pixels: np.ndarray) -> bytes:
 
 
 def sniff_image(data: bytes) -> str | None:
-    """Return 'png' | 'bmp' | 'gif' | 'jpeg' | None from magic bytes."""
+    """Return 'png' | 'bmp' | 'gif' | 'jpeg' | 'tiff' | None from magic bytes."""
     if not data:
         return None
     if data[:8] == _PNG_SIG:

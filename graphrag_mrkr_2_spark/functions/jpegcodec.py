@@ -192,9 +192,11 @@ class _BitReader:
         """Consume a restart marker at the current byte boundary."""
         self.acc = 0
         self.nbits = 0
-        while self.data[self.pos] != 0xFF or not (
-            0xD0 <= self.data[self.pos + 1] <= 0xD7
-        ):
+        while True:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("JPEG truncated before restart marker")
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                break
             self.pos += 1
         self.pos += 2
 

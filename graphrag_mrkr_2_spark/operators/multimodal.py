@@ -611,6 +611,11 @@ def probe_media(payload: bytes) -> dict:
                         pos += 1
                         continue
                     marker = payload[pos + 1]
+                    if marker == 0xFF:
+                        # legal fill byte before a marker (B.1.1.2) — skip
+                        # padding instead of misreading a segment length
+                        pos += 1
+                        continue
                     if marker in (0xC0, 0xC1, 0xC2):
                         h, w = _struct.unpack(">HH", payload[pos + 5 : pos + 9])
                         break

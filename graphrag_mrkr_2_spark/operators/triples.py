@@ -318,7 +318,16 @@ def extract_mentions_fused(
                 if c not in mentions_pdf.columns:
                     mentions_pdf[c] = None
             chunks_pdf = pd.DataFrame(chunk_rows, columns=out_cols)
-            both = pd.concat([mentions_pdf[out_cols], chunks_pdf], ignore_index=True)
+            # pd.concat of an empty/all-NA frame is a FutureWarning (and a
+            # dtype change on the next pandas major) — drop empty parts
+            parts = [p for p in (mentions_pdf[out_cols], chunks_pdf) if len(p)]
+            if not parts:
+                continue
+            both = (
+                parts[0].copy()
+                if len(parts) == 1
+                else pd.concat(parts, ignore_index=True)
+            )
             # nullable integer dtypes: a float64-with-NaN column does not
             # convert to Arrow int; pandas' Int32/Int64 do
             for c, dt in (("page", "Int32"), ("chunk_index", "Int32"),

@@ -179,3 +179,60 @@ class TestAnimatedGifSampling:
         )
         got = sample_video_frames(media, every_ms=1000, strict=True).collect()
         assert [r["frame_index"] for r in got] == [0, 1]
+
+
+class TestMultiStream:
+    """Frame chunks must come from the vids stream only (ADVICE r4)."""
+
+    @staticmethod
+    def _two_stream_avi(vids_first: bool):
+        """Build an AVI with an auds stream and a vids stream; foreign
+        frame-shaped chunks carry the OTHER stream's prefix."""
+        from graphrag_mrkr_2_spark.functions.avicodec import _chunk, _list
+
+        frames = [
+            encode_jpeg(np.full((16, 16, 3), 40 * i + 10, dtype=np.uint8))
+            for i in range(3)
+        ]
+        avih = struct.pack(
+            "<IIIIIIIIIIIIII",
+            200_000, 0, 0, 0x10, len(frames), 0, 2, 0, 16, 16, 0, 0, 0, 0,
+        )
+        strh_v = struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh",
+            b"vids", b"MJPG", 0, 0, 0, 0, 1, 5, 0, len(frames),
+            0, 0xFFFFFFFF, 0, 0, 0, 16, 16,
+        )
+        strh_a = struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh",
+            b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1, 8000, 0, 100,
+            0, 0xFFFFFFFF, 0, 0, 0, 0, 0,
+        )
+        strf = struct.pack(
+            "<IiiHHIIiiII", 40, 16, 16, 1, 24, 0x47504A4D, 16 * 16 * 3, 0, 0, 0, 0
+        )
+        strl_v = _list(b"strl", _chunk(b"strh", strh_v) + _chunk(b"strf", strf))
+        strl_a = _list(b"strl", _chunk(b"strh", strh_a) + _chunk(b"strf", strf))
+        order = (strl_v + strl_a) if vids_first else (strl_a + strl_v)
+        hdrl = _list(b"hdrl", _chunk(b"avih", avih) + order)
+        vid_pfx = b"00dc" if vids_first else b"01dc"
+        foreign_pfx = b"01dc" if vids_first else b"00dc"
+        movi_parts = []
+        for f in frames:
+            movi_parts.append(_chunk(vid_pfx, f))
+            movi_parts.append(_chunk(foreign_pfx, b"\xde\xad\xbe\xef"))
+        movi = _list(b"movi", b"".join(movi_parts))
+        body = b"AVI " + hdrl + movi
+        return frames, b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_foreign_stream_chunks_excluded(self):
+        frames, avi = self._two_stream_avi(vids_first=True)
+        info = parse_avi(avi)
+        assert info["codec"] == "MJPG"
+        assert info["frames"] == frames
+
+    def test_vids_not_stream_zero(self):
+        frames, avi = self._two_stream_avi(vids_first=False)
+        info = parse_avi(avi)
+        assert info["codec"] == "MJPG"
+        assert info["frames"] == frames

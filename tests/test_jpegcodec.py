@@ -167,3 +167,21 @@ class TestDispatch:
         )
         feats = image_features(media, dim=4, strict=True).collect()
         assert feats[0]["feature"][0] == pytest.approx(1.0)
+
+
+class TestTruncatedRestart:
+    def test_align_restart_truncation_raises_valueerror(self):
+        """A stream truncated before an expected restart marker must raise
+        the codec's ValueError contract, not IndexError (ADVICE r4)."""
+        from graphrag_mrkr_2_spark.functions.jpegcodec import _BitReader
+
+        br = _BitReader(b"\x12\x34\x56", 0)
+        with pytest.raises(ValueError, match="truncated"):
+            br.align_restart()
+
+    def test_align_restart_still_consumes_marker(self):
+        from graphrag_mrkr_2_spark.functions.jpegcodec import _BitReader
+
+        br = _BitReader(b"\x00\xff\xd3\xab", 0)
+        br.align_restart()
+        assert br.pos == 3

@@ -121,3 +121,21 @@ class TestProbeMedia:
         assert len(feats) == 1 and feats[0]["feature"][-1] == pytest.approx(1.0)
         afeats = audio_features(media, strict=True).collect()
         assert len(afeats) == 1 and afeats[0]["duration_ms"] == 100
+
+
+class TestProbeJpegFillBytes:
+    def test_fill_bytes_before_sof_marker(self):
+        """Legal 0xFF padding before a marker (B.1.1.2) must not derail the
+        header-only dimension scan (ADVICE r4)."""
+        import numpy as np
+
+        from graphrag_mrkr_2_spark.functions.jpegcodec import encode_jpeg
+        from graphrag_mrkr_2_spark.operators.multimodal import probe_media
+
+        px = np.zeros((12, 34, 3), dtype=np.uint8)
+        data = encode_jpeg(px)
+        i = data.index(b"\xff\xdb")
+        spliced = data[:i] + b"\xff\xff\xff" + data[i:]
+        p = probe_media(spliced)
+        assert (p["kind"], p["codec"]) == ("image", "jpeg")
+        assert (p["width"], p["height"]) == (34, 12)
