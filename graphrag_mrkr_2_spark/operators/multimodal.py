@@ -24,8 +24,13 @@ Kernel status:
   RMS/zero-crossing/duration; **video frames sample for real** from
   MJPEG-AVI and animated GIF; progressive (SOF2) JPEG decodes for real
   (T.81 Annex G, bit-identical to the baseline decode of the same
-  coefficients, pinned vs the JDK writer). Remaining seams:
-  JPEG-in-TIFF, WEBP/AVIF, OCR (model), compressed audio
+  coefficients, pinned vs the JDK writer). **Standalone images OCR to
+  text for real up to the engine (r5)**: ``extract_image_text`` decodes
+  pixels and runs the reference's content-type decision table
+  (functions/ocr.py, core/ocr.py:332-450 thresholds) in front of an
+  injectable OCR engine callable — the engine (tesseract-class model) is
+  the seam, everything else is real pixel math. Remaining seams:
+  JPEG-in-TIFF, WEBP/AVIF, the OCR *engine*, compressed audio
   (MP3/AAC/Opus) and compressed video (ffmpeg-class codecs). Each remaining
   stub either raises NotImplementedError (strict mode) or produces a
   deterministic fake (test mode) so pipelines stay wireable end-to-end;
@@ -711,3 +716,123 @@ def metadata_only_stats(media: DataFrame) -> DataFrame:
         F.avg(F.col("meta.width")).alias("avg_width"),
         F.avg(F.col("meta.duration_ms")).alias("avg_duration_ms"),
     )
+
+
+IMAGE_TEXT_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("content", StringType(), True),
+        # flattened ocr_metadata, the ImageLoader.load_with_metadata contract
+        # (reference ingestion/loaders/image_loader.py:60-75)
+        StructField("processing_method", StringType(), False),
+        StructField("file_type", StringType(), False),
+        StructField("ocr_applied", IntegerType(), False),
+        StructField("ocr_items_count", IntegerType(), False),
+        StructField("content_primary_type", StringType(), False),
+        StructField("content_needs_ocr", IntegerType(), False),
+        StructField("detected_language", StringType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def extract_image_text(
+    media: DataFrame,
+    ocr=None,
+    enable_ocr: bool = True,
+    strict: bool = False,
+    default_language: str = "eng",
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    passthrough_cols: list[str] | None = None,
+) -> DataFrame:
+    """Pixels→text for standalone images — the reference image loader's
+    intelligent-OCR path (ingestion/loaders/image_loader.py:35-80 →
+    core/ocr.py:841-916 process_standalone_image).
+
+    Real pixel analysis (decode → content-type detection with the
+    reference's exact thresholds, functions/ocr.py) runs on every image;
+    the OCR *engine* is the injectable seam ``ocr(pixels, content_type,
+    language) -> str | None`` (external tesseract-class model, same seam
+    category as the LLM callable).  Contract mirrored from the reference:
+
+    - ``enable_ocr=False`` → no rows at all (loader returns None when OCR
+      is disabled, image_loader.py:47-49);
+    - no extractable text → ``content`` NULL with analysis metadata intact
+      (no-text→None contract, image_loader.py:56-58);
+    - ``needs_ocr`` but no engine injected: ``strict=True`` raises
+      NotImplementedError; otherwise the row quarantines (content NULL,
+      ``error`` says why) so mixed corpora keep flowing.
+
+    100-TB shape: one mapInPandas pass, payloads streamed per Arrow batch,
+    never collected; pair with ``media_repartition`` upstream for size
+    skew.  The pure-NumPy pixel analysis is the same cost class as the
+    image codecs — inject a native engine through this seam for
+    production-scale OCR.
+    """
+    from graphrag_mrkr_2_spark.functions.ocr import process_standalone_image
+
+    extra = list(passthrough_cols or [])
+    out_schema = StructType(
+        list(IMAGE_TEXT_SCHEMA.fields)
+        + [media.schema[c] for c in extra]
+    )
+    if not enable_ocr:
+        return media.select(
+            F.col(id_col).cast("string").alias("media_id")
+        ).limit(0).select(
+            F.col("media_id"),
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in out_schema.fields[1:]
+            ],
+        )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = (
+                    bytes(getattr(rec, payload_col))
+                    if getattr(rec, payload_col) is not None
+                    else b""
+                )
+                result = process_standalone_image(
+                    payload, ocr, default_language=default_language
+                )
+                meta = result["ocr_metadata"]
+                analysis = meta.get("content_analysis", {})
+                err = meta.get("error")
+                if (
+                    strict
+                    and ocr is None
+                    and analysis.get("needs_ocr")
+                ):
+                    raise NotImplementedError(
+                        "image contains OCR-able content but no OCR engine is "
+                        "injected — pass ocr=<engine callable> (the tesseract "
+                        "seam, reference core/ocr.py:491-531) or strict=False "
+                        "to quarantine"
+                    )
+                rows.append(
+                    {
+                        **{c: getattr(rec, c) for c in extra},
+                        "media_id": str(getattr(rec, id_col)),
+                        "content": result["content"],
+                        "processing_method": "image_ocr",
+                        "file_type": meta.get("file_type", "standalone_image"),
+                        "ocr_applied": int(meta.get("ocr_applied", 0)),
+                        "ocr_items_count": len(meta.get("ocr_items", [])),
+                        "content_primary_type": analysis.get(
+                            "primary_type", "unknown"
+                        ),
+                        "content_needs_ocr": int(bool(analysis.get("needs_ocr"))),
+                        "detected_language": meta.get("detected_language"),
+                        "error": err,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return media.select(
+        F.col(id_col), F.col(payload_col), *[F.col(c) for c in extra]
+    ).mapInPandas(_extract, out_schema)
