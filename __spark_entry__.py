@@ -835,6 +835,65 @@ def q_doc_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_structure_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure-hybrid chunking (r5 — the docling_hybrid analog,
+    core/chunking.py:149-158 + core/docling_chunker.py:55-73) with an EXACT
+    oracle: each document's sanitized text is packed into a REAL styled
+    DOCX (Title + Heading1 'Overview' + para1 + Heading2 'Details' + para2),
+    re-parsed to structured blocks (functions/docformats.docx_blocks) and
+    chunked by chunk_pages(strategy='structure_hybrid'); DuckDB reconstructs
+    the expected heading paths and chunk contents from the same substring
+    rules — verifying the OOXML style round-trip, the heading-stack
+    hierarchy, the heading-path prefix, and the section packer end-to-end."""
+    from graphrag_mrkr_2_spark.operators.extract import chunk_pages
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.coalesce("text", F.lit("")), r"[^\x20-\x7e]", " "),
+                r" +",
+                " ",
+            )
+        ).alias("clean"),
+    ).select(
+        "doc_id",
+        F.trim(F.substring("clean", 1, 200)).alias("p1"),
+        F.trim(F.substring("clean", 201, 200)).alias("p2"),
+    )
+
+    def _encode(batches):
+        import pandas as pd
+
+        from graphrag_mrkr_2_spark.functions.docformats import encode_docx
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["doc_id"] + ".docx",
+                    "binary": [
+                        encode_docx(
+                            [("Title", f"Doc {d}"), ("Heading1", "Overview")]
+                            + ([p1] if p1 else [])
+                            + [("Heading2", "Details")]
+                            + ([p2] if p2 else [])
+                        )
+                        for d, p1, p2 in zip(pdf["doc_id"], pdf["p1"], pdf["p2"])
+                    ],
+                }
+            )
+
+    pages = docs.mapInPandas(_encode, "url string, binary binary")
+    chunks = chunk_pages(pages, strategy="structure_hybrid")
+    return chunks.select(
+        F.regexp_replace("url", r"\.docx$", "").alias("doc_id"),
+        "chunk_index",
+        "heading_path",
+        "section_title",
+        "content",
+    ).orderBy("doc_id", "chunk_index")
+
+
 def q_image_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster codec kernels (functions/imagecodecs.py, r4) with an EXACT
     oracle: per doc, deterministic formula pixels are encoded to REAL
@@ -1203,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "query_rerank": q_query_rerank,
         "doc_binary_roundtrip": q_doc_binary_roundtrip,
+        "doc_structure_chunks": q_doc_structure_chunks,
         "image_decode_roundtrip": q_image_decode_roundtrip,
         "audio_decode_roundtrip": q_audio_decode_roundtrip,
         "doc_pii_redact": q_doc_pii_redact,
@@ -1752,6 +1812,44 @@ def oracle_sql() -> dict[str, str]:
                    md5(pdf_text) AS pdf_md5,
                    CAST(length(pdf_text) AS BIGINT) AS pdf_chars
             FROM exp ORDER BY doc_id
+        """,
+        # structure-hybrid chunking: DuckDB reconstructs the expected chunks
+        # (heading path prefix + substring paragraphs) from the same rules
+        # the Spark side used to BUILD the styled DOCX — equality proves the
+        # OOXML style round-trip + heading stack + section packer
+        "doc_structure_chunks": """
+            WITH base AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     trim(regexp_replace(regexp_replace(COALESCE(text, ''),
+                          '[^\\x20-\\x7e]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+              FROM documents
+            ),
+            paras AS (
+              SELECT doc_id,
+                     'Doc ' || doc_id AS title,
+                     trim(substr(clean, 1, 200)) AS p1,
+                     trim(substr(clean, 201, 200)) AS p2
+              FROM base
+            ),
+            c AS (
+              SELECT doc_id, 0 AS ord,
+                     title || ' > Overview' AS heading_path,
+                     'Overview' AS section_title,
+                     title || ' > Overview' || chr(10) || chr(10) || p1 AS content
+              FROM paras WHERE length(p1) > 0
+              UNION ALL
+              SELECT doc_id, 1 AS ord,
+                     title || ' > Overview > Details' AS heading_path,
+                     'Details' AS section_title,
+                     title || ' > Overview > Details' || chr(10) || chr(10) || p2
+                       AS content
+              FROM paras WHERE length(p2) > 0
+            )
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) - 1
+                        AS INTEGER) AS chunk_index,
+                   heading_path, section_title, content
+            FROM c ORDER BY doc_id, chunk_index
         """,
         # raster codecs: DuckDB computes the formula checksum directly (no
         # decode) — equality proves the Spark side's PNG/BMP/GIF

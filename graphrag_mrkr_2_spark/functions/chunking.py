@@ -160,3 +160,137 @@ def chunk_document(document_id: str, text: str, chunk_size: int = 1200, chunk_ov
     """Full legacy path: recursive split + TextUnit assignment."""
     splitter = RecursiveCharacterSplitter(chunk_size=chunk_size, chunk_overlap=chunk_overlap)
     return assign_text_units(document_id, text, splitter.split_text(text))
+
+
+def resolve_chunking_strategy(file_extension: str | None, has_structure: bool = False) -> str:
+    """Strategy resolution mirroring ChunkingService._resolve_chunking_strategy
+    (core/chunking.py:283-295): html extensions → html_heading; pdf (and here
+    docx, whose OOXML styles carry the same document-model structure docling
+    extracts) → the structure-aware hybrid strategy WHEN a parsed structure is
+    available, else legacy — the reference downgrades to legacy when
+    ``docling_document is None`` or the docling chunker is unavailable; our
+    analog downgrades when ``document_blocks`` returned None.
+    """
+    ext = (file_extension or "").lower().lstrip(".")
+    if ext in {"html", "htm", "xhtml", "xht"}:
+        return "html_heading"
+    if ext in {"pdf", "docx"}:
+        return "structure_hybrid" if has_structure else "legacy"
+    return "legacy"
+
+
+class StructureHybridChunker:
+    """Structure-aware hybrid chunking over parsed document blocks — the
+    Spark analog of the reference's docling_hybrid strategy
+    (core/chunking.py:149-158 dispatch; core/docling_chunker.py:55-73:
+    Docling's HybridChunker walks the parsed document model, keeps the
+    heading hierarchy, prepends the heading path, records token counts).
+
+    Input blocks come from functions/docformats.document_blocks:
+    ``{"kind": "heading"|"paragraph"|"table", "level", "text", "page"}``.
+    Semantics:
+
+    - a heading stack tracks the hierarchy: a level-L heading pops entries
+      with level ≥ L (heading_path = " > ".join, section_title = last);
+    - consecutive paragraph blocks under one heading and one page form a
+      section — chunks never straddle a heading or a page boundary (the
+      structural boundaries a flat splitter destroys);
+    - table blocks chunk standalone (docling serializes tables as their own
+      chunks), never merged into surrounding prose;
+    - sections pack into token-budgeted chunks with the SAME packer the
+      html_heading strategy uses (target/min/max/overlap, tail overlap,
+      oversize sentence split, small-chunk merge — html_chunker.py:247-336
+      semantics), so the two structure-aware strategies stay consistent;
+    - ``include_heading_path`` prepends the path to the chunk text
+      (docling_chunker.py:66-69) and every chunk carries
+      heading_path/section_title/page/token_count metadata.
+    """
+
+    def __init__(
+        self,
+        target_tokens: int = 800,
+        min_tokens: int = 180,
+        max_tokens: int = 1000,
+        overlap_tokens: int = 100,
+        include_heading_path: bool = True,
+    ) -> None:
+        from .html_text import HtmlHeadingChunker
+
+        self.include_heading_path = include_heading_path
+        # reuse the html chunker's token packer verbatim (same budgets)
+        self._packer = HtmlHeadingChunker(
+            target_tokens, min_tokens, max_tokens, overlap_tokens, include_heading_path
+        )
+
+    def chunk_blocks(self, blocks: list[dict]) -> list[dict]:
+        from .tokens import count_tokens
+
+        sections: list[dict] = []  # {heading_path, section_title, page, parts}
+        stack: list[tuple[int, str]] = []
+        current: dict | None = None
+
+        def flush() -> None:
+            nonlocal current
+            if current and current["parts"]:
+                sections.append(current)
+            current = None
+
+        for b in blocks or []:
+            kind = b.get("kind")
+            text = (b.get("text") or "").strip()
+            if not text:
+                continue
+            if kind == "heading":
+                flush()
+                level = b.get("level") or 0
+                while stack and stack[-1][0] >= level:
+                    stack.pop()
+                stack.append((level, text))
+            elif kind == "table":
+                flush()
+                sections.append(
+                    {
+                        "heading_path": " > ".join(t for _, t in stack),
+                        "section_title": stack[-1][1] if stack else None,
+                        "page": b.get("page"),
+                        "parts": [text],
+                    }
+                )
+            else:
+                path = " > ".join(t for _, t in stack)
+                page = b.get("page")
+                if current and (
+                    current["heading_path"] != path or current["page"] != page
+                ):
+                    flush()
+                if current is None:
+                    current = {
+                        "heading_path": path,
+                        "section_title": stack[-1][1] if stack else None,
+                        "page": page,
+                        "parts": [],
+                    }
+                current["parts"].append(text)
+        flush()
+
+        chunks: list[dict] = []
+        for sec in sections:
+            section_text = "\n\n".join(sec["parts"]).strip()
+            if self.include_heading_path and sec["heading_path"]:
+                section_text = f"{sec['heading_path']}\n\n{section_text}".strip()
+            for chunk_text in self._packer._split_text(section_text):
+                chunk_text = chunk_text.strip()
+                if not chunk_text:
+                    continue
+                chunks.append(
+                    {
+                        "text": chunk_text,
+                        "metadata": {
+                            "heading_path": sec["heading_path"] or None,
+                            "section_title": sec["section_title"],
+                            "page": sec["page"],
+                            "token_count": count_tokens(chunk_text),
+                        },
+                    }
+                )
+        return chunks

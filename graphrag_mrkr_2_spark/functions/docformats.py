@@ -36,6 +36,9 @@ from xml.etree import ElementTree as ET
 
 __all__ = [
     "docx_text",
+    "docx_blocks",
+    "pdf_blocks",
+    "document_blocks",
     "pptx_text",
     "xlsx_sheets",
     "xlsx_text",
@@ -733,21 +736,118 @@ def pdf_text(data: bytes) -> str | None:
     return "\n\n".join(text_content)
 
 
+_HEADING_STYLE_RE = re.compile(r"^heading\s*(\d+)$", re.I)
+
+
+def docx_blocks(data: bytes) -> list[dict] | None:
+    """DOCX → structured blocks [{kind, level, text, page}] — the repo's
+    analog of the parsed document model the reference's docling hybrid
+    chunker consumes (core/docling_chunker.py:55-73: items with heading
+    hierarchy).  Heading detection: body-level paragraphs whose
+    ``w:pPr/w:pStyle`` is Title (level 0) or Heading N (level N); tables
+    become one 'table' block (rows ' | '-joined, the docx_text rendering).
+    DOCX has no static pagination → page is None.  None on parse failure
+    or an empty body (same quarantine contract as docx_text)."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            root = ET.fromstring(zf.read("word/document.xml"))
+    except Exception:
+        return None
+    body = root.find(f"{_W}body")
+    if body is None:
+        return None
+    blocks: list[dict] = []
+    for child in body:
+        if child.tag == f"{_W}p":
+            text = _docx_paragraph_text(child)
+            if not text.strip():
+                continue
+            style_el = child.find(f"{_W}pPr/{_W}pStyle")
+            style = (style_el.get(f"{_W}val") or "") if style_el is not None else ""
+            m = _HEADING_STYLE_RE.match(style)
+            if m:
+                blocks.append(
+                    {"kind": "heading", "level": int(m.group(1)), "text": text, "page": None}
+                )
+            elif style.lower() == "title":
+                blocks.append({"kind": "heading", "level": 0, "text": text, "page": None})
+            else:
+                blocks.append({"kind": "paragraph", "level": None, "text": text, "page": None})
+        elif child.tag == f"{_W}tbl":
+            rows = []
+            for tr in child.findall(f"{_W}tr"):
+                cells = [t for t in (_docx_cell_text(tc) for tc in tr.findall(f"{_W}tc")) if t.strip()]
+                if cells:
+                    rows.append(" | ".join(cells))
+            if rows:
+                blocks.append(
+                    {"kind": "table", "level": None, "text": "\n".join(rows), "page": None}
+                )
+    return blocks or None
+
+
+def pdf_blocks(data: bytes) -> list[dict] | None:
+    """PDF → structured blocks: per-page paragraphs (blank-line split) with
+    1-based page numbers.  The minimal content-stream parser carries no
+    font-size information, so no heading blocks — the structure signal PDFs
+    contribute is PAGINATION, which the structure-hybrid chunker respects
+    (no chunk straddles a page boundary unless a page is oversize)."""
+    try:
+        pages = pdf_pages_text(data)
+    except Exception:
+        return None
+    blocks: list[dict] = []
+    for i, page_text in enumerate(pages):
+        for para in re.split(r"\n\s*\n", page_text):
+            if para.strip():
+                blocks.append(
+                    {"kind": "paragraph", "level": None, "text": para.strip(), "page": i + 1}
+                )
+    return blocks or None
+
+
+def document_blocks(data: bytes | None, fmt: str) -> list[dict] | None:
+    """Structured-block dispatcher (docx/pdf; extension or bare name).
+    Formats without a block extractor return None — callers fall back to
+    flat-text strategies, mirroring _resolve_chunking_strategy's
+    docling-absent fallback (core/chunking.py:288-295)."""
+    if not data:
+        return None
+    key = fmt.rsplit(".", 1)[-1].lower()
+    if key == "docx":
+        return docx_blocks(data)
+    if key == "pdf":
+        return pdf_blocks(data)
+    return None
+
+
 # ---------------------------------------------------------------------------
 # minimal encoders — round-trip verification + binary sink kernels
 # ---------------------------------------------------------------------------
 
 
-def encode_docx(paragraphs: list[str]) -> bytes:
+def encode_docx(paragraphs: list) -> bytes:
     """Minimal valid DOCX (one paragraph per entry). Used by the driver's
     binary round-trip oracle (encode → decode ≡ deterministic SQL transform)
-    and as the kernel for a binary-document sink."""
+    and as the kernel for a binary-document sink.
+
+    An entry may be a plain string or a ``(style, text)`` pair (e.g.
+    ``("Heading1", "Intro")``) to emit a styled paragraph — enough
+    structure for docx_blocks round-trips."""
     from xml.sax.saxutils import escape
 
-    body = "".join(
-        f"<w:p><w:r><w:t xml:space='preserve'>{escape(p)}</w:t></w:r></w:p>"
-        for p in paragraphs
-    )
+    def _para(entry) -> str:
+        if isinstance(entry, tuple):
+            style, text = entry
+            ppr = f"<w:pPr><w:pStyle w:val='{escape(style)}'/></w:pPr>"
+        else:
+            ppr, text = "", entry
+        return (
+            f"<w:p>{ppr}<w:r><w:t xml:space='preserve'>"
+            f"{escape(text)}</w:t></w:r></w:p>"
+        )
+
+    body = "".join(_para(p) for p in paragraphs)
     doc = (
         '<w:document xmlns:w="http://schemas.openxmlformats.org/'
         f'wordprocessingml/2006/main"><w:body>{body}</w:body></w:document>'

@@ -101,16 +101,24 @@ def chunk_pages(
     id_col: str = "url",
     html_col: str = "html",
     text_col: str = "text",
+    binary_col: str = "binary",
 ) -> DataFrame:
     """Chunk pages into TextUnits (one output row per chunk).
 
     strategy='html_heading' replicates HtmlHeadingChunker.chunk_html
     (core/html_chunker.py:93-124); 'legacy' replicates the recursive splitter
-    (core/chunking.py:260-264). Stable ids {doc}_tu_{start}_{end}_{sha1[:8]}
+    (core/chunking.py:260-264); 'structure_hybrid' is the docling_hybrid
+    analog (core/chunking.py:149-158 + core/docling_chunker.py): structured
+    blocks parsed from the ``binary_col`` payload (docx headings/tables, pdf
+    pages) are packed by StructureHybridChunker, and rows whose payload
+    yields no structure fall back to legacy per the reference's
+    _resolve_chunking_strategy downgrade (core/chunking.py:288-292).
+    Stable ids {doc}_tu_{start}_{end}_{sha1[:8]}
     per core/chunking.py:508-513. Chunk-local => mapInPandas, no shuffle.
     """
     cfg = cfg or ChunkingConfig()
     use_html = strategy == "html_heading"
+    use_structure = strategy == "structure_hybrid"
     target, minimum, maximum, overlap = (
         cfg.chunk_target_tokens,
         cfg.chunk_min_tokens,
@@ -120,14 +128,23 @@ def chunk_pages(
     chunk_size, chunk_overlap = cfg.chunk_size, cfg.chunk_overlap
     include_heading = cfg.include_heading_path
 
-    cols = [id_col] + ([html_col] if use_html else []) + ([text_col] if not use_html or True else [])
+    cols = (
+        [id_col]
+        + ([html_col] if use_html else [])
+        + ([binary_col] if use_structure else [])
+        + [text_col]
+    )
     # always carry text when available for offset assignment
     cols = list(dict.fromkeys([c for c in cols if c in pages.columns]))
 
     def _chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.chunking import assign_text_units
+        from ..functions.chunking import StructureHybridChunker, assign_text_units
+        from ..functions.docformats import decode_document, document_blocks
 
         chunker = HtmlHeadingChunker(target, minimum, maximum, overlap, include_heading)
+        structure_chunker = StructureHybridChunker(
+            target, minimum, maximum, overlap, include_heading
+        )
         for pdf in batches:
             rows: list[dict] = []
             for rec in pdf.itertuples(index=False):
@@ -155,6 +172,43 @@ def chunk_pages(
                                 "section_title": meta.get("section_title"),
                             }
                         )
+                elif use_structure:
+                    raw = getattr(rec, binary_col, None) if binary_col in pdf.columns else None
+                    data = bytes(raw) if isinstance(raw, (bytes, bytearray)) else None
+                    blocks = document_blocks(data, str(url)) if data else None
+                    base_text = (
+                        getattr(rec, text_col, None) if text_col in pdf.columns else None
+                    ) or (decode_document(data, str(url)) if data else None) or ""
+                    if blocks:
+                        pieces = structure_chunker.chunk_blocks(blocks)
+                        units = assign_text_units(
+                            doc_id, base_text, [p["text"] for p in pieces]
+                        )
+                        for unit, piece in zip(units, pieces):
+                            meta = piece["metadata"]
+                            row = {
+                                **unit,
+                                "url": str(url),
+                                "heading_path": meta.get("heading_path"),
+                                "section_title": meta.get("section_title"),
+                            }
+                            if meta.get("page") is not None:
+                                row["page"] = meta["page"]
+                            rows.append(row)
+                    else:
+                        # structure unavailable → legacy downgrade
+                        # (core/chunking.py:288-292)
+                        for unit in chunk_document(
+                            doc_id, base_text, chunk_size, chunk_overlap
+                        ):
+                            rows.append(
+                                {
+                                    **unit,
+                                    "url": str(url),
+                                    "heading_path": None,
+                                    "section_title": None,
+                                }
+                            )
                 else:
                     text = getattr(rec, text_col) or ""
                     for unit in chunk_document(doc_id, text, chunk_size, chunk_overlap):

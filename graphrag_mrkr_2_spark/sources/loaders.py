@@ -163,9 +163,19 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_binary_documents(
-    spark: SparkSession, path: str, max_bytes: int = 256 * 1024 * 1024
+    spark: SparkSession,
+    path: str,
+    max_bytes: int = 256 * 1024 * 1024,
+    keep_binary: bool = False,
 ) -> DataFrame:
     """PDF/DOCX/XLSX/PPTX files → pages(url, warc_ts, html, text, lang).
+
+    ``keep_binary=True`` appends a ``binary`` column carrying the raw
+    payload so downstream ``chunk_pages(strategy="structure_hybrid")`` can
+    re-parse document structure (headings/tables/pages) — the analog of the
+    reference handing the docling document model from loader to chunker
+    (core/chunking.py:149-158). Costly at scale (keeps the payload in the
+    shuffle); leave False unless the structure-aware strategy is in use.
 
     binaryFile scan (one file per row; Spark splits across tasks) →
     mapInPandas decode with the stdlib kernels. url = file path, text =
@@ -188,25 +198,29 @@ def read_binary_documents(
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "url": pdf["path"],
-                    "warc_ts": pdf["modificationTime"].astype(str),
-                    "html": pd.Series([None] * len(pdf), dtype=object),
-                    "text": pd.Series(
-                        [
-                            decode_document(
-                                bytes(c) if c is not None else None, p
-                            )
-                            for c, p in zip(pdf["content"], pdf["path"])
-                        ],
-                        dtype=object,
-                    ),
-                    "lang": pd.Series([None] * len(pdf), dtype=object),
-                }
-            )
+            out = {
+                "url": pdf["path"],
+                "warc_ts": pdf["modificationTime"].astype(str),
+                "html": pd.Series([None] * len(pdf), dtype=object),
+                "text": pd.Series(
+                    [
+                        decode_document(
+                            bytes(c) if c is not None else None, p
+                        )
+                        for c, p in zip(pdf["content"], pdf["path"])
+                    ],
+                    dtype=object,
+                ),
+                "lang": pd.Series([None] * len(pdf), dtype=object),
+            }
+            if keep_binary:
+                out["binary"] = pdf["content"]
+            yield pd.DataFrame(out)
 
-    return files.mapInPandas(_decode, PAGES_SCHEMA)
+    schema = PAGES_SCHEMA
+    if keep_binary:
+        schema = StructType([*PAGES_SCHEMA.fields, StructField("binary", BinaryType(), True)])
+    return files.mapInPandas(_decode, schema)
 
 
 def read_image_documents(
