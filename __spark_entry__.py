@@ -1852,7 +1852,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c ORDER BY doc_id, chunk_index
         """,
         # raster codecs: DuckDB computes the formula checksum directly (no
-        # decode) — equality proves the Spark side's PNG/BMP/GIF
+        # decode) — equality proves the Spark side's PNG/BMP/GIF/WEBP
         # encode→decode is the identity on the pixels
         "image_decode_roundtrip": """
             SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
@@ -1865,7 +1865,10 @@ def oracle_sql() -> dict[str, str]:
                      AS bmp_checksum,
                    CAST(CAST(SUM(((d.doc_id*7 + r.r*31 + c.c*13 + ch.ch*5) % 256)
                              * ((r.r*16 + c.c)*3 + ch.ch + 1)) AS BIGINT) AS VARCHAR)
-                     AS gif_checksum
+                     AS gif_checksum,
+                   CAST(CAST(SUM(((d.doc_id*7 + r.r*31 + c.c*13 + ch.ch*5) % 256)
+                             * ((r.r*16 + c.c)*3 + ch.ch + 1)) AS BIGINT) AS VARCHAR)
+                     AS webp_checksum
             FROM documents d,
                  generate_series(0, 11) r(r),
                  generate_series(0, 15) c(c),

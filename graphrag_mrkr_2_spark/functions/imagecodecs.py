@@ -633,6 +633,8 @@ def sniff_image(data: bytes) -> str | None:
         return "jpeg"
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
@@ -653,7 +655,12 @@ def decode_image(data: bytes) -> np.ndarray:
         from .tiffcodec import decode_tiff
 
         return decode_tiff(data)
+    if fmt == "webp":
+        from .webpcodec import decode_webp
+
+        return decode_webp(data)
     raise ValueError(
         "unrecognized image payload "
-        "(supported: PNG, BMP, GIF, baseline JPEG, baseline TIFF)"
+        "(supported: PNG, BMP, GIF, baseline JPEG, baseline TIFF, "
+        "lossless WEBP)"
     )

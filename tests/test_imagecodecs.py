@@ -176,15 +176,24 @@ class TestSniffAndDispatch:
         assert sniff_image(encode_gif(px)) == "gif"
         assert sniff_image(b"\xff\xd8\xff\xe0") == "jpeg"
         assert sniff_image(b"II*\x00") == "tiff"
-        assert sniff_image(b"RIFFxxxxWEBP") is None  # WEBP: the codec seam
+        assert sniff_image(b"RIFFxxxxWEBP") == "webp"  # r5: lossless decodes
+        assert sniff_image(b"RIFFxxxxWAVE") is None  # other RIFF: not image
         assert sniff_image(b"") is None
 
     def test_decode_image_dispatch(self):
         px = np.full((3, 4, 3), 9, dtype=np.uint8)
-        for enc in (encode_png, encode_bmp, encode_gif):
+        from graphrag_mrkr_2_spark.functions.webpcodec import encode_webp_lossless
+
+        for enc in (encode_png, encode_bmp, encode_gif, encode_webp_lossless):
             assert (decode_image(enc(px)) == px).all()
         with pytest.raises(ValueError, match="unrecognized"):
-            decode_image(b"RIFFxxxxWEBPdata")
+            decode_image(b"ABCDxxxxWXYZdata")
+        # a recognized WEBP container with a lossy VP8 payload stays a seam
+        with pytest.raises(ValueError, match="lossy"):
+            decode_image(
+                b"RIFF" + (16).to_bytes(4, "little") + b"WEBP"
+                + b"VP8 " + (4).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+            )
 
 
 @pytest.mark.spark
