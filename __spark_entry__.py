@@ -894,6 +894,74 @@ def q_doc_structure_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_index")
 
 
+def q_chunk_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk pattern learner (r5 — core/chunk_pattern_learner.py +
+    chunk_pattern_store.py port) with an EXACT oracle: each document gets a
+    deterministic 7-chunk template exercising every builtin pattern
+    (placeholder, separator, short, low-density, consecutive-short runs,
+    normalized duplicates); DuckDB reconstructs the expected 10 suggestions
+    per document (exactly max_suggestions) with their reference-format
+    reasonings and ordering — verifying the codegen predicates, both
+    windowed patterns, the confidence sort, and the per-document limit."""
+    from graphrag_mrkr_2_spark.operators.chunk_patterns import chunk_suggestions
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("document_id"),
+        F.trim(
+            F.substring(
+                F.regexp_replace(
+                    F.regexp_replace(F.coalesce("text", F.lit("")), r"[^\x20-\x7e]", " "),
+                    r" +",
+                    " ",
+                ),
+                1,
+                120,
+            )
+        ).alias("p1"),
+        (F.col("doc_id") % 5).cast("string").alias("dup_n"),
+    )
+    chunks = (
+        docs.select(
+            "document_id",
+            F.posexplode(
+                F.array(
+                    F.lit("TODO"),
+                    F.lit("ok"),
+                    F.lit("-----"),
+                    F.concat(
+                        F.lit(
+                            "Chunk body padding to guarantee this chunk stays "
+                            "comfortably long: "
+                        ),
+                        F.col("p1"),
+                    ),
+                    F.lit("!!! ??? ,,, ;;; ::: ..."),
+                    F.concat(F.lit("duplicate content block number "), F.col("dup_n")),
+                    F.concat(F.lit("duplicate content block number "), F.col("dup_n")),
+                )
+            ).alias("chunk_index", "content"),
+        )
+        .select(
+            "document_id",
+            F.concat(
+                "document_id", F.lit("_pc"), F.col("chunk_index").cast("string")
+            ).alias("chunk_id"),
+            "chunk_index",
+            "content",
+        )
+    )
+    return chunk_suggestions(chunks).select(
+        "document_id",
+        "chunk_id",
+        "chunk_index",
+        "action",
+        "confidence",
+        "reasoning",
+        "pattern_name",
+        F.coalesce(F.array_join("related_chunk_ids", ","), F.lit("")).alias("related"),
+    ).orderBy("document_id", F.desc("confidence"), "pattern_name", "chunk_index")
+
+
 def q_image_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster codec kernels (functions/imagecodecs.py, r4) with an EXACT
     oracle: per doc, deterministic formula pixels are encoded to REAL
@@ -1263,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_rerank": q_query_rerank,
         "doc_binary_roundtrip": q_doc_binary_roundtrip,
         "doc_structure_chunks": q_doc_structure_chunks,
+        "chunk_suggestions": q_chunk_suggestions,
         "image_decode_roundtrip": q_image_decode_roundtrip,
         "audio_decode_roundtrip": q_audio_decode_roundtrip,
         "doc_pii_redact": q_doc_pii_redact,
@@ -1850,6 +1919,53 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS chunk_index,
                    heading_path, section_title, content
             FROM c ORDER BY doc_id, chunk_index
+        """,
+        # chunk pattern learner: the per-doc chunk template is deterministic,
+        # so DuckDB enumerates the expected suggestions (reference-format
+        # reasonings incl. computed lengths/ratios) as constants per doc
+        "chunk_suggestions": """
+            WITH docs AS (SELECT CAST(doc_id AS VARCHAR) AS d FROM documents)
+            SELECT d.d AS document_id,
+                   d.d || '_pc' || v.idx AS chunk_id,
+                   CAST(v.idx AS INTEGER) AS chunk_index,
+                   v.action,
+                   CAST(v.confidence AS DOUBLE) AS confidence,
+                   v.reasoning,
+                   v.pattern_name,
+                   replace(v.rel, '@', d.d) AS related
+            FROM docs d CROSS JOIN (VALUES
+              (6, 'delete', 0.9,
+               'Duplicate content of another chunk',
+               'Duplicate Content', '@_pc5'),
+              (2, 'delete', 0.9,
+               'Matched pattern: Separator Lines',
+               'Separator Lines', ''),
+              (0, 'delete', 0.85,
+               'Matched pattern: Placeholder Text',
+               'Placeholder Text', ''),
+              (0, 'delete', 0.8,
+               'Length 4 matches criteria for Very Short Chunks',
+               'Very Short Chunks', ''),
+              (1, 'delete', 0.8,
+               'Length 2 matches criteria for Very Short Chunks',
+               'Very Short Chunks', ''),
+              (2, 'delete', 0.8,
+               'Length 5 matches criteria for Very Short Chunks',
+               'Very Short Chunks', ''),
+              (0, 'merge', 0.75,
+               'Found 3 consecutive chunks matching Consecutive Short Chunks',
+               'Consecutive Short Chunks', '@_pc1,@_pc2'),
+              (4, 'merge', 0.75,
+               'Found 3 consecutive chunks matching Consecutive Short Chunks',
+               'Consecutive Short Chunks', '@_pc5,@_pc6'),
+              (2, 'delete', 0.7,
+               'Low alphanumeric ratio (0%) matches Low Information Density',
+               'Low Information Density', ''),
+              (4, 'delete', 0.7,
+               'Low alphanumeric ratio (0%) matches Low Information Density',
+               'Low Information Density', '')
+            ) AS v(idx, action, confidence, reasoning, pattern_name, rel)
+            ORDER BY document_id, confidence DESC, pattern_name, chunk_index
         """,
         # raster codecs: DuckDB computes the formula checksum directly (no
         # decode) — equality proves the Spark side's PNG/BMP/GIF/WEBP

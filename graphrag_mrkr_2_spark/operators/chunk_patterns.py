@@ -1,0 +1,341 @@
+"""Chunk pattern learner — corpus-scale chunk-improvement suggestions.
+
+Spark port of the reference's feedback-driven chunk curation pair
+(core/chunk_pattern_learner.py + core/chunk_pattern_store.py, wired through
+api/routers/documents.py; VERDICT r4 missing #3). The reference loads one
+document's chunks from Neo4j and applies stored patterns in Python; here the
+same pattern semantics run over the WHOLE chunks table as declarative
+DataFrame ops, so "does any document have suggestions" becomes one scan
+instead of an API call per document.
+
+Pattern semantics ported verbatim from ChunkPatternLearner._apply_pattern
+(chunk_pattern_learner.py:147-166):
+
+- ``regex``      — re.search on raw content, optional i flag
+                   (:169-196, reasoning "Matched pattern: {name}");
+- ``length``     — strip-length < max_length or > min_length (:198-222);
+                   with min_consecutive > 1, maximal runs of adjacent
+                   chunks under max_length, suggestion anchored on the
+                   first chunk of the run, rest in related_chunk_ids
+                   (:224-258);
+- ``content``    — alphanumeric ratio < min_alpha_ratio on raw content,
+                   empty content skipped (:260-285);
+- ``similarity`` (exact_normalized) — lower/strip/collapse-whitespace
+                   normalization, duplicates ≥ 20 chars flagged against the
+                   first occurrence in chunk_index order (:287-313).
+
+Post-processing mirrors get_suggestions (:88-128): confidence filter,
+stable sort by confidence DESC (ties keep pattern order then chunk order),
+per-document limit. BUILTIN_PATTERNS mirrors chunk_pattern_store.py:86-146
+in the fresh-store iteration order (get_patterns ORDER BY is_builtin DESC,
+usage_count DESC, name ASC — store.py:214-218). The store's SQLite state
+(usage counts, user-defined patterns) is API-side session state; patterns
+are injected as plain dataclasses instead.
+
+Parity: tests/test_chunk_patterns.py runs the REFERENCE's own
+_apply_pattern (imported from /root/reference with a graph-db stub) against
+this operator on the same chunk lists. Driver oracle: ``chunk_suggestions``
+query in __spark_entry__.py vs DuckDB-reconstructed expectations.
+
+100-TB design: regex/length/content patterns are pure whole-stage-codegen
+row predicates (no Python, no shuffle); duplicate detection and
+consecutive-run grouping shuffle ONCE each, partitioned by document_id
+(per-document windows — skew-bounded by the largest single document, not
+the corpus). The per-pattern frames are unions over the same pruned
+4-column scan, so Catalyst reuses the exchange; suggestions rank with a
+per-document window (max ~10 rows per doc survive).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["ChunkPattern", "BUILTIN_PATTERNS", "chunk_suggestions"]
+
+_STRIP_RE = r"^\s+|\s+$"
+_ALNUM_RE = r"[\p{L}\p{N}]"  # ≈ Python str.isalnum (exact on ASCII)
+
+
+@dataclass(frozen=True)
+class ChunkPattern:
+    """Mirror of chunk_pattern_store.ChunkPattern (store.py:31-56), minus
+    the SQLite bookkeeping columns (usage_count etc. — API-side state)."""
+
+    id: str
+    name: str
+    match_type: str  # 'regex' | 'length' | 'content' | 'similarity'
+    match_criteria: dict = field(default_factory=dict)
+    action: str = "flag"  # 'delete' | 'merge' | 'edit' | 'split' | 'flag'
+    confidence: float = 0.5
+    enabled: bool = True
+
+
+# chunk_pattern_store.py:86-146, ordered as a fresh store returns them
+# (name ASC among builtins with equal usage_count)
+BUILTIN_PATTERNS: tuple[ChunkPattern, ...] = (
+    ChunkPattern(
+        id="builtin-consecutive-short",
+        name="Consecutive Short Chunks",
+        match_type="length",
+        match_criteria={"max_length": 50, "min_consecutive": 2},
+        action="merge",
+        confidence=0.75,
+    ),
+    ChunkPattern(
+        id="builtin-duplicate-content",
+        name="Duplicate Content",
+        match_type="similarity",
+        match_criteria={"method": "exact_normalized"},
+        action="delete",
+        confidence=0.9,
+    ),
+    ChunkPattern(
+        id="builtin-low-density",
+        name="Low Information Density",
+        match_type="content",
+        match_criteria={"min_alpha_ratio": 0.3},
+        action="delete",
+        confidence=0.7,
+    ),
+    ChunkPattern(
+        id="builtin-placeholder",
+        name="Placeholder Text",
+        match_type="regex",
+        match_criteria={
+            "pattern": r"^\s*(TODO|TBD|\[.*\]|<.*>|placeholder)\s*$",
+            "flags": "i",
+        },
+        action="delete",
+        confidence=0.85,
+    ),
+    ChunkPattern(
+        id="builtin-separator",
+        name="Separator Lines",
+        match_type="regex",
+        match_criteria={"pattern": r"^[\s\-=_*#]{3,}$"},
+        action="delete",
+        confidence=0.9,
+    ),
+    ChunkPattern(
+        id="builtin-short-chunk",
+        name="Very Short Chunks",
+        match_type="length",
+        match_criteria={"max_length": 20},
+        action="delete",
+        confidence=0.8,
+    ),
+)
+
+
+def _base_cols(doc_col: str, id_col: str, index_col: str):
+    return [F.col(doc_col), F.col(id_col), F.col(index_col)]
+
+
+def _suggestion_frame(
+    df: DataFrame,
+    pattern: ChunkPattern,
+    pattern_idx: int,
+    reasoning,
+    related,
+    doc_col: str,
+    id_col: str,
+    index_col: str,
+) -> DataFrame:
+    return df.select(
+        F.col(doc_col).alias("document_id"),
+        F.col(id_col).alias("chunk_id"),
+        F.col(index_col).cast("int").alias("chunk_index"),
+        F.lit(pattern.action).alias("action"),
+        F.lit(float(pattern.confidence)).alias("confidence"),
+        reasoning.alias("reasoning"),
+        F.lit(pattern.name).alias("pattern_name"),
+        related.alias("related_chunk_ids"),
+        F.lit(pattern_idx).alias("_pattern_idx"),
+    )
+
+
+def chunk_suggestions(
+    chunks: DataFrame,
+    patterns: tuple[ChunkPattern, ...] | list[ChunkPattern] | None = None,
+    min_confidence: float = 0.5,
+    max_suggestions: int = 10,
+    doc_col: str = "document_id",
+    id_col: str = "chunk_id",
+    content_col: str = "content",
+    index_col: str = "chunk_index",
+) -> DataFrame:
+    """Apply chunk patterns over the chunks table; one row per suggestion.
+
+    Output: (document_id, chunk_id, chunk_index, action, confidence,
+    reasoning, pattern_name, related_chunk_ids array<string>) — the
+    ChunkSuggestion.to_dict shape (chunk_pattern_learner.py:44-55), limited
+    to ``max_suggestions`` per document in the reference's sort order
+    (get_suggestions :117-124: confidence DESC, stable over pattern then
+    chunk iteration order).
+    """
+    pats = [p for p in (patterns if patterns is not None else BUILTIN_PATTERNS) if p.enabled]
+    src = chunks.select(doc_col, id_col, content_col, index_col)
+
+    content = F.col(content_col)
+    stripped_len = F.length(F.regexp_replace(content, _STRIP_RE, ""))
+    no_related = F.lit(None).cast("array<string>")
+
+    frames: list[DataFrame] = []
+    for i, p in enumerate(pats):
+        c = p.match_criteria
+        if p.match_type == "regex":
+            rx = c.get("pattern")
+            if not rx:
+                continue
+            if "i" in str(c.get("flags", "")).lower():
+                rx = "(?i)" + rx
+            matched = src.where(content.rlike(rx))
+            frames.append(
+                _suggestion_frame(
+                    matched,
+                    p,
+                    i,
+                    F.lit(f"Matched pattern: {p.name}"),
+                    no_related,
+                    doc_col,
+                    id_col,
+                    index_col,
+                )
+            )
+        elif p.match_type == "length" and c.get("min_consecutive", 1) == 1:
+            cond = F.lit(False)
+            if c.get("max_length") is not None:
+                cond = cond | (stripped_len < F.lit(int(c["max_length"])))
+            if c.get("min_length") is not None:
+                cond = cond | (stripped_len > F.lit(int(c["min_length"])))
+            matched = src.where(cond)
+            frames.append(
+                _suggestion_frame(
+                    matched,
+                    p,
+                    i,
+                    F.format_string(
+                        f"Length %d matches criteria for {p.name}", stripped_len
+                    ),
+                    no_related,
+                    doc_col,
+                    id_col,
+                    index_col,
+                )
+            )
+        elif p.match_type == "length":
+            # maximal runs of ADJACENT chunks under max_length
+            # (learner :224-258 — the consecutive branch checks only
+            # max_length); gaps-and-islands on per-document row order
+            if c.get("max_length") is None:
+                continue
+            max_len = int(c["max_length"])
+            min_run = int(c.get("min_consecutive", 1))
+            w_all = Window.partitionBy(doc_col).orderBy(index_col)
+            numbered = src.withColumn("_rn", F.row_number().over(w_all)).where(
+                stripped_len < F.lit(max_len)
+            )
+            w_match = Window.partitionBy(doc_col).orderBy(index_col)
+            runs = (
+                numbered.withColumn("_grp", F.col("_rn") - F.row_number().over(w_match))
+                .groupBy(doc_col, "_grp")
+                .agg(
+                    F.count(F.lit(1)).alias("_run_len"),
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col(index_col), F.col(id_col)))
+                    ).alias("_members"),
+                )
+                .where(F.col("_run_len") >= min_run)
+            )
+            first = F.element_at("_members", 1)
+            frames.append(
+                runs.select(
+                    F.col(doc_col).alias("document_id"),
+                    first.getField(id_col).alias("chunk_id"),
+                    first.getField(index_col).cast("int").alias("chunk_index"),
+                    F.lit(p.action).alias("action"),
+                    F.lit(float(p.confidence)).alias("confidence"),
+                    F.format_string(
+                        f"Found %d consecutive chunks matching {p.name}",
+                        F.col("_run_len"),
+                    ).alias("reasoning"),
+                    F.lit(p.name).alias("pattern_name"),
+                    F.transform(
+                        F.slice(F.col("_members"), 2, F.size("_members") - 1),
+                        lambda m: m.getField(id_col),
+                    ).alias("related_chunk_ids"),
+                    F.lit(i).alias("_pattern_idx"),
+                )
+            )
+        elif p.match_type == "content":
+            min_ratio = c.get("min_alpha_ratio")
+            if min_ratio is None:
+                continue
+            total = F.length(content)
+            alnum = total - F.length(F.regexp_replace(content, _ALNUM_RE, ""))
+            ratio = alnum / total
+            matched = src.where((total > 0) & (ratio < F.lit(float(min_ratio))))
+            frames.append(
+                _suggestion_frame(
+                    matched,
+                    p,
+                    i,
+                    F.format_string(
+                        f"Low alphanumeric ratio (%d%%) matches {p.name}",
+                        F.floor(ratio * 100).cast("int"),
+                    ),
+                    no_related,
+                    doc_col,
+                    id_col,
+                    index_col,
+                )
+            )
+        elif p.match_type == "similarity" and c.get("method") == "exact_normalized":
+            norm = F.regexp_replace(
+                F.lower(F.regexp_replace(content, _STRIP_RE, "")), r"\s+", " "
+            )
+            w = Window.partitionBy(doc_col, "_norm").orderBy(index_col)
+            dupes = (
+                src.withColumn("_norm", norm)
+                .where(F.length("_norm") >= 20)
+                .withColumn("_occ", F.row_number().over(w))
+                .withColumn("_first_id", F.first(id_col).over(w))
+                .where(F.col("_occ") > 1)
+            )
+            frames.append(
+                _suggestion_frame(
+                    dupes,
+                    p,
+                    i,
+                    F.lit("Duplicate content of another chunk"),
+                    F.array(F.col("_first_id")),
+                    doc_col,
+                    id_col,
+                    index_col,
+                )
+            )
+
+    if not frames:
+        return chunks.sparkSession.createDataFrame(
+            [],
+            "document_id string, chunk_id string, chunk_index int, action string, "
+            "confidence double, reasoning string, pattern_name string, "
+            "related_chunk_ids array<string>",
+        )
+
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    out = out.where(F.col("confidence") >= F.lit(float(min_confidence)))
+    rank_w = Window.partitionBy("document_id").orderBy(
+        F.desc("confidence"), F.asc("_pattern_idx"), F.asc("chunk_index")
+    )
+    return (
+        out.withColumn("_rank", F.row_number().over(rank_w))
+        .where(F.col("_rank") <= max_suggestions)
+        .drop("_rank", "_pattern_idx")
+    )
