@@ -47,6 +47,8 @@ def run_kg_pipeline(
     materialize_chunks: bool = False,
     curate_urls: bool = False,
     max_pages_per_domain: int | None = None,
+    snapshot_root: str | None = None,
+    input_fingerprint: str = "pages-v1",
 ) -> KgResult:
     """pages(url, warc_ts, html, text, lang) → KG tables.
 
@@ -65,10 +67,18 @@ def run_kg_pipeline(
     materialized between stages, e.g. plans/checkpoint.py). Both plans
     produce identical mentions (test_pipeline_parity).
     ``materialize_chunks`` (fused only): the fused stage ALSO emits the
-    chunk rows and the unified output is localCheckpoint-ed once — so a
-    consumer needing mentions AND the chunk table (similarity, export)
-    pays the HTML parse exactly once. result.chunks then reads from the
-    checkpoint instead of re-running chunk_pages.
+    chunk rows and the unified output is pinned once — so a consumer
+    needing mentions AND the chunk table (similarity, export) pays the
+    HTML parse exactly once. result.chunks then reads from the pinned
+    unified output instead of re-running chunk_pages.
+    ``snapshot_root``: when set, the unified pass is pinned as a CATALOG
+    SNAPSHOT (sources/catalog.py — durable parquet + manifest, full
+    lineage: an executor loss re-reads files, and a crashed driver resumes
+    via ``input_fingerprint`` exactly like plans/checkpoint.py). When None,
+    falls back to ``localCheckpoint(eager=True)`` — fast but lineage-free
+    executor-local blocks, acceptable for single-process runs only (at
+    scale an executor loss would kill the job; VERDICT r4 wrong #4,
+    SCALE.md executor-loss note).
     """
     # prune before the repartition exchange: the shuffle otherwise carries
     # warc_ts/lang bytes no downstream stage reads (Catalyst prunes scans,
@@ -114,14 +124,27 @@ def run_kg_pipeline(
         if materialize_chunks:
             from pyspark.sql import functions as F
 
-            unified = extract_mentions_fused(
-                pages,
-                strategy=strategy,
-                chunk_cfg=cfg.chunking,
-                filter_cfg=cfg.content_filter,
-                max_gleanings=cfg.extraction.max_gleanings,
-                emit_chunks=True,
-            ).localCheckpoint(eager=True)
+            def _unified_plan() -> DataFrame:
+                return extract_mentions_fused(
+                    pages,
+                    strategy=strategy,
+                    chunk_cfg=cfg.chunking,
+                    filter_cfg=cfg.content_filter,
+                    max_gleanings=cfg.extraction.max_gleanings,
+                    emit_chunks=True,
+                )
+
+            if snapshot_root:
+                from ..sources.catalog import SnapshotCatalog
+
+                cat = SnapshotCatalog(pages.sparkSession, snapshot_root)
+                unified = cat.materialize(
+                    "extracted",
+                    _unified_plan,
+                    input_fingerprint=f"{input_fingerprint}/extracted-v1",
+                )
+            else:
+                unified = _unified_plan().localCheckpoint(eager=True)
             from ..operators.triples import MENTION_SCHEMA
 
             mention_cols = [f.name for f in MENTION_SCHEMA.fields]

@@ -134,6 +134,58 @@ def test_fused_kill_and_resume(spark, tmp_path, monkeypatch):
     assert r["chunks"].count() == direct.chunks.count()
 
 
+def test_pipeline_materialize_chunks_via_snapshot(spark, tmp_path, monkeypatch):
+    """VERDICT r4 wrong #4 / next #6: run_kg_pipeline(materialize_chunks=True)
+    with a snapshot_root must pin the unified pass as a DURABLE catalog
+    snapshot (full lineage — executor-loss-safe parquet, not lineage-free
+    localCheckpoint blocks), and a re-run with the same fingerprint must
+    reuse it without rebuilding the extraction plan."""
+    import graphrag_mrkr_2_spark.operators.triples as triples_mod
+    from graphrag_mrkr_2_spark.plans.pipeline import run_kg_pipeline
+    from graphrag_mrkr_2_spark.sources.pages import generate_pages
+
+    root = str(tmp_path / "cat")
+    parses = []
+    real_fused = triples_mod.extract_mentions_fused
+
+    def counting_fused(*a, **k):
+        parses.append(1)
+        return real_fused(*a, **k)
+
+    monkeypatch.setattr(triples_mod, "extract_mentions_fused", counting_fused)
+
+    r1 = run_kg_pipeline(
+        generate_pages(spark, 6), materialize_chunks=True, snapshot_root=root
+    )
+    t1 = {(x["subj"], x["pred"], x["obj"]) for x in r1.triples.collect()}
+    assert parses == [1]
+
+    # durable + lineage-backed: the chunks read is a parquet file scan, not
+    # an executor-memory LocalCheckpoint/LocalTableScan
+    plan = r1.chunks._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan or "FileScan" in plan
+    assert "Scan ExistingRDD" not in plan
+
+    cat = SnapshotCatalog(spark, root)
+    assert cat.exists("extracted")
+    snap = cat.current_snapshot("extracted")["snapshot_id"]
+
+    # resume: same fingerprint → snapshot reused, NO second parse
+    r2 = run_kg_pipeline(
+        generate_pages(spark, 6), materialize_chunks=True, snapshot_root=root
+    )
+    t2 = {(x["subj"], x["pred"], x["obj"]) for x in r2.triples.collect()}
+    assert parses == [1]
+    assert cat.current_snapshot("extracted")["snapshot_id"] == snap
+    assert t1 == t2 and t1
+
+    # identical output to the localCheckpoint fallback path
+    direct = run_kg_pipeline(generate_pages(spark, 6), materialize_chunks=True)
+    t3 = {(x["subj"], x["pred"], x["obj"]) for x in direct.triples.collect()}
+    assert t1 == t3
+    assert r1.chunks.count() == direct.chunks.count()
+
+
 class TestPartitionPruningAndEvolution:
     def test_partitioned_snapshot_prunes_on_read(self, spark, tmp_path):
         from graphrag_mrkr_2_spark.sources.catalog import SnapshotCatalog
