@@ -428,15 +428,19 @@ def main() -> None:
         with_token_counts,
     )
 
-    with _load_span("text_analysis"):
-        t0 = time.time()
-        with_content_filter(documents, content_col="text").groupBy(
-            "filter_reason"
-        ).count().collect()
-        with_token_counts(with_lang_id(documents)).groupBy("lang_pred").agg(
-            F.sum("ws_tokens"), F.sum("approx_tokens")
-        ).collect()
-        queries["text_analysis"] = round(time.time() - t0, 3)
+    queries["text_analysis"] = best_of_2(
+        lambda: (
+            with_content_filter(documents, content_col="text")
+            .groupBy("filter_reason")
+            .count()
+            .collect(),
+            with_token_counts(with_lang_id(documents))
+            .groupBy("lang_pred")
+            .agg(F.sum("ws_tokens"), F.sum("approx_tokens"))
+            .collect(),
+        ),
+        label="text_analysis",
+    )
 
     # --- binary document decode (round 3: stdlib DOCX/PDF kernels) ----------
     from graphrag_mrkr_2_spark.operators.multimodal import (
@@ -460,6 +464,77 @@ def main() -> None:
     )
     extras["decode_payloads"] = n_payloads
     extras["decode_docs_per_sec"] = round(n_payloads / max(queries["doc_decode"], 1e-9), 1)
+
+    # --- image decode (round 5: pure-Python raster codec throughput) --------
+    # Times the CORRECTNESS path for image crawls: real PNG/BMP/GIF/JPEG/WEBP
+    # payloads (5 per document, formula pixels 64x48) through image_features'
+    # full decode. The images/s extra is the number that decides when to
+    # inject a native codec through the seam (SCALE.md r5 note) — encode cost
+    # is excluded via the pinned payload table.
+    from graphrag_mrkr_2_spark.operators.multimodal import image_features
+
+    def _encode_images(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from graphrag_mrkr_2_spark.functions.imagecodecs import (
+            encode_bmp,
+            encode_gif,
+            encode_png,
+        )
+        from graphrag_mrkr_2_spark.functions.jpegcodec import encode_jpeg
+        from graphrag_mrkr_2_spark.functions.webpcodec import encode_webp_lossless
+
+        r_idx = _np.arange(48, dtype=_np.int64)[:, None, None]
+        c_idx = _np.arange(64, dtype=_np.int64)[None, :, None]
+        ch_idx = _np.arange(3, dtype=_np.int64)[None, None, :]
+        encoders = {
+            "png": lambda p: encode_png(p, filter_type=2),
+            "bmp": encode_bmp,
+            "gif": encode_gif,
+            "jpeg": encode_jpeg,
+            "webp": encode_webp_lossless,
+        }
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                px = (
+                    (int(doc_id) * 7 + r_idx * 31 + c_idx * 13 + ch_idx * 5) % 256
+                ).astype(_np.uint8)
+                for fmt, enc in encoders.items():
+                    rows.append(
+                        {"media_id": f"{doc_id}_{fmt}", "payload": enc(px)}
+                    )
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    # 1-in-10 doc subsample, disclosed in extras: the pure-Python JPEG/WEBP
+    # kernels dominate (≈13/26 ms per 64x48 image) and the full corpus would
+    # swamp the suite total without changing the images/s rate being measured
+    image_payloads = (
+        documents.select("doc_id")
+        .where(F.col("doc_id") % 10 == 0)
+        .mapInPandas(_encode_images, "media_id string, payload binary")
+        .withColumn("kind", F.lit("image"))
+        .withColumn(
+            "meta",
+            F.lit(None).cast(
+                "struct<codec:string,width:int,height:int,duration_ms:int>"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_images = image_payloads.count()
+    queries["image_decode"] = best_of_2(
+        lambda: image_features(image_payloads, strict=True)
+        .where(F.size("feature") > 0)
+        .count(),
+        label="image_decode",
+    )
+    extras["decode_images"] = n_images
+    extras["decode_images_per_sec"] = round(
+        n_images / max(queries["image_decode"], 1e-9), 1
+    )
+    image_payloads.unpersist()
 
     # --- corpus hygiene (round 3: textclean) --------------------------------
     from graphrag_mrkr_2_spark.operators.textclean import redact_pii, repetition_stats

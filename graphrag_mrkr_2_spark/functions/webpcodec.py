@@ -81,13 +81,12 @@ class _BitReader:
     def read(self, n: int) -> int:
         if self.pos + n > self.nbits:
             raise ValueError("VP8L: bitstream truncated")
-        v = 0
-        data, pos = self.data, self.pos
-        for i in range(n):
-            p = pos + i
-            v |= ((data[p >> 3] >> (p & 7)) & 1) << i
-        self.pos += n
-        return v
+        p = self.pos
+        shift = p & 7
+        first = p >> 3
+        chunk = self.data[first : first + ((n + shift + 7) >> 3)]
+        self.pos = p + n
+        return (int.from_bytes(chunk, "little") >> shift) & ((1 << n) - 1)
 
     def read_bit(self) -> int:
         p = self.pos
@@ -96,17 +95,32 @@ class _BitReader:
         self.pos = p + 1
         return (self.data[p >> 3] >> (p & 7)) & 1
 
+    def peek(self, n: int) -> int:
+        """Read n bits LSB-first WITHOUT consuming; bits past the end of the
+        stream read as 0 (callers advance pos only by the bits a decoded
+        symbol actually used, so overrun padding is never consumed)."""
+        p = self.pos
+        shift = p & 7
+        first = p >> 3
+        chunk = self.data[first : first + ((n + shift + 7) >> 3)]
+        return (int.from_bytes(chunk, "little") >> shift) & ((1 << n) - 1)
+
 
 # ---------------------------------------------------------------------------
 # prefix (huffman) codes
 # ---------------------------------------------------------------------------
 
 
+_FAST_TABLE_MAX_BITS = 12  # 4096-entry flat table cap; longer codes tree-walk
+
+
 def _canonical_table(lengths: list[int]):
     """Canonical prefix code from code lengths (DEFLATE-style assignment:
     increasing length, then symbol order; bits decoded MSB-of-code first).
-    Returns ('single', sym) for one-symbol codes (0-bit reads) or
-    ('table', {(len, code): sym}, max_len)."""
+    Returns ('single', sym) for one-symbol codes (0-bit reads),
+    ('fast', flat_table, max_len) when max_len <= 12 (one peek + one list
+    index per symbol — the hot path), or ('table', {(len, code): sym},
+    max_len) for deep codes."""
     nonzero = [(L, s) for s, L in enumerate(lengths) if L > 0]
     if not nonzero:
         raise ValueError("VP8L: empty prefix code")
@@ -125,12 +139,34 @@ def _canonical_table(lengths: list[int]):
     # completeness: after the last code, code == 2^max_len exactly
     if code != (1 << max_len):
         raise ValueError("VP8L: invalid (incomplete or over-subscribed) prefix code")
+    if max_len <= _FAST_TABLE_MAX_BITS:
+        # flat table keyed by the next max_len stream bits (LSB-first order):
+        # entry = (symbol, code_length). A code word c of length L (MSB-first
+        # on the wire) occupies every index whose low L bits spell c's bits
+        # in reverse (bit i of the index is the (i+1)-th bit read).
+        flat = [None] * (1 << max_len)
+        for (L, c), s in table.items():
+            rev = 0
+            for i in range(L):
+                rev |= ((c >> i) & 1) << (L - 1 - i)
+            for hi in range(1 << (max_len - L)):
+                flat[(hi << L) | rev] = (s, L)
+        return ("fast", flat, max_len)
     return ("table", table, max_len)
 
 
 def _read_symbol(br: _BitReader, huff) -> int:
-    if huff[0] == "single":
+    kind = huff[0]
+    if kind == "single":
         return huff[1]
+    if kind == "fast":
+        entry = huff[1][br.peek(huff[2])]
+        if entry is None:
+            raise ValueError("VP8L: invalid prefix code word")
+        br.pos += entry[1]
+        if br.pos > br.nbits:
+            raise ValueError("VP8L: bitstream truncated")
+        return entry[0]
     table, max_len = huff[1], huff[2]
     code = 0
     length = 0

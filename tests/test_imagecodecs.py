@@ -220,16 +220,27 @@ class TestSparkWiring:
         assert feats["black"][0] == pytest.approx(1.0)
         assert feats["white"][-1] == pytest.approx(1.0)
 
-    def test_strict_still_raises_for_webp(self, spark):
+    def test_strict_still_raises_for_undecodable_webp(self, spark):
+        """r5: lossless WEBP decodes for real, so strict-mode raising now
+        applies to corrupt containers and the lossy-VP8 seam."""
         from graphrag_mrkr_2_spark.operators.multimodal import image_features
 
+        lossy = (
+            b"RIFF" + (16).to_bytes(4, "little") + b"WEBP"
+            + b"VP8 " + (4).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        )
         media = spark.createDataFrame(
-            [("t", "image", bytearray(b"RIFFxxxxWEBPdata"), ("webp", 4, 4, None))],
+            [
+                ("corrupt", "image", bytearray(b"RIFFxxxxWEBPdata"), ("webp", 4, 4, None)),
+                ("lossy", "image", bytearray(lossy), ("webp", 4, 4, None)),
+            ],
             "media_id string, kind string, payload binary, "
             "meta struct<codec:string,width:int,height:int,duration_ms:int>",
         )
-        with pytest.raises(Exception, match="NotImplementedError|codec"):
+        with pytest.raises(Exception, match="lossy|VP8L|codec"):
             image_features(media, strict=True).collect()
+        # non-strict: both quarantine to the deterministic fake
+        assert image_features(media, strict=False).count() == 2
 
     def test_roundtrip_checksums_match_formula(self, spark):
         from graphrag_mrkr_2_spark.operators.multimodal import (
