@@ -513,6 +513,9 @@ def main() -> None:
     image_payloads = (
         documents.select("doc_id")
         .where(F.col("doc_id") % 10 == 0)
+        # the subsample collapses to 1-2 scan partitions — spread it or the
+        # pure-Python decode runs on 2 of 32 cores
+        .repartition(cpus * 4)
         .mapInPandas(_encode_images, "media_id string, payload binary")
         .withColumn("kind", F.lit("image"))
         .withColumn(
