@@ -962,6 +962,58 @@ def q_chunk_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("document_id", F.desc("confidence"), "pattern_name", "chunk_index")
 
 
+def q_ocr_image_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intelligent-OCR pixels→text path (r5 — reference
+    ingestion/loaders/image_loader.py:35-80 + core/ocr.py:841-916) with an
+    EXACT oracle: per doc, a synthetic scanned-page-like image (white field,
+    five 8x4 black blobs, one blob position keyed to doc_id) is PNG-encoded,
+    decoded back, run through the reference's content-type decision table
+    (functions/ocr.py — Canny/Otsu/connected-components thresholds), and fed
+    to a deterministic stand-in OCR engine that reports the decoded pixel
+    sum; DuckDB reconstructs content/type/needs_ocr/language from the
+    geometry formula — proving decode → detection branch → engine seam →
+    metadata contract end-to-end on executors."""
+    from graphrag_mrkr_2_spark.operators.multimodal import extract_image_text
+
+    def _encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from graphrag_mrkr_2_spark.functions.imagecodecs import encode_png
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                px = np.full((48, 64, 3), 255, np.uint8)
+                shift = int(doc_id) % 7
+                for i in range(5):
+                    y, x = 6 + i * 8, 6 + i * 10 + (shift if i == 0 else 0)
+                    px[y : y + 4, x : x + 8] = 0
+                rows.append({"media_id": str(doc_id), "payload": encode_png(px)})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        _encode, "media_id string, payload binary"
+    )
+
+    def _sum_ocr(img, content_type, language):
+        import numpy as np
+
+        return (
+            f"sum {int(img[:, :, 0].astype(np.int64).sum())} type {content_type}"
+        )
+
+    return extract_image_text(media, ocr=_sum_ocr, strict=True).select(
+        "media_id",
+        "content",
+        "processing_method",
+        "ocr_applied",
+        "content_primary_type",
+        "content_needs_ocr",
+        "detected_language",
+    ).orderBy("media_id")
+
+
 def q_image_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster codec kernels (functions/imagecodecs.py, r4) with an EXACT
     oracle: per doc, deterministic formula pixels are encoded to REAL
@@ -1332,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_binary_roundtrip": q_doc_binary_roundtrip,
         "doc_structure_chunks": q_doc_structure_chunks,
         "chunk_suggestions": q_chunk_suggestions,
+        "ocr_image_text": q_ocr_image_text,
         "image_decode_roundtrip": q_image_decode_roundtrip,
         "audio_decode_roundtrip": q_audio_decode_roundtrip,
         "doc_pii_redact": q_doc_pii_redact,
@@ -1966,6 +2019,20 @@ def oracle_sql() -> dict[str, str]:
                'Low Information Density', '')
             ) AS v(idx, action, confidence, reasoning, pattern_name, rel)
             ORDER BY document_id, confidence DESC, pattern_name, chunk_index
+        """,
+        # intelligent OCR: the synthetic page geometry is constant (blob
+        # position shifts don't change pixel sums or detection metrics), so
+        # DuckDB reconstructs content/type/flags from the formula
+        "ocr_image_text": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   'sum ' || CAST((48*64 - 5*8*4) * 255 AS VARCHAR)
+                       || ' type image' AS content,
+                   'image_ocr' AS processing_method,
+                   1 AS ocr_applied,
+                   'image' AS content_primary_type,
+                   1 AS content_needs_ocr,
+                   'eng' AS detected_language
+            FROM documents ORDER BY media_id
         """,
         # raster codecs: DuckDB computes the formula checksum directly (no
         # decode) — equality proves the Spark side's PNG/BMP/GIF/WEBP
