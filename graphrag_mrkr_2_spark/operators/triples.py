@@ -318,21 +318,25 @@ def extract_mentions_fused(
                 if c not in mentions_pdf.columns:
                     mentions_pdf[c] = None
             chunks_pdf = pd.DataFrame(chunk_rows, columns=out_cols)
-            # pd.concat of an empty/all-NA frame is a FutureWarning (and a
-            # dtype change on the next pandas major) — drop empty parts
+            # Align dtypes BEFORE concat: an all-NA object column on one
+            # side of a concat with a typed column on the other is a pandas
+            # FutureWarning today and a dtype change on the next major.
+            # Nullable Int for the offset fields also keeps Arrow happy
+            # (float64-with-NaN does not convert to an int Spark column).
+            dtypes = {"importance": "float64", "strength": "float64",
+                      "page": "Int32", "chunk_index": "Int32",
+                      "start_offset": "Int64", "end_offset": "Int64"}
             parts = [p for p in (mentions_pdf[out_cols], chunks_pdf) if len(p)]
             if not parts:
                 continue
+            for p in parts:
+                for c, dt in dtypes.items():
+                    p[c] = pd.array(p[c], dtype=dt)
             both = (
                 parts[0].copy()
                 if len(parts) == 1
                 else pd.concat(parts, ignore_index=True)
             )
-            # nullable integer dtypes: a float64-with-NaN column does not
-            # convert to Arrow int; pandas' Int32/Int64 do
-            for c, dt in (("page", "Int32"), ("chunk_index", "Int32"),
-                          ("start_offset", "Int64"), ("end_offset", "Int64")):
-                both[c] = pd.array(both[c], dtype=dt)
             yield both
 
     schema = UNIFIED_SCHEMA if emit_chunks else MENTION_SCHEMA
