@@ -119,32 +119,30 @@ def canny_edges(
 
     strong = nms > high
     weak = nms > low
-    # hysteresis: grow strong through weak, 8-connected, to a fixed point
-    edges = strong.copy()
-    while True:
-        q = np.pad(edges, 1, mode="constant")
-        grown = np.zeros_like(edges)
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if dy or dx:
-                    grown |= q[1 + dy : q.shape[0] - 1 + dy, 1 + dx : q.shape[1] - 1 + dx]
-        nxt = edges | (weak & grown)
-        if not (nxt ^ edges).any():
-            return nxt
-        edges = nxt
+    # hysteresis: keep every weak 8-connected component that contains a
+    # strong pixel — identical to the textbook grow-strong-through-weak
+    # fixed point (strong ⊆ weak since high > low), but one run-based
+    # labeling pass instead of O(chain-length) full-image dilations
+    runs, find = _label_runs(weak)
+    kept: set[int] = set()
+    for y, s, e, label in runs:
+        if strong[y, s:e].any():
+            kept.add(find(label))
+    edges = np.zeros_like(weak)
+    for y, s, e, label in runs:
+        if find(label) in kept:
+            edges[y, s:e] = True
+    return edges
 
 
-def connected_component_stats(binary: np.ndarray) -> list[tuple[int, int, int, int, int]]:
-    """8-connected components of the foreground (nonzero) pixels; returns
-    cv2.connectedComponentsWithStats-shaped [(x, y, w, h, area), ...] for
-    the non-background labels, in first-appearance (row-run scan) order.
-
-    Run-based two-pass union-find: per-row foreground runs found
-    vectorized, unions only between vertically adjacent runs — O(runs),
-    not O(pixels), in Python.
-    """
-    h, w = binary.shape
-    fg = binary != 0
+def _label_runs(fg: np.ndarray):
+    """Run-based two-pass 8-connected labeling shared by
+    connected_component_stats and the Canny hysteresis: per-row foreground
+    runs found vectorized, unions only between vertically adjacent runs —
+    O(runs), not O(pixels), in Python. Returns (runs, find) where runs is
+    [(row, start, end, label)] and find resolves a label to its root
+    (valid once the scan has completed, i.e. on return)."""
+    h = fg.shape[0]
     parent: list[int] = []
 
     def find(a: int) -> int:
@@ -188,6 +186,15 @@ def connected_component_stats(binary: np.ndarray) -> list[tuple[int, int, int, i
             runs.append((y, s, e, label))
         prev = cur
 
+    return runs, find
+
+
+def connected_component_stats(binary: np.ndarray) -> list[tuple[int, int, int, int, int]]:
+    """8-connected components of the foreground (nonzero) pixels; returns
+    cv2.connectedComponentsWithStats-shaped [(x, y, w, h, area), ...] for
+    the non-background labels, in first-appearance (row-run scan) order.
+    """
+    runs, find = _label_runs(binary != 0)
     # aggregate per root, in first-appearance order
     order: dict[int, int] = {}
     stats: list[list[int]] = []  # [minx, miny, maxx, maxy, area]

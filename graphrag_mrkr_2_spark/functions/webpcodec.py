@@ -21,7 +21,7 @@ docs/webp_lossless_bitstream_specification):
 
 The 2D distance table below was extracted from the system libwebp binary
 (``kCodeToPlane``) rather than transcribed by hand, and the conformance
-suite (tests/test_webp_conformance.py) drives libwebp.so.7 via ctypes in
+suite (tests/test_webpcodec.py) drives libwebp.so.7 via ctypes in
 BOTH directions: WebPEncodeLosslessRGBA → this decoder (byte-exact pixels)
 and :func:`encode_webp_lossless` → WebPDecodeRGBA.
 

@@ -56,7 +56,10 @@ from pyspark.sql.window import Window
 
 __all__ = ["ChunkPattern", "BUILTIN_PATTERNS", "chunk_suggestions"]
 
-_STRIP_RE = r"^\s+|\s+$"
+# (?U) = Java UNICODE_CHARACTER_CLASS, so \s matches NBSP & friends like
+# Python's str.strip()/re \s in the reference learner (parity on scraped text)
+_STRIP_RE = r"(?U)^\s+|\s+$"
+_WS_RUN_RE = r"(?U)\s+"
 _ALNUM_RE = r"[\p{L}\p{N}]"  # ≈ Python str.isalnum (exact on ASCII)
 
 
@@ -131,10 +134,6 @@ BUILTIN_PATTERNS: tuple[ChunkPattern, ...] = (
 )
 
 
-def _base_cols(doc_col: str, id_col: str, index_col: str):
-    return [F.col(doc_col), F.col(id_col), F.col(index_col)]
-
-
 def _suggestion_frame(
     df: DataFrame,
     pattern: ChunkPattern,
@@ -187,6 +186,9 @@ def chunk_suggestions(
     frames: list[DataFrame] = []
     for i, p in enumerate(pats):
         c = p.match_criteria
+        # p.name lands inside format_string templates below — a literal '%'
+        # in a user-defined pattern name must not become a conversion
+        fname = p.name.replace("%", "%%")
         if p.match_type == "regex":
             rx = c.get("pattern")
             if not rx:
@@ -219,7 +221,7 @@ def chunk_suggestions(
                     p,
                     i,
                     F.format_string(
-                        f"Length %d matches criteria for {p.name}", stripped_len
+                        f"Length %d matches criteria for {fname}", stripped_len
                     ),
                     no_related,
                     doc_col,
@@ -260,7 +262,7 @@ def chunk_suggestions(
                     F.lit(p.action).alias("action"),
                     F.lit(float(p.confidence)).alias("confidence"),
                     F.format_string(
-                        f"Found %d consecutive chunks matching {p.name}",
+                        f"Found %d consecutive chunks matching {fname}",
                         F.col("_run_len"),
                     ).alias("reasoning"),
                     F.lit(p.name).alias("pattern_name"),
@@ -285,7 +287,7 @@ def chunk_suggestions(
                     p,
                     i,
                     F.format_string(
-                        f"Low alphanumeric ratio (%d%%) matches {p.name}",
+                        f"Low alphanumeric ratio (%d%%) matches {fname}",
                         F.floor(ratio * 100).cast("int"),
                     ),
                     no_related,
@@ -296,7 +298,7 @@ def chunk_suggestions(
             )
         elif p.match_type == "similarity" and c.get("method") == "exact_normalized":
             norm = F.regexp_replace(
-                F.lower(F.regexp_replace(content, _STRIP_RE, "")), r"\s+", " "
+                F.lower(F.regexp_replace(content, _STRIP_RE, "")), _WS_RUN_RE, " "
             )
             w = Window.partitionBy(doc_col, "_norm").orderBy(index_col)
             dupes = (

@@ -326,7 +326,11 @@ def extract_mentions_fused(
             dtypes = {"importance": "float64", "strength": "float64",
                       "page": "Int32", "chunk_index": "Int32",
                       "start_offset": "Int64", "end_offset": "Int64"}
-            parts = [p for p in (mentions_pdf[out_cols], chunks_pdf) if len(p)]
+            # .copy(): mentions_pdf[out_cols] is a slice — mutating it below
+            # would raise SettingWithCopyWarning per column per batch
+            parts = [
+                p for p in (mentions_pdf[out_cols].copy(), chunks_pdf) if len(p)
+            ]
             if not parts:
                 continue
             for p in parts:

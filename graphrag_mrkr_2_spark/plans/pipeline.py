@@ -48,7 +48,7 @@ def run_kg_pipeline(
     curate_urls: bool = False,
     max_pages_per_domain: int | None = None,
     snapshot_root: str | None = None,
-    input_fingerprint: str = "pages-v1",
+    input_fingerprint: str | None = None,
 ) -> KgResult:
     """pages(url, warc_ts, html, text, lang) → KG tables.
 
@@ -74,7 +74,10 @@ def run_kg_pipeline(
     ``snapshot_root``: when set, the unified pass is pinned as a CATALOG
     SNAPSHOT (sources/catalog.py — durable parquet + manifest, full
     lineage: an executor loss re-reads files, and a crashed driver resumes
-    via ``input_fingerprint`` exactly like plans/checkpoint.py). When None,
+    via ``input_fingerprint``, which becomes REQUIRED — exactly like
+    plans/checkpoint.py — and is combined with a digest of the
+    extraction-affecting config so a strategy/cfg change recomputes instead
+    of resuming a stale snapshot). When None,
     falls back to ``localCheckpoint(eager=True)`` — fast but lineage-free
     executor-local blocks, acceptable for single-process runs only (at
     scale an executor loss would kill the job; VERDICT r4 wrong #4,
@@ -135,13 +138,41 @@ def run_kg_pipeline(
                 )
 
             if snapshot_root:
+                import hashlib
+
                 from ..sources.catalog import SnapshotCatalog
 
+                if input_fingerprint is None:
+                    # a defaulted fingerprint would silently resume corpus
+                    # A's snapshot on corpus B — same contract as
+                    # plans/checkpoint.py, where it is a required argument
+                    raise ValueError(
+                        "snapshot_root requires input_fingerprint: it "
+                        "identifies the input pages state so resume can "
+                        "tell a re-run from new data (plans/checkpoint.py)"
+                    )
+                # extraction-affecting config is part of the stage identity:
+                # a strategy/chunking/filter/gleaning change must invalidate
+                # the snapshot even under an unchanged input fingerprint
+                cfg_digest = hashlib.md5(
+                    repr(
+                        (
+                            strategy,
+                            cfg.chunking,
+                            cfg.content_filter,
+                            cfg.extraction,
+                            curate_urls,
+                            max_pages_per_domain,
+                        )
+                    ).encode()
+                ).hexdigest()[:12]
                 cat = SnapshotCatalog(pages.sparkSession, snapshot_root)
                 unified = cat.materialize(
                     "extracted",
                     _unified_plan,
-                    input_fingerprint=f"{input_fingerprint}/extracted-v1",
+                    input_fingerprint=(
+                        f"{input_fingerprint}/extracted-v1/cfg-{cfg_digest}"
+                    ),
                 )
             else:
                 unified = _unified_plan().localCheckpoint(eager=True)

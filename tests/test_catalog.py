@@ -154,8 +154,19 @@ def test_pipeline_materialize_chunks_via_snapshot(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(triples_mod, "extract_mentions_fused", counting_fused)
 
+    # a snapshot_root without a fingerprint is an error, not a silent
+    # stale-resume hazard
+    with pytest.raises(ValueError, match="input_fingerprint"):
+        run_kg_pipeline(
+            generate_pages(spark, 6), materialize_chunks=True, snapshot_root=root
+        )
+    assert parses == []
+
     r1 = run_kg_pipeline(
-        generate_pages(spark, 6), materialize_chunks=True, snapshot_root=root
+        generate_pages(spark, 6),
+        materialize_chunks=True,
+        snapshot_root=root,
+        input_fingerprint="pages-v1",
     )
     t1 = {(x["subj"], x["pred"], x["obj"]) for x in r1.triples.collect()}
     assert parses == [1]
@@ -172,12 +183,33 @@ def test_pipeline_materialize_chunks_via_snapshot(spark, tmp_path, monkeypatch):
 
     # resume: same fingerprint → snapshot reused, NO second parse
     r2 = run_kg_pipeline(
-        generate_pages(spark, 6), materialize_chunks=True, snapshot_root=root
+        generate_pages(spark, 6),
+        materialize_chunks=True,
+        snapshot_root=root,
+        input_fingerprint="pages-v1",
     )
     t2 = {(x["subj"], x["pred"], x["obj"]) for x in r2.triples.collect()}
     assert parses == [1]
     assert cat.current_snapshot("extracted")["snapshot_id"] == snap
     assert t1 == t2 and t1
+
+    # an extraction-config change must invalidate the snapshot even with an
+    # unchanged input fingerprint (the config digest is part of the stage id)
+    from graphrag_mrkr_2_spark.config import (
+        ExtractionConfig,
+        PipelineConfig,
+    )
+
+    r_cfg = run_kg_pipeline(
+        generate_pages(spark, 6),
+        cfg=PipelineConfig(extraction=ExtractionConfig(max_gleanings=0)),
+        materialize_chunks=True,
+        snapshot_root=root,
+        input_fingerprint="pages-v1",
+    )
+    r_cfg.triples.collect()
+    assert parses == [1, 1]
+    assert cat.current_snapshot("extracted")["snapshot_id"] != snap
 
     # identical output to the localCheckpoint fallback path
     direct = run_kg_pipeline(generate_pages(spark, 6), materialize_chunks=True)

@@ -155,6 +155,46 @@ class TestPrimitives:
         iso[:, 24:] = 40
         assert canny_edges(iso, low=200, high=900).sum() == 0
 
+    def test_hysteresis_component_labeling_equals_fixed_point(self):
+        """The run-labeling hysteresis (keep weak components containing a
+        strong pixel) is pinned exactly equal to the textbook
+        grow-strong-through-weak fixed point on random threshold fields."""
+        from graphrag_mrkr_2_spark.functions.ocr import _label_runs
+
+        def fixed_point(strong, weak):
+            edges = strong.copy()
+            while True:
+                q = np.pad(edges, 1, mode="constant")
+                grown = np.zeros_like(edges)
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if dy or dx:
+                            grown |= q[
+                                1 + dy : q.shape[0] - 1 + dy,
+                                1 + dx : q.shape[1] - 1 + dx,
+                            ]
+                nxt = edges | (weak & grown)
+                if not (nxt ^ edges).any():
+                    return nxt
+                edges = nxt
+
+        rng = np.random.default_rng(42)
+        for _ in range(25):
+            h, w = rng.integers(1, 40, 2)
+            nms = rng.random((h, w)) * 200
+            strong, weak = nms > 150, nms > 50
+            runs, find = _label_runs(weak)
+            kept = {
+                find(label)
+                for y, s, e, label in runs
+                if strong[y, s:e].any()
+            }
+            edges = np.zeros_like(weak)
+            for y, s, e, label in runs:
+                if find(label) in kept:
+                    edges[y, s:e] = True
+            assert (edges == fixed_point(strong, weak)).all()
+
 
 class TestDetectImageContent:
     def test_text_like_image_needs_ocr(self):
