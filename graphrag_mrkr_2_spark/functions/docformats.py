@@ -834,12 +834,15 @@ def encode_docx(paragraphs: list) -> bytes:
     An entry may be a plain string or a ``(style, text)`` pair (e.g.
     ``("Heading1", "Intro")``) to emit a styled paragraph — enough
     structure for docx_blocks round-trips."""
-    from xml.sax.saxutils import escape
+    from xml.sax.saxutils import escape, quoteattr
 
     def _para(entry) -> str:
         if isinstance(entry, tuple):
             style, text = entry
-            ppr = f"<w:pPr><w:pStyle w:val='{escape(style)}'/></w:pPr>"
+            # quoteattr, not escape: escape() leaves quotes alone, so a
+            # style name containing an apostrophe would break out of the
+            # single-quoted attribute and make the XML unparseable
+            ppr = f"<w:pPr><w:pStyle w:val={quoteattr(style)}/></w:pPr>"
         else:
             ppr, text = "", entry
         return (

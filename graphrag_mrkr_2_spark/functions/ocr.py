@@ -362,13 +362,13 @@ def process_standalone_image(
         img = decode_image(payload)
         if img.ndim == 2:  # grayscale → RGB, reference converts to RGB
             img = np.repeat(img[:, :, None], 3, axis=2)
-        elif img.shape[2] == 4:  # RGBA → RGB over white, PIL convert analog
-            a = img[:, :, 3:4].astype(np.float32) / 255.0
-            img = np.clip(
-                np.round(img[:, :, :3].astype(np.float32) * a + 255.0 * (1 - a)),
-                0,
-                255,
-            ).astype(np.uint8)
+        elif img.shape[2] == 4:
+            # RGBA → RGB by DROPPING the alpha band — PIL's convert("RGB")
+            # (core/ocr.py:857-858) does not composite, so a transparent
+            # background keeps its underlying RGB bytes; compositing over
+            # white here would shift brightness/edge statistics and could
+            # flip the needs_ocr decision vs the reference
+            img = np.ascontiguousarray(img[:, :, :3])
 
         content_analysis = detect_image_content(img)
         ocr_metadata = {

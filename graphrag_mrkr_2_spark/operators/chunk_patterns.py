@@ -48,6 +48,7 @@ per-document window (max ~10 rows per doc survive).
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -134,6 +135,26 @@ BUILTIN_PATTERNS: tuple[ChunkPattern, ...] = (
 )
 
 
+def _compilable_java_regex(df: DataFrame, rx: str) -> bool:
+    """True iff ``rx`` compiles under java.util.regex — the dialect rlike
+    executes. Checked at plan time through the session JVM so a bad
+    user-supplied pattern is skipped (reference behavior) instead of
+    failing the corpus scan at action time. Without a reachable JVM
+    (e.g. Spark Connect) the pattern is assumed valid — the check is a
+    guard, not a gate."""
+    try:
+        jvm = df.sparkSession._jvm  # noqa: SLF001 — no public compile probe
+        if jvm is None:
+            return True
+    except Exception:
+        return True
+    try:
+        jvm.java.util.regex.Pattern.compile(rx)
+        return True
+    except Exception:
+        return False
+
+
 def _suggestion_frame(
     df: DataFrame,
     pattern: ChunkPattern,
@@ -195,6 +216,19 @@ def chunk_suggestions(
                 continue
             if "i" in str(c.get("flags", "")).lower():
                 rx = "(?i)" + rx
+            if not _compilable_java_regex(chunks, rx):
+                # the reference learner compiles with try/except and skips
+                # the pattern (chunk_pattern_learner.py:178-183); executing
+                # an invalid pattern here would instead throw
+                # PatternSyntaxException at action time and fail the whole
+                # corpus scan. Same guard covers Python-only syntax
+                # ((?P<n>...)) that re accepts but Java rejects.
+                warnings.warn(
+                    f"chunk pattern {p.id!r}: regex does not compile for "
+                    f"Spark's rlike (java.util.regex); skipping: {rx!r}",
+                    stacklevel=2,
+                )
+                continue
             matched = src.where(content.rlike(rx))
             frames.append(
                 _suggestion_frame(

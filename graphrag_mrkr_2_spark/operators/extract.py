@@ -128,6 +128,15 @@ def chunk_pages(
     chunk_size, chunk_overlap = cfg.chunk_size, cfg.chunk_overlap
     include_heading = cfg.include_heading_path
 
+    if use_structure and binary_col not in pages.columns:
+        # without the payload column EVERY row would take the per-document
+        # legacy downgrade — that silent corpus-wide misconfiguration should
+        # be a plan-time error (the per-row downgrade is for documents whose
+        # payload yields no structure, not for a missing column)
+        raise ValueError(
+            f"strategy='structure_hybrid' needs the '{binary_col}' payload "
+            f"column (have: {pages.columns}); load with keep_binary=True"
+        )
     cols = (
         [id_col]
         + ([html_col] if use_html else [])

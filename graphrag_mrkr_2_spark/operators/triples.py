@@ -160,6 +160,7 @@ def extract_mentions_fused(
     id_col: str = "url",
     html_col: str = "html",
     text_col: str = "text",
+    binary_col: str = "binary",
     emit_chunks: bool = False,
 ) -> DataFrame:
     """Fused S2+S3+S4+S5: pages → mention rows in ONE mapInPandas stage.
@@ -180,7 +181,11 @@ def extract_mentions_fused(
     (round-1 bench showed that second parse as its own 7s line).
     """
     from ..config import ChunkingConfig, ContentFilterConfig
-    from ..functions.chunking import assign_text_units, chunk_document
+    from ..functions.chunking import (
+        StructureHybridChunker,
+        assign_text_units,
+        chunk_document,
+    )
     from ..functions.html_text import HtmlHeadingChunker, extract_plain_text
     from ..functions.extraction import extract_chunk_with_gleaning
     from ..functions.quality import should_embed_chunk
@@ -189,6 +194,7 @@ def extract_mentions_fused(
     chunk_cfg = chunk_cfg or ChunkingConfig()
     filter_cfg = filter_cfg or ContentFilterConfig()
     use_html = strategy == "html_heading"
+    use_structure = strategy == "structure_hybrid"
     chunker = HtmlHeadingChunker(
         chunk_cfg.chunk_target_tokens,
         chunk_cfg.chunk_min_tokens,
@@ -204,7 +210,21 @@ def extract_mentions_fused(
         min_alphanumeric_ratio=filter_cfg.min_alphanumeric_ratio,
     )
 
-    cols = [c for c in dict.fromkeys([id_col, html_col, text_col]) if c in pages.columns]
+    structure_chunker = StructureHybridChunker(
+        chunk_cfg.chunk_target_tokens,
+        chunk_cfg.chunk_min_tokens,
+        chunk_cfg.chunk_max_tokens,
+        chunk_cfg.chunk_overlap_tokens,
+        chunk_cfg.include_heading_path,
+    )
+
+    if use_structure and binary_col not in pages.columns:
+        raise ValueError(
+            f"strategy='structure_hybrid' needs the '{binary_col}' payload "
+            f"column (have: {pages.columns}); load with keep_binary=True"
+        )
+    wanted = [id_col] + ([binary_col] if use_structure else []) + [html_col, text_col]
+    cols = [c for c in dict.fromkeys(wanted) if c in pages.columns]
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -242,6 +262,33 @@ def extract_mentions_fused(
                     ) or extract_plain_text(html)
                     units = assign_text_units(doc_id, base_text, [p["text"] for p in pieces])
                     metas = [p["metadata"] for p in pieces]
+                elif use_structure:
+                    from ..functions.docformats import decode_document, document_blocks
+
+                    raw = (
+                        getattr(rec, binary_col, None)
+                        if binary_col in pdf.columns
+                        else None
+                    )
+                    data = bytes(raw) if isinstance(raw, (bytes, bytearray)) else None
+                    blocks = document_blocks(data, url) if data else None
+                    base_text = (
+                        getattr(rec, text_col, None) if text_col in pdf.columns else None
+                    ) or (decode_document(data, url) if data else None) or ""
+                    if blocks:
+                        pieces = structure_chunker.chunk_blocks(blocks)
+                        units = assign_text_units(
+                            doc_id, base_text, [p["text"] for p in pieces]
+                        )
+                        metas = [p["metadata"] for p in pieces]
+                    else:
+                        # structure unavailable → legacy downgrade, same as
+                        # chunk_pages (core/chunking.py:288-292)
+                        units = chunk_document(
+                            doc_id, base_text, chunk_cfg.chunk_size,
+                            chunk_cfg.chunk_overlap,
+                        )
+                        metas = [{} for _ in units]
                 else:
                     text = getattr(rec, text_col) or ""
                     units = chunk_document(
@@ -272,7 +319,14 @@ def extract_mentions_fused(
                                 "source_chunks": None,
                                 "url": url,
                                 "content": content,
-                                "page": unit["page"],
+                                # structure blocks carry a real page number
+                                # (pdf pages); it overrides the offset-derived
+                                # one, same as chunk_pages' structure branch
+                                "page": (
+                                    meta["page"]
+                                    if meta.get("page") is not None
+                                    else unit["page"]
+                                ),
                                 "start_offset": unit["start_offset"],
                                 "end_offset": unit["end_offset"],
                                 "chunk_index": unit["chunk_index"],
@@ -296,6 +350,13 @@ def extract_mentions_fused(
                             r["relationship_type"], r["target_entity"],
                             r["description"], None, r["strength"], r["source_chunks"],
                         )
+            if not kind and not chunk_rows:
+                # a batch where every chunk was filtered (or extraction found
+                # nothing) must yield NOTHING: an all-empty dict-of-lists
+                # frame defaults every column to float64, and Arrow cannot
+                # cast an empty float64 ndarray to list<string> for
+                # source_chunks (surfaced by short structure_hybrid docs)
+                continue
             mentions_pdf = pd.DataFrame(
                 {
                     "kind": kind,

@@ -85,8 +85,13 @@ def run_kg_pipeline(
     """
     # prune before the repartition exchange: the shuffle otherwise carries
     # warc_ts/lang bytes no downstream stage reads (Catalyst prunes scans,
-    # but an explicit repartition materializes whatever columns it is given)
-    keep = [c for c in ("url", "html", "text") if c in pages.columns]
+    # but an explicit repartition materializes whatever columns it is given).
+    # structure_hybrid chunks from the raw document payload, so 'binary'
+    # survives the prune only under that strategy
+    wanted = ("url", "html", "text") + (
+        ("binary",) if strategy == "structure_hybrid" else ()
+    )
+    keep = [c for c in wanted if c in pages.columns]
     pages = pages.select(*keep)
     if curate_urls or max_pages_per_domain:
         from pyspark.sql import functions as F

@@ -254,6 +254,38 @@ class TestOperatorContract:
         assert chunk_suggestions(df, patterns=disabled).count() == 0
         assert chunk_suggestions(df, patterns=[]).count() == 0
 
+    def test_invalid_regex_skips_pattern_not_job(self, spark):
+        """A non-compiling (or Python-only dialect) regex must skip that
+        pattern with a warning — reference compiles with try/except and
+        skips (chunk_pattern_learner.py:178-183) — never fail the scan."""
+        rows = [("d1", "c0", 0, "TODO item")]
+        df = spark.createDataFrame(
+            rows, "document_id string, chunk_id string, chunk_index int, content string"
+        )
+        pats = [
+            ChunkPattern(
+                id="bad",
+                name="Bad",
+                match_type="regex",
+                match_criteria={"pattern": "("},
+            ),
+            ChunkPattern(
+                id="pyonly",
+                name="PyOnly",
+                match_type="regex",
+                match_criteria={"pattern": "(?P<n>TODO)"},
+            ),
+            ChunkPattern(
+                id="good",
+                name="Good",
+                match_type="regex",
+                match_criteria={"pattern": "TODO"},
+            ),
+        ]
+        with pytest.warns(UserWarning, match="does not compile"):
+            out = chunk_suggestions(df, patterns=pats).collect()
+        assert [r.pattern_name for r in out] == ["Good"]
+
     def test_plan_stays_jvm_side_for_row_patterns(self, spark):
         """regex/length/content patterns must compile to pure codegen
         predicates — no Python UDFs anywhere in the plan."""

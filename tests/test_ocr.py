@@ -209,6 +209,21 @@ class TestDetectImageContent:
         assert out["needs_ocr"] is False
         assert 20 < out["metrics"]["brightness_std"] <= 25
 
+    def test_rgba_alpha_dropped_not_composited(self):
+        """PIL's convert('RGB') (core/ocr.py:857-858) DROPS the alpha band;
+        a fully transparent image must analyze identically to its opaque
+        RGB bytes, not to a white-composited version."""
+        from graphrag_mrkr_2_spark.functions.ocr import process_standalone_image
+
+        rgb = _text_image()
+        rgba = np.dstack([rgb, np.zeros(rgb.shape[:2], dtype=np.uint8)])
+        a = process_standalone_image(encode_png(rgba), None)
+        b = process_standalone_image(encode_png(rgb), None)
+        assert (
+            a["ocr_metadata"]["content_analysis"]
+            == b["ocr_metadata"]["content_analysis"]
+        )
+
     def test_failure_defaults_to_ocr(self):
         out = detect_image_content("not an array")
         assert out["needs_ocr"] is True

@@ -299,3 +299,78 @@ class TestChunkPagesStructureHybrid:
             for i, c in enumerate(ch.chunk_blocks(blocks)):
                 want[(p.name, i)] = c["text"]
         assert got == want
+
+
+class TestPipelineStructureHybrid:
+    """run_kg_pipeline(strategy='structure_hybrid') — the full pipeline must
+    actually run the strategy (review r5: the column prune used to drop
+    'binary' and the fused pass had no structure branch, silently legacy-
+    chunking every row)."""
+
+    # the fixture docs are short; the default 50-char floor would filter
+    # every chunk and make the parity checks vacuous
+    @staticmethod
+    def _cfg():
+        from graphrag_mrkr_2_spark.config import ContentFilterConfig, PipelineConfig
+
+        return PipelineConfig(content_filter=ContentFilterConfig(min_chunk_length=5))
+
+    def test_fused_matches_modular_and_keeps_structure(self, spark, binary_doc_dir):
+        from graphrag_mrkr_2_spark.plans.pipeline import run_kg_pipeline
+        from graphrag_mrkr_2_spark.sources.loaders import read_binary_documents
+
+        pages = read_binary_documents(spark, binary_doc_dir, keep_binary=True)
+        fused = run_kg_pipeline(pages, cfg=self._cfg(), strategy="structure_hybrid")
+        modular = run_kg_pipeline(
+            pages, cfg=self._cfg(), strategy="structure_hybrid", fused=False
+        )
+
+        t_f = {(r["subj"], r["pred"], r["obj"]) for r in fused.triples.collect()}
+        t_m = {(r["subj"], r["pred"], r["obj"]) for r in modular.triples.collect()}
+        assert t_f == t_m
+
+        # the structure strategy really ran: heading-aware chunk ids match
+        # the modular chunk_pages output, heading_path populated for docx
+        cols = ["chunk_id", "chunk_index", "content_hash", "heading_path", "page"]
+        c_f = {tuple(r[c] for c in cols) for r in fused.chunks.select(*cols).collect()}
+        c_m = {tuple(r[c] for c in cols) for r in modular.chunks.select(*cols).collect()}
+        assert c_f == c_m and c_f
+        assert any(r[3] for r in c_f), "no heading_path — structure never ran"
+        fused.mentions.unpersist()
+        modular.mentions.unpersist()
+
+    def test_materialized_unified_pass_carries_structure_metadata(
+        self, spark, binary_doc_dir
+    ):
+        from graphrag_mrkr_2_spark.plans.pipeline import run_kg_pipeline
+        from graphrag_mrkr_2_spark.sources.loaders import read_binary_documents
+
+        pages = read_binary_documents(spark, binary_doc_dir, keep_binary=True)
+        uni = run_kg_pipeline(
+            pages,
+            cfg=self._cfg(),
+            strategy="structure_hybrid",
+            materialize_chunks=True,
+        )
+        rows = uni.chunks.collect()
+        assert {r.heading_path for r in rows if r.url.endswith("report.docx")} == {
+            "Overview",
+            "Overview > Design",
+        }
+        # pdf page numbers come from the structure blocks, not byte offsets
+        assert sorted(r.page for r in rows if r.url.endswith("paper.pdf")) == [1, 2]
+        uni.mentions.unpersist()
+
+    def test_missing_binary_column_is_a_plan_time_error(self, spark):
+        from graphrag_mrkr_2_spark.operators.extract import chunk_pages
+        from graphrag_mrkr_2_spark.operators.triples import extract_mentions_fused
+        from graphrag_mrkr_2_spark.plans.pipeline import run_kg_pipeline
+        from graphrag_mrkr_2_spark.sources.pages import generate_pages
+
+        pages = generate_pages(spark, 2)  # no 'binary' column
+        with pytest.raises(ValueError, match="binary"):
+            chunk_pages(pages, strategy="structure_hybrid")
+        with pytest.raises(ValueError, match="binary"):
+            extract_mentions_fused(pages, strategy="structure_hybrid")
+        with pytest.raises(ValueError, match="binary"):
+            run_kg_pipeline(pages, strategy="structure_hybrid")
