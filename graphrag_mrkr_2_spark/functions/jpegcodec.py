@@ -499,8 +499,54 @@ def _ac_progressive(br, table, blk, ss, se, ah, al, eobrun):
     return eobrun
 
 
+def _fancy_upsample_h2(plane: np.ndarray) -> np.ndarray:
+    """libjpeg h2v1_fancy_upsample (jdsample.c): out[2i] = (3*s[i] +
+    s[i-1] + 1) >> 2, out[2i+1] = (3*s[i] + s[i+1] + 2) >> 2, edge
+    columns copied. Integer-exact on int32 sample planes."""
+    left = np.empty_like(plane)
+    right = np.empty_like(plane)
+    left[:, 0], left[:, 1:] = plane[:, 0], plane[:, :-1]
+    right[:, -1], right[:, :-1] = plane[:, -1], plane[:, 1:]
+    out = np.empty((plane.shape[0], plane.shape[1] * 2), dtype=plane.dtype)
+    out[:, 0::2] = (3 * plane + left + 1) >> 2
+    out[:, 1::2] = (3 * plane + right + 2) >> 2
+    out[:, 0] = plane[:, 0]
+    out[:, -1] = plane[:, -1]
+    return out
+
+
+def _fancy_upsample_h2v2(plane: np.ndarray) -> np.ndarray:
+    """libjpeg h2v2_fancy_upsample: per output row, column sums 3*nearer +
+    farther input row (edge rows replicate), then the h2 triangle filter
+    with the 8/7 rounding constants and 4*cs edge cases."""
+    dh, dw = plane.shape
+    up = np.empty((dh, dw), dtype=plane.dtype)  # row above (replicated edge)
+    dn = np.empty((dh, dw), dtype=plane.dtype)
+    up[0], up[1:] = plane[0], plane[:-1]
+    dn[-1], dn[:-1] = plane[-1], plane[1:]
+    out = np.empty((dh * 2, dw * 2), dtype=plane.dtype)
+    for v, far in ((0, up), (1, dn)):
+        cs = 3 * plane + far
+        left = np.empty_like(cs)
+        right = np.empty_like(cs)
+        left[:, 0], left[:, 1:] = cs[:, 0], cs[:, :-1]
+        right[:, -1], right[:, :-1] = cs[:, -1], cs[:, 1:]
+        rows = out[v::2]
+        rows[:, 0::2] = (3 * cs + left + 8) >> 4
+        rows[:, 1::2] = (3 * cs + right + 7) >> 4
+        rows[:, 0] = (4 * cs[:, 0] + 8) >> 4
+        rows[:, -1] = (4 * cs[:, -1] + 7) >> 4
+    return out
+
+
 def _reconstruct(frame: dict, coefs: dict, qt: dict) -> np.ndarray:
-    """Dequantize + dezigzag + batched IDCT + upsample + color convert."""
+    """Dequantize + dezigzag + batched IDCT + upsample + color convert.
+
+    Subsampled components are upsampled with libjpeg's FANCY (triangular)
+    filter for the h2v1/h2v2 cases — integer-exact jdsample.c semantics on
+    the clamped uint8 sample plane, trimmed to the component's downsampled
+    dimensions first (the block padding must not leak into the filter) —
+    and plain replication otherwise, exactly like jinit_upsampler."""
     h, w = frame["h"], frame["w"]
     hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
@@ -515,10 +561,21 @@ def _reconstruct(frame: dict, coefs: dict, qt: dict) -> np.ndarray:
             + 128.0
         )
         plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
-        if c["h"] != hmax or c["v"] != vmax:
-            plane = np.repeat(
-                np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        fh, fv = hmax // c["h"], vmax // c["v"]
+        if fh != 1 or fv != 1:
+            # libjpeg upsamples integer samples: clamp first, then filter
+            dw = -(-w * c["h"] // hmax)  # ceil: downsampled dimensions
+            dh = -(-h * c["v"] // vmax)
+            ip = (
+                np.clip(np.round(plane[:dh, :dw]), 0, 255).astype(np.int32)
             )
+            if fh == 2 and fv == 1:
+                plane = _fancy_upsample_h2(ip)
+            elif fh == 2 and fv == 2:
+                plane = _fancy_upsample_h2v2(ip)
+            else:
+                plane = np.repeat(np.repeat(ip, fv, axis=0), fh, axis=1)
+            plane = plane.astype(np.float64)
         planes.append(plane[:h, :w])
     if len(planes) == 1:
         y = np.clip(planes[0], 0, 255)

@@ -6,11 +6,11 @@ TIFF 6.0 baseline per the public spec: header (II/MM byte order), IFD
 walk, the baseline tags (ImageWidth/ImageLength/BitsPerSample/Compression/
 PhotometricInterpretation/StripOffsets/SamplesPerPixel/RowsPerStrip/
 StripByteCounts), 8-bit samples, grayscale (incl. WhiteIsZero inversion)
-and RGB(A), strip assembly, Compression 1 (none), 5 (LZW per §13 with the
-spec's early-change variable widths) and 32773 (PackBits), and Predictor 2
-(horizontal differencing, the standard LZW companion). JPEG-in-TIFF
-raises cleanly — that sliver plus OCR is all that remains of the raster
-seam.
+and RGB(A), strip AND tile (§15, tags 322-325) assembly, Compression 1
+(none), 5 (LZW per §13 with the spec's early-change variable widths),
+7 (new-style JPEG-in-TIFF per TechNote 2, with JPEGTables tag-347
+splicing, decoded by our own jpegcodec) and 32773 (PackBits), and
+Predictor 2 (horizontal differencing, the standard LZW companion).
 
 An encoder (single strip, little-endian, optional LZW + predictor) is
 included for the exact encode→decode round-trip oracle. Pixels are
@@ -176,10 +176,17 @@ def decode_tiff(data: bytes) -> np.ndarray:
         return list(struct.unpack(e + fmt * count, body))
 
     tags: dict[int, list[int]] = {}
+    raw_tags: dict[int, bytes] = {}  # BYTE/UNDEFINED payloads (JPEGTables)
     for k in range(n_entries):
         entry = data[ifd_off + 2 + 12 * k : ifd_off + 14 + 12 * k]
         tag, ftype, count = struct.unpack(e + "HHI", entry[:8])
         tags[tag] = read_values(ftype, count, entry[8:12])
+        if ftype in (1, 7):
+            if count > 4:
+                (off,) = struct.unpack(e + "I", entry[8:12])
+                raw_tags[tag] = data[off : off + count]
+            else:
+                raw_tags[tag] = entry[8 : 8 + count]
 
     def one(tag: int, default: int | None = None) -> int:
         v = tags.get(tag)
@@ -196,39 +203,117 @@ def decode_tiff(data: bytes) -> np.ndarray:
     spp = one(277, 1)
     bits = tags.get(258, [8] * spp)
     rows_per_strip = one(278, h)
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts:
-        raise ValueError("TIFF missing strip offsets/byte counts")
+    # Unify strips and tiles (§15) into (offset, count, row0, col0, seg_h,
+    # seg_w) segments: strips are full-width row bands; tiles form a grid
+    # whose segments are always padded to the full tile size.
+    if 322 in tags or 324 in tags:
+        tile_w = one(322)
+        tile_h = one(323)
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if not offsets or not counts:
+            raise ValueError("TIFF missing tile offsets/byte counts")
+        across = -(-w // tile_w)
+        down = -(-h // tile_h)
+        if len(offsets) < across * down or len(counts) < across * down:
+            raise ValueError("TIFF tile data too short")
+        segments = [
+            (
+                offsets[i],
+                counts[i],
+                (i // across) * tile_h,
+                (i % across) * tile_w,
+                tile_h,
+                tile_w,
+            )
+            for i in range(across * down)
+        ]
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts:
+            raise ValueError("TIFF missing strip offsets/byte counts")
+        segments = []
+        row0 = 0
+        for off, cnt in zip(offsets, counts):
+            if row0 >= h:
+                break
+            seg_h = min(rows_per_strip, h - row0)
+            segments.append((off, cnt, row0, 0, seg_h, w))
+            row0 += seg_h
+        if row0 < h:
+            raise ValueError("TIFF strip data too short")
     if any(b != 8 for b in bits):
         raise ValueError(f"unsupported TIFF bit depths {bits} (8-bit only)")
     predictor = one(317, 1)
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 7, 32773):
         raise ValueError(
-            f"unsupported TIFF compression {compression} (none/LZW/PackBits only)"
+            f"unsupported TIFF compression {compression} "
+            "(none/LZW/JPEG/PackBits only)"
         )
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
+
+    if compression == 7:
+        # New-style JPEG-in-TIFF (TIFF TechNote 2): each strip/tile is an
+        # abbreviated JPEG stream; shared quant/huffman tables live in the
+        # JPEGTables tag (347) as SOI <table segments> EOI and are spliced
+        # in after each segment's SOI (writers may also inline full streams
+        # per segment — redefinition mid-stream is legal JPEG and the later
+        # tables win, so splicing is safe either way). Photometric 6
+        # (YCbCr) is what the JPEG decoder already emits as RGB; 0/1 is
+        # grayscale.
+        if photometric not in (0, 1, 6):
+            raise ValueError(
+                f"unsupported JPEG-in-TIFF photometric {photometric}"
+            )
+        from .jpegcodec import decode_jpeg
+
+        tables = raw_tags.get(347, b"")
+        if tables[:2] == b"\xff\xd8" and tables[-2:] == b"\xff\xd9":
+            tables = tables[2:-2]
+        canvas: np.ndarray | None = None
+        for off, cnt, row0, col0, seg_h, seg_w in segments:
+            body = data[off : off + cnt]
+            if body[:2] != b"\xff\xd8":
+                raise ValueError("JPEG-in-TIFF segment missing SOI")
+            seg_px = decode_jpeg(b"\xff\xd8" + tables + body[2:])
+            if seg_px.ndim == 2:
+                seg_px = seg_px[:, :, None]
+            if canvas is None:
+                canvas = np.zeros((h, w, seg_px.shape[2]), dtype=np.uint8)
+            vh = min(seg_h, h - row0)
+            vw = min(seg_w, w - col0)
+            if seg_px.shape[0] < vh or seg_px.shape[1] < vw:
+                raise ValueError("JPEG-in-TIFF segment data too short")
+            canvas[row0 : row0 + vh, col0 : col0 + vw] = seg_px[:vh, :vw]
+        assert canvas is not None  # segments is non-empty by construction
+        if photometric == 0:  # WhiteIsZero
+            canvas = 255 - canvas
+        return canvas
+
     if photometric not in (0, 1, 2):
         raise ValueError(f"unsupported TIFF photometric {photometric}")
 
-    row_bytes = w * spp
-    raw = bytearray()
-    remaining_rows = h
-    for off, cnt in zip(offsets, counts):
-        strip_rows = min(rows_per_strip, remaining_rows)
+    px = np.zeros((h, w, spp), dtype=np.uint8)
+    for off, cnt, row0, col0, seg_h, seg_w in segments:
         body = data[off : off + cnt]
+        expected = seg_h * seg_w * spp
         if compression == 32773:
-            body = _unpackbits(body, strip_rows * row_bytes)
+            body = _unpackbits(body, expected)
         elif compression == 5:
-            body = _tiff_lzw_decode(body, strip_rows * row_bytes)
-        raw += body[: strip_rows * row_bytes]
-        remaining_rows -= strip_rows
-    if len(raw) < h * row_bytes:
-        raise ValueError("TIFF strip data too short")
-    px = np.frombuffer(bytes(raw[: h * row_bytes]), dtype=np.uint8).reshape(h, w, spp)
-    if predictor == 2:  # horizontal differencing: undo = per-row cumsum
-        px = (np.cumsum(px, axis=1, dtype=np.int64) % 256).astype(np.uint8)
+            body = _tiff_lzw_decode(body, expected)
+        if len(body) < expected:
+            raise ValueError("TIFF strip data too short")
+        seg = np.frombuffer(bytes(body[:expected]), dtype=np.uint8).reshape(
+            seg_h, seg_w, spp
+        )
+        if predictor == 2:  # horizontal differencing: undo = per-row cumsum
+            # per segment — a tile's differences restart at ITS left edge
+            seg = (np.cumsum(seg, axis=1, dtype=np.int64) % 256).astype(np.uint8)
+        vh = min(seg_h, h - row0)
+        vw = min(seg_w, w - col0)
+        px[row0 : row0 + vh, col0 : col0 + vw] = seg[:vh, :vw]
     if photometric == 0:  # WhiteIsZero
         px = 255 - px
     return px

@@ -29,8 +29,10 @@ Kernel status:
   pixels and runs the reference's content-type decision table
   (functions/ocr.py, core/ocr.py:332-450 thresholds) in front of an
   injectable OCR engine callable — the engine (tesseract-class model) is
-  the seam, everything else is real pixel math. Remaining seams:
-  JPEG-in-TIFF, lossy WEBP/AVIF (lossless WEBP decodes for real — r5
+  the seam, everything else is real pixel math. JPEG-in-TIFF (strips and
+  tiles, JPEGTables splicing) decodes for real (r5 functions/tiffcodec.py
+  + jpegcodec). Remaining seams:
+  lossy WEBP/AVIF (lossless WEBP decodes for real — r5
   functions/webpcodec.py), the OCR *engine*, compressed audio
   (MP3/AAC/Opus) and compressed video (ffmpeg-class codecs). Each remaining
   stub either raises NotImplementedError (strict mode) or produces a
@@ -215,7 +217,7 @@ def image_features(
     remaining codec seam): strict=True raises NotImplementedError,
     strict=False falls back to the deterministic fake. Corrupt or
     unsupported-variant payloads of a RECOGNIZED container (lossless
-    JPEG, JPEG-in-TIFF, truncated files) quarantine to the same fake fallback
+    JPEG, truncated files) quarantine to the same fake fallback
     (or re-raise under strict) so one bad file can't fail a 100 TB job.
     """
     from graphrag_mrkr_2_spark.functions.imagecodecs import decode_image, sniff_image

@@ -301,3 +301,115 @@ class TestJavaxSoundWav:
         conv = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(pcm_fmt, ais2)
         theirs = np.frombuffer(bytes(conv.readAllBytes()), dtype="<i2")
         assert (ours[:, 0] == theirs).all()
+
+
+def _imageio_write_tiff_jpeg(spark, px, gray=False, tile=None):
+    """(h, w, 3) uint8 -> TIFF with JPEG compression via the JDK's TIFF
+    plugin. Unlike libtiff (shared JPEGTables tag), the JDK writer inlines
+    a complete JPEG stream per segment — the other legal TechNote-2 shape.
+    ``tile=(w, h)`` requests a tiled layout (tags 322-325)."""
+    jvm = spark._jvm
+    img = _java_image(spark, px, gray)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tif").next()
+    param = writer.getDefaultWriteParam()
+    param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("JPEG")
+    if tile is not None:
+        param.setTilingMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setTiling(tile[0], tile[1], 0, 0)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.flush()
+    writer.dispose()
+    return bytes(baos.toByteArray())
+
+
+def _imageio_raster_gray(spark, data: bytes) -> np.ndarray:
+    """ImageIO.read -> raw band-0 raster samples (h, w) uint8. For
+    TYPE_BYTE_GRAY images getRGB() gamma-converts linear gray to sRGB;
+    the codec-level oracle is the RAW stored samples."""
+    jvm = spark._jvm
+    gateway = spark.sparkContext._gateway
+    img = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(data))
+    )
+    assert img is not None
+    w, h = img.getWidth(), img.getHeight()
+    jarr = gateway.new_array(jvm.int, w * h)
+    img.getRaster().getSamples(0, 0, w, h, 0, jarr)
+    return np.asarray(list(jarr), dtype=np.int64).reshape(h, w).astype(np.uint8)
+
+
+@pytest.mark.spark
+class TestJpegInTiffJdk:
+    """JPEG-in-TIFF against the JDK's TIFF plugin — the independent
+    producer whose strips inline full JPEG streams (no JPEGTables tag),
+    complementing the libtiff A/B in test_tiffcodec.py which always
+    shares tables via tag 347. Pixel oracle = the JDK's own decode of
+    the same file, so bounds cover only IDCT differences."""
+
+    @staticmethod
+    def _smooth(h, w):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [(40 + yy * 2) % 256, (60 + xx * 3) % 256, (50 + yy + xx) % 256],
+            axis=2,
+        ).astype(np.uint8)
+
+    def test_rgb_single_strip(self, spark):
+        from graphrag_mrkr_2_spark.functions.tiffcodec import decode_tiff
+
+        px = self._smooth(48, 32)
+        data = _imageio_write_tiff_jpeg(spark, px)
+        ours = decode_tiff(data)
+        theirs = _imageio_read(spark, data)
+        assert ours.shape == (48, 32, 3)
+        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
+
+    def test_rgb_tiled(self, spark):
+        from graphrag_mrkr_2_spark.functions.tiffcodec import decode_tiff
+
+        # 48x40 over 16x16 tiles -> 3x3 grid with a ragged right edge
+        px = self._smooth(48, 40)
+        data = _imageio_write_tiff_jpeg(spark, px, tile=(16, 16))
+        assert b"\x01\x42" in data or b"\x42\x01" in data  # tag 322 present
+        ours = decode_tiff(data)
+        theirs = _imageio_read(spark, data)
+        assert ours.shape == (48, 40, 3)
+        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
+
+    def test_grayscale_raw_samples(self, spark):
+        """TYPE_BYTE_GRAY stores LINEAR gray: the JDK's getRGB() would
+        gamma-lift the samples (a colorspace choice, not a codec fact), so
+        compare against the raw raster band instead."""
+        from graphrag_mrkr_2_spark.functions.tiffcodec import decode_tiff
+
+        px = self._smooth(48, 32)
+        g = np.stack([px[:, :, 0]] * 3, axis=2)
+        data = _imageio_write_tiff_jpeg(spark, g, gray=True)
+        ours = decode_tiff(data)
+        raw = _imageio_raster_gray(spark, data)
+        assert ours.shape == (48, 32, 1)
+        assert np.abs(ours[:, :, 0].astype(int) - raw.astype(int)).max() <= 2
+
+    def test_probe_and_features_route_jpeg_in_tiff(self, spark):
+        """Operator wiring: a JPEG-compressed TIFF flows through
+        with_probed_media -> image_features in STRICT mode."""
+        from graphrag_mrkr_2_spark.operators.multimodal import (
+            image_features,
+            with_probed_media,
+        )
+
+        px = self._smooth(48, 32)
+        data = _imageio_write_tiff_jpeg(spark, px)
+        raw = spark.createDataFrame(
+            [("jit", bytearray(data))], "media_id string, payload binary"
+        )
+        media = with_probed_media(raw)
+        meta = media.collect()[0]["meta"]
+        assert meta["codec"] == "tiff"
+        assert int(meta["width"]) == 32 and int(meta["height"]) == 48
+        feats = image_features(media, strict=True).collect()
+        assert len(feats) == 1

@@ -215,12 +215,17 @@ class TestLzw:
         assert len(pred) < len(plain)
         assert (decode_tiff(pred) == px).all()
 
-    def test_jpeg_in_tiff_still_rejected(self):
+    def test_jpeg_in_tiff_palette_photometric_rejected(self):
+        """Compression 7 decodes for real now (r5), but only for the
+        photometrics a JPEG stream can carry (gray/YCbCr) — palette (3)
+        under JPEG compression is malformed and must raise, not garble."""
         px = np.zeros((2, 2, 1), dtype=np.uint8)
         data = bytearray(encode_tiff(px))
         i = bytes(data).index(struct.pack("<HHI", 259, 3, 1))
         data[i + 8 : i + 10] = struct.pack("<H", 7)  # JPEG-in-TIFF
-        with pytest.raises(ValueError, match="compression"):
+        j = bytes(data).index(struct.pack("<HHI", 262, 3, 1))
+        data[j + 8 : j + 10] = struct.pack("<H", 3)  # palette
+        with pytest.raises(ValueError, match="photometric"):
             decode_tiff(bytes(data))
 
 
@@ -291,3 +296,173 @@ class TestLibtiffInterop:
         with open(p2, "wb") as f:
             f.write(encode_tiff(px, compression="lzw", predictor=predictor))
         assert (self._read(lt, p2, 40, 50, spp) == px).all()
+
+
+class TestJpegInTiff:
+    """JPEG-in-TIFF (compression 7, TIFF TechNote 2) against the REAL
+    libtiff writer — the independent producer that exercises both things
+    our own encoder never emits: the shared JPEGTables tag (347) whose
+    table segments must be spliced into every abbreviated strip stream,
+    and multi-strip / tiled segment grids. The pixel oracle is libtiff's
+    OWN decode of the same file (TIFFReadRGBAImageOriented), so the
+    tolerance covers only IDCT implementation differences, not wiring."""
+
+    LIB = "/lib/x86_64-linux-gnu/libtiff.so.6"
+
+    @pytest.fixture()
+    def lt(self):
+        import ctypes
+        import os
+
+        if not os.path.exists(self.LIB):
+            pytest.skip("libtiff shared library not present")
+        lib = ctypes.CDLL(self.LIB)
+        lib.TIFFOpen.restype = ctypes.c_void_p
+        lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.TIFFSetField.restype = ctypes.c_int
+        lib.TIFFWriteScanline.restype = ctypes.c_int
+        lib.TIFFWriteTile.restype = ctypes.c_long
+        lib.TIFFReadRGBAImageOriented.restype = ctypes.c_int
+        return lib
+
+    @staticmethod
+    def _smooth(h, w, spp):
+        yy, xx = np.mgrid[0:h, 0:w]
+        chans = [(40 + yy * 2) % 256, (60 + xx * 3) % 256, (50 + yy + xx) % 256]
+        return np.stack(chans[:spp], axis=2).astype(np.uint8)
+
+    def _write_jpeg_tiff(self, lt, path, px, rows_per_strip=None, tile=None):
+        import ctypes
+
+        h, w, spp = px.shape
+        tif = ctypes.c_void_p(lt.TIFFOpen(path.encode(), b"w"))
+        assert tif.value
+        photometric = 1 if spp == 1 else 6  # gray / YCbCr
+        fields = [(256, w), (257, h), (258, 8), (259, 7),
+                  (262, photometric), (277, spp), (284, 1)]
+        if spp == 3:
+            fields.append((65538, 1))  # JPEGCOLORMODE_RGB: libtiff converts
+        if tile is not None:
+            fields += [(322, tile[0]), (323, tile[1])]
+        else:
+            fields.append((278, rows_per_strip or h))
+        ok = all(
+            lt.TIFFSetField(tif, ctypes.c_uint32(tag), val) == 1
+            for tag, val in fields
+        )
+        lt.TIFFSetField(tif, ctypes.c_uint32(65537), 95)  # JPEGQUALITY
+        if not ok:
+            lt.TIFFClose(tif)
+            pytest.skip("libtiff built without JPEG support")
+        if tile is not None:
+            tw, th = tile
+            for y0 in range(0, h, th):
+                for x0 in range(0, w, tw):
+                    block = np.zeros((th, tw, spp), dtype=np.uint8)
+                    vh, vw = min(th, h - y0), min(tw, w - x0)
+                    block[:vh, :vw] = px[y0 : y0 + vh, x0 : x0 + vw]
+                    buf = ctypes.create_string_buffer(block.tobytes(), th * tw * spp)
+                    assert (
+                        lt.TIFFWriteTile(
+                            tif, buf, ctypes.c_uint32(x0), ctypes.c_uint32(y0),
+                            ctypes.c_uint32(0), ctypes.c_uint16(0),
+                        )
+                        > 0
+                    )
+        else:
+            for y in range(h):
+                buf = ctypes.create_string_buffer(px[y].tobytes(), w * spp)
+                if lt.TIFFWriteScanline(
+                    tif, buf, ctypes.c_uint32(y), ctypes.c_uint16(0)
+                ) != 1:
+                    lt.TIFFClose(tif)
+                    pytest.skip("libtiff built without JPEG support")
+        lt.TIFFClose(tif)
+
+    def _libtiff_rgb(self, lt, path, h, w):
+        import ctypes
+
+        tif = ctypes.c_void_p(lt.TIFFOpen(path.encode(), b"r"))
+        assert tif.value
+        raster = (ctypes.c_uint32 * (w * h))()
+        assert (
+            lt.TIFFReadRGBAImageOriented(tif, w, h, raster, 1, 0) == 1
+        )  # 1 = ORIENTATION_TOPLEFT
+        lt.TIFFClose(tif)
+        arr = np.frombuffer(bytes(raster), dtype=np.uint32).reshape(h, w)
+        return np.stack(
+            [arr & 0xFF, (arr >> 8) & 0xFF, (arr >> 16) & 0xFF], axis=2
+        ).astype(np.uint8)
+
+    @staticmethod
+    def _has_tag(path, tag):
+        data = open(path, "rb").read()
+        e = "<" if data[:2] == b"II" else ">"
+        (ifd_off,) = struct.unpack(e + "I", data[4:8])
+        (n,) = struct.unpack(e + "H", data[ifd_off : ifd_off + 2])
+        return any(
+            struct.unpack(e + "H", data[ifd_off + 2 + 12 * k : ifd_off + 4 + 12 * k])[0]
+            == tag
+            for k in range(n)
+        )
+
+    def test_multistrip_rgb_with_jpegtables(self, lt, tmp_path):
+        px = self._smooth(48, 33, 3)
+        p = str(tmp_path / "strips.tif")
+        self._write_jpeg_tiff(lt, p, px, rows_per_strip=16)
+        assert self._has_tag(p, 347), "libtiff should emit shared JPEGTables"
+        ours = decode_tiff(open(p, "rb").read())
+        theirs = self._libtiff_rgb(lt, p, 48, 33)
+        assert ours.shape == (48, 33, 3)
+        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
+        assert np.abs(ours.astype(int) - px.astype(int)).max() <= 4  # lossy bound
+
+    def test_tiled_rgb(self, lt, tmp_path):
+        # 40x41 image over 16x16 tiles: 3x3 grid with ragged right/bottom
+        # edges — the padded-tile crop path
+        px = self._smooth(40, 41, 3)
+        p = str(tmp_path / "tiles.tif")
+        self._write_jpeg_tiff(lt, p, px, tile=(16, 16))
+        ours = decode_tiff(open(p, "rb").read())
+        theirs = self._libtiff_rgb(lt, p, 40, 41)
+        assert ours.shape == (40, 41, 3)
+        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
+
+    def test_grayscale_strips(self, lt, tmp_path):
+        px = self._smooth(48, 33, 1)
+        p = str(tmp_path / "gray.tif")
+        self._write_jpeg_tiff(lt, p, px, rows_per_strip=16)
+        ours = decode_tiff(open(p, "rb").read())
+        assert ours.shape == (48, 33, 1)
+        theirs = self._libtiff_rgb(lt, p, 48, 33)  # gray replicated to RGB
+        assert np.abs(ours[:, :, 0].astype(int) - theirs[:, :, 0].astype(int)).max() <= 2
+
+    def test_tiled_lzw_roundtrip(self, lt, tmp_path):
+        """Tiles aren't JPEG-specific: libtiff-written LZW tiles must
+        reassemble exactly (predictor differences restart per tile row)."""
+        import ctypes
+
+        rng = np.random.RandomState(11)
+        px = rng.randint(0, 256, size=(40, 41, 3), dtype=np.uint8)
+        h, w, spp = px.shape
+        p = str(tmp_path / "lzwtiles.tif")
+        tif = ctypes.c_void_p(lt.TIFFOpen(p.encode(), b"w"))
+        assert tif.value
+        for tag, val in [(256, w), (257, h), (258, 8), (259, 5), (262, 2),
+                         (277, spp), (284, 1), (317, 2), (322, 16), (323, 16)]:
+            assert lt.TIFFSetField(tif, ctypes.c_uint32(tag), val) == 1
+        for y0 in range(0, h, 16):
+            for x0 in range(0, w, 16):
+                block = np.zeros((16, 16, spp), dtype=np.uint8)
+                vh, vw = min(16, h - y0), min(16, w - x0)
+                block[:vh, :vw] = px[y0 : y0 + vh, x0 : x0 + vw]
+                buf = ctypes.create_string_buffer(block.tobytes(), 16 * 16 * spp)
+                assert (
+                    lt.TIFFWriteTile(
+                        tif, buf, ctypes.c_uint32(x0), ctypes.c_uint32(y0),
+                        ctypes.c_uint32(0), ctypes.c_uint16(0),
+                    )
+                    > 0
+                )
+        lt.TIFFClose(tif)
+        assert (decode_tiff(open(p, "rb").read()) == px).all()
