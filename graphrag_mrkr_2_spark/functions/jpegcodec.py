@@ -8,9 +8,12 @@ SOF0/SOF1 baseline sequential AND SOF2 progressive (Annex G: spectral
 selection, successive approximation with DC/AC first + refinement scans,
 EOB-run coding), 8-bit precision, 1 or 3 components, sampling factors 1-2,
 SOS entropy decode with byte-unstuffing + restart markers, dequantize,
-dezigzag, batched 8×8 IDCT (exact float DCT-III via one einsum per plane),
-chroma upsampling, YCbCr→RGB. Arithmetic coding and lossless/hierarchical
-frames raise cleanly — they remain the seam.
+dezigzag, batched 8×8 integer "islow" IDCT + fancy chroma upsampling +
+fixed-point YCbCr→RGB — each stage integer-exact against the IJG decoder
+family (jidctint.c/jdsample.c/jdcolor.c), so decode output is
+BIT-IDENTICAL to libjpeg, libjpeg-turbo, and the JDK's native plugin
+(pinned by == asserts in the conformance suites). Arithmetic coding and
+lossless/hierarchical frames raise cleanly — they remain the seam.
 
 An encoder (baseline, 4:4:4, Annex-K standard Huffman + quality-scaled
 quant tables) is included so the decoder has an in-container oracle:
@@ -499,6 +502,106 @@ def _ac_progressive(br, table, blk, ss, se, ah, al, eobrun):
     return eobrun
 
 
+# ---------------------------------------------------------------------------
+# libjpeg-exact integer reconstruction (jidctint.c "islow" + jdcolor.c)
+#
+# The IJG decoder family (libjpeg 6b, libjpeg-turbo, the JDK's native
+# imageio plugin, libtiff's JPEG codec) all reconstruct with the same
+# fixed-point Loeffler-Ligtenberg-Moshovitz IDCT, the same wraparound
+# range-limit table, and the same 16-bit fixed-point YCbCr->RGB tables.
+# Reproducing those exactly (not a float approximation) makes this
+# decoder's output BIT-IDENTICAL to theirs, which is what the == asserts
+# in the conformance suites pin.
+# ---------------------------------------------------------------------------
+
+_CB, _PB = 13, 2  # CONST_BITS / PASS1_BITS
+_F0298, _F0390, _F0541, _F0765 = 2446, 3196, 4433, 6270
+_F0899, _F1175, _F1501, _F1847 = 7373, 9633, 12299, 15137
+_F1961, _F2053, _F2562, _F3072 = 16069, 16819, 20995, 25172
+
+
+def _idct_islow_pass(d, shift):
+    """One 1-D 8-point pass of jidctint.c over stacked vectors d[0..7]
+    (each (N, 8) int64); DESCALE by ``shift`` with round-half-up."""
+    d0, d1, d2, d3, d4, d5, d6, d7 = d
+    z1 = (d2 + d6) * _F0541
+    tmp2 = z1 - d6 * _F1847
+    tmp3 = z1 + d2 * _F0765
+    tmp0 = (d0 + d4) << _CB
+    tmp1 = (d0 - d4) << _CB
+    tmp10, tmp13 = tmp0 + tmp3, tmp0 - tmp3
+    tmp11, tmp12 = tmp1 + tmp2, tmp1 - tmp2
+    t0, t1, t2, t3 = d7, d5, d3, d1
+    z1, z2 = t0 + t3, t1 + t2
+    z3, z4 = t0 + t2, t1 + t3
+    z5 = (z3 + z4) * _F1175
+    t0, t1 = t0 * _F0298, t1 * _F2053
+    t2, t3 = t2 * _F3072, t3 * _F1501
+    z1, z2 = -z1 * _F0899, -z2 * _F2562
+    z3, z4 = z5 - z3 * _F1961, z5 - z4 * _F0390
+    t0, t1 = t0 + z1 + z3, t1 + z2 + z4
+    t2, t3 = t2 + z2 + z3, t3 + z1 + z4
+    rnd = 1 << (shift - 1)
+    return tuple(
+        (x + rnd) >> shift
+        for x in (
+            tmp10 + t3, tmp11 + t2, tmp12 + t1, tmp13 + t0,
+            tmp13 - t0, tmp12 - t1, tmp11 - t2, tmp10 - t3,
+        )
+    )
+
+
+def _range_limit_table() -> np.ndarray:
+    """jdmaster.c prepare_range_limit_table, post-IDCT segment: index is
+    the centered sample value masked to 10 bits; the table folds in the
+    +128 level shift and clamps wraparound overflow exactly like libjpeg."""
+    rl = np.empty(1024, dtype=np.uint8)
+    rl[0:128] = np.arange(128, 256)
+    rl[128:512] = 255
+    rl[512:896] = 0
+    rl[896:1024] = np.arange(0, 128)
+    return rl
+
+
+_RL = _range_limit_table()
+
+
+def _idct_islow(deq: np.ndarray) -> np.ndarray:
+    """(N, 8, 8) natural-order dequantized int64 coefficients → (N, 8, 8)
+    uint8 samples, bit-exact jidctint.c (both DESCALE passes + the
+    wraparound range-limit lookup). The all-AC-zero shortcuts in the C
+    code are pure optimizations — the butterflies give identical values —
+    so the vectorized form omits them."""
+    cols = _idct_islow_pass([deq[:, i, :] for i in range(8)], _CB - _PB)
+    wksp = np.stack(cols, axis=1)  # [n, row, col]
+    rows = _idct_islow_pass([wksp[:, :, j] for j in range(8)], _CB + _PB + 3)
+    return _RL[np.stack(rows, axis=2) & 1023]
+
+
+def _fix16(x: float) -> int:
+    return int(x * 65536 + 0.5)
+
+
+_CIDX = np.arange(256, dtype=np.int64) - 128
+_CR_R = (_fix16(1.40200) * _CIDX + 32768) >> 16
+_CB_B = (_fix16(1.77200) * _CIDX + 32768) >> 16
+_CR_G = -_fix16(0.71414) * _CIDX
+_CB_G = -_fix16(0.34414) * _CIDX + 32768
+
+
+def _ycc_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """jdcolor.c ycc_rgb_convert: 16-bit fixed-point tables, green shares
+    one rounded shift; simple clamp (the sums stay inside the table's
+    straight segment, so clip == libjpeg's range_limit here)."""
+    y = y.astype(np.int64)
+    cb = cb.astype(np.intp)
+    cr = cr.astype(np.intp)
+    r = y + _CR_R[cr]
+    g = y + ((_CB_G[cb] + _CR_G[cr]) >> 16)
+    b = y + _CB_B[cb]
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
 def _fancy_upsample_h2(plane: np.ndarray) -> np.ndarray:
     """libjpeg h2v1_fancy_upsample (jdsample.c): out[2i] = (3*s[i] +
     s[i-1] + 1) >> 2, out[2i+1] = (3*s[i] + s[i+1] + 2) >> 2, edge
@@ -540,54 +643,50 @@ def _fancy_upsample_h2v2(plane: np.ndarray) -> np.ndarray:
 
 
 def _reconstruct(frame: dict, coefs: dict, qt: dict) -> np.ndarray:
-    """Dequantize + dezigzag + batched IDCT + upsample + color convert.
+    """Dequantize + dezigzag + batched islow IDCT + upsample + color
+    convert — every stage integer-exact against the IJG decoder family
+    (jidctint.c / jdsample.c / jdcolor.c), so the output is bit-identical
+    to libjpeg/libjpeg-turbo/the JDK for baseline and progressive files.
 
     Subsampled components are upsampled with libjpeg's FANCY (triangular)
-    filter for the h2v1/h2v2 cases — integer-exact jdsample.c semantics on
-    the clamped uint8 sample plane, trimmed to the component's downsampled
-    dimensions first (the block padding must not leak into the filter) —
-    and plain replication otherwise, exactly like jinit_upsampler."""
+    filter for the h2v1/h2v2 cases, on the component plane trimmed to its
+    downsampled dimensions first (the block padding must not leak into
+    the filter), and plain replication otherwise, exactly like
+    jinit_upsampler."""
     h, w = frame["h"], frame["w"]
     hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
     for c in frame["comps"]:
         # qt tables are stored zigzag-ordered (as in DQT)
-        blk = coefs[c["id"]].astype(np.float64) * qt[c["tq"]][None, None, :]
+        blk = coefs[c["id"]]
         nby, nbx = blk.shape[:2]
-        sq = np.zeros((nby, nbx, 64))
-        sq[:, :, _ZIGZAG] = blk
-        px = (
-            np.einsum("ij,abjk,kl->abil", _DCT.T, sq.reshape(nby, nbx, 8, 8), _DCT)
-            + 128.0
+        deq = blk.astype(np.int64) * qt[c["tq"]].astype(np.int64)[None, None, :]
+        nat = np.zeros((nby * nbx, 64), dtype=np.int64)
+        nat[:, _ZIGZAG] = deq.reshape(-1, 64)
+        samples = _idct_islow(nat.reshape(-1, 8, 8))
+        plane = (
+            samples.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
         )
-        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         fh, fv = hmax // c["h"], vmax // c["v"]
         if fh != 1 or fv != 1:
-            # libjpeg upsamples integer samples: clamp first, then filter
             dw = -(-w * c["h"] // hmax)  # ceil: downsampled dimensions
             dh = -(-h * c["v"] // vmax)
-            ip = (
-                np.clip(np.round(plane[:dh, :dw]), 0, 255).astype(np.int32)
-            )
+            ip = plane[:dh, :dw].astype(np.int32)
             if fh == 2 and fv == 1:
                 plane = _fancy_upsample_h2(ip)
             elif fh == 2 and fv == 2:
                 plane = _fancy_upsample_h2v2(ip)
             else:
                 plane = np.repeat(np.repeat(ip, fv, axis=0), fh, axis=1)
-            plane = plane.astype(np.float64)
         planes.append(plane[:h, :w])
     if len(planes) == 1:
-        y = np.clip(planes[0], 0, 255)
-        return y[:, :, None].round().astype(np.uint8)
+        return planes[0].astype(np.uint8)[:, :, None]
     if len(planes) != 3:
         raise ValueError(f"unsupported JPEG component count {len(planes)}")
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(rgb.round(), 0, 255).astype(np.uint8)
+    return _ycc_to_rgb(y, cb, cr)
 
 
 def _decode_block(br: _BitReader, dc_table: dict, ac_table: dict) -> np.ndarray:

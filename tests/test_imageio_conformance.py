@@ -130,9 +130,14 @@ class TestOursToImageIO:
     def test_jpeg(self, spark, subsampling):
         yy, xx = np.mgrid[0:24, 0:32]
         px = np.stack([40 + yy * 2, 60 + xx, 50 + yy + xx], axis=2).astype(np.uint8)
-        got = _imageio_read(spark, encode_jpeg(px, quality=95, subsampling=subsampling))
+        data = encode_jpeg(px, quality=95, subsampling=subsampling)
+        got = _imageio_read(spark, data)
         err = np.abs(got.astype(int) - px.astype(int))
-        assert err.max() <= 8, (subsampling, int(err.max()))
+        assert err.max() <= 8, (subsampling, int(err.max()))  # encoder loss
+        # decoder identity: the JDK's decode of OUR stream must be
+        # bit-identical to our own (islow IDCT + fancy upsample + fixed-
+        # point color tables == the IJG pipeline)
+        assert (decode_jpeg(data) == got).all()
 
 
 @pytest.mark.spark
@@ -153,18 +158,20 @@ class TestImageIOToOurs:
     def test_jpeg(self, spark):
         yy, xx = np.mgrid[0:24, 0:32]
         px = np.stack([40 + yy * 2, 60 + xx, 50 + yy + xx], axis=2).astype(np.uint8)
-        got = decode_jpeg(_imageio_write(spark, px, "jpg"))
+        data = _imageio_write(spark, px, "jpg")
+        got = decode_jpeg(data)
         err = np.abs(got.astype(int) - px.astype(int))
-        assert err.max() <= 12, int(err.max())
+        assert err.max() <= 12, int(err.max())  # the JDK writer's loss
+        # decoder identity: bit-identical to the JDK's own decode
+        assert (got == _imageio_read(spark, data)).all()
 
     def test_progressive_jpeg_smooth(self, spark):
-        """JDK-written SOF2 stream. Strong oracle: the JDK writer encodes
-        the SAME quantized coefficients in baseline and progressive mode,
-        so our Annex-G decode of the progressive file must be
-        BIT-IDENTICAL to our (JDK-conformance-proven) baseline decode of
-        the baseline file. The decode must also track the JDK's own
-        decode of the progressive file (≤3: its fancy triangular chroma
-        upsampling vs our replication) and the original (lossy bound)."""
+        """JDK-written SOF2 stream. Two oracles: (1) the JDK writer
+        encodes the SAME quantized coefficients in baseline and
+        progressive mode, so our Annex-G decode of the progressive file
+        must be BIT-IDENTICAL to our baseline decode of the baseline
+        file; (2) our decode must be BIT-IDENTICAL to the JDK's own
+        decode of the progressive file (shared IJG reconstruction)."""
         yy, xx = np.mgrid[0:40, 0:56]
         px = np.stack([40 + yy * 2, 60 + xx, 50 + yy + xx], axis=2).astype(np.uint8)
         data = _imageio_write_progressive_jpeg(spark, px)
@@ -172,20 +179,21 @@ class TestImageIOToOurs:
         base = decode_jpeg(_imageio_write(spark, px, "jpg"))
         assert (ours == base).all()
         theirs = _imageio_read(spark, data)
-        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 3
+        assert (ours == theirs).all()
         assert np.abs(ours.astype(int) - px.astype(int)).max() <= 12
 
     def test_progressive_jpeg_noise(self, spark):
         """Dense random content exercises ZRL, EOB-run lengths > 1, and
-        the refinement correction-bit sweeps; same bit-identity oracle
-        (the vs-JDK pixel bound is meaningless on noise because chroma
-        upsampling of random chroma diverges by design)."""
+        the refinement correction-bit sweeps; same bit-identity oracles —
+        exact even on noise now that upsampling/IDCT match the IJG
+        pipeline bit-for-bit."""
         rng = np.random.RandomState(23)
         px = rng.randint(0, 256, size=(33, 47, 3), dtype=np.uint8)
         data = _imageio_write_progressive_jpeg(spark, px)
         ours = decode_jpeg(data)
         base = decode_jpeg(_imageio_write(spark, px, "jpg"))
         assert (ours == base).all()
+        assert (ours == _imageio_read(spark, data)).all()
 
     def test_progressive_jpeg_grayscale(self, spark):
         """Single-component progressive: the DC scan is NON-interleaved
@@ -348,7 +356,7 @@ class TestJpegInTiffJdk:
     producer whose strips inline full JPEG streams (no JPEGTables tag),
     complementing the libtiff A/B in test_tiffcodec.py which always
     shares tables via tag 347. Pixel oracle = the JDK's own decode of
-    the same file, so bounds cover only IDCT differences."""
+    the same file, asserted BIT-IDENTICAL (shared IJG reconstruction)."""
 
     @staticmethod
     def _smooth(h, w):
@@ -366,7 +374,7 @@ class TestJpegInTiffJdk:
         ours = decode_tiff(data)
         theirs = _imageio_read(spark, data)
         assert ours.shape == (48, 32, 3)
-        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
+        assert (ours == theirs).all()
 
     def test_rgb_tiled(self, spark):
         from graphrag_mrkr_2_spark.functions.tiffcodec import decode_tiff
@@ -378,7 +386,7 @@ class TestJpegInTiffJdk:
         ours = decode_tiff(data)
         theirs = _imageio_read(spark, data)
         assert ours.shape == (48, 40, 3)
-        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
+        assert (ours == theirs).all()
 
     def test_grayscale_raw_samples(self, spark):
         """TYPE_BYTE_GRAY stores LINEAR gray: the JDK's getRGB() would
@@ -392,7 +400,7 @@ class TestJpegInTiffJdk:
         ours = decode_tiff(data)
         raw = _imageio_raster_gray(spark, data)
         assert ours.shape == (48, 32, 1)
-        assert np.abs(ours[:, :, 0].astype(int) - raw.astype(int)).max() <= 2
+        assert (ours[:, :, 0] == raw).all()
 
     def test_probe_and_features_route_jpeg_in_tiff(self, spark):
         """Operator wiring: a JPEG-compressed TIFF flows through

@@ -304,8 +304,9 @@ class TestJpegInTiff:
     our own encoder never emits: the shared JPEGTables tag (347) whose
     table segments must be spliced into every abbreviated strip stream,
     and multi-strip / tiled segment grids. The pixel oracle is libtiff's
-    OWN decode of the same file (TIFFReadRGBAImageOriented), so the
-    tolerance covers only IDCT implementation differences, not wiring."""
+    OWN decode of the same file (TIFFReadRGBAImageOriented), asserted
+    BIT-IDENTICAL — our islow IDCT / fancy upsample / fixed-point color
+    tables reproduce libjpeg-turbo's reconstruction exactly."""
 
     LIB = "/lib/x86_64-linux-gnu/libtiff.so.6"
 
@@ -414,7 +415,7 @@ class TestJpegInTiff:
         ours = decode_tiff(open(p, "rb").read())
         theirs = self._libtiff_rgb(lt, p, 48, 33)
         assert ours.shape == (48, 33, 3)
-        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
+        assert (ours == theirs).all()
         assert np.abs(ours.astype(int) - px.astype(int)).max() <= 4  # lossy bound
 
     def test_tiled_rgb(self, lt, tmp_path):
@@ -426,7 +427,7 @@ class TestJpegInTiff:
         ours = decode_tiff(open(p, "rb").read())
         theirs = self._libtiff_rgb(lt, p, 40, 41)
         assert ours.shape == (40, 41, 3)
-        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
+        assert (ours == theirs).all()
 
     def test_grayscale_strips(self, lt, tmp_path):
         px = self._smooth(48, 33, 1)
@@ -435,7 +436,7 @@ class TestJpegInTiff:
         ours = decode_tiff(open(p, "rb").read())
         assert ours.shape == (48, 33, 1)
         theirs = self._libtiff_rgb(lt, p, 48, 33)  # gray replicated to RGB
-        assert np.abs(ours[:, :, 0].astype(int) - theirs[:, :, 0].astype(int)).max() <= 2
+        assert (ours[:, :, 0] == theirs[:, :, 0]).all()
 
     def test_tiled_lzw_roundtrip(self, lt, tmp_path):
         """Tiles aren't JPEG-specific: libtiff-written LZW tiles must
