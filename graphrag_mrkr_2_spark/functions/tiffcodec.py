@@ -181,7 +181,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
         entry = data[ifd_off + 2 + 12 * k : ifd_off + 14 + 12 * k]
         tag, ftype, count = struct.unpack(e + "HHI", entry[:8])
         tags[tag] = read_values(ftype, count, entry[8:12])
-        if ftype in (1, 7):
+        if tag == 347 and ftype in (1, 7):  # only JPEGTables is consumed
             if count > 4:
                 (off,) = struct.unpack(e + "I", entry[8:12])
                 raw_tags[tag] = data[off : off + count]
@@ -206,9 +206,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
     # Unify strips and tiles (§15) into (offset, count, row0, col0, seg_h,
     # seg_w) segments: strips are full-width row bands; tiles form a grid
     # whose segments are always padded to the full tile size.
+    if w < 1 or h < 1:
+        raise ValueError(f"bad TIFF dimensions {w}x{h}")
     if 322 in tags or 324 in tags:
         tile_w = one(322)
         tile_h = one(323)
+        if tile_w < 1 or tile_h < 1:
+            raise ValueError(f"bad TIFF tile size {tile_w}x{tile_h}")
         offsets = tags.get(324)
         counts = tags.get(325)
         if not offsets or not counts:
@@ -287,7 +291,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
             if seg_px.shape[0] < vh or seg_px.shape[1] < vw:
                 raise ValueError("JPEG-in-TIFF segment data too short")
             canvas[row0 : row0 + vh, col0 : col0 + vw] = seg_px[:vh, :vw]
-        assert canvas is not None  # segments is non-empty by construction
+        if canvas is None:  # unreachable given the w/h >= 1 guard above,
+            raise ValueError("JPEG-in-TIFF has no segments")  # but cheap
         if photometric == 0:  # WhiteIsZero
             canvas = 255 - canvas
         return canvas

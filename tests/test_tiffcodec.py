@@ -467,3 +467,91 @@ class TestJpegInTiff:
                 )
         lt.TIFFClose(tif)
         assert (decode_tiff(open(p, "rb").read()) == px).all()
+
+    def test_ycbcr_422_strips(self, lt, tmp_path):
+        """YCbCrSubsampling (2,1) makes libjpeg emit a 4:2:2 stream —
+        the ONLY producer in the suites that exercises the h2v1 fancy
+        upsampler, pinning its bit-identity claim (review r5 finding)."""
+        import ctypes
+
+        px = self._smooth(48, 33, 3)
+        h, w, spp = px.shape
+        p = str(tmp_path / "s422.tif")
+        tif = ctypes.c_void_p(lt.TIFFOpen(p.encode(), b"w"))
+        assert tif.value
+        for tag, val in [(256, w), (257, h), (258, 8), (259, 7), (262, 6),
+                         (277, spp), (278, 16), (284, 1), (65538, 1)]:
+            if lt.TIFFSetField(tif, ctypes.c_uint32(tag), val) != 1:
+                lt.TIFFClose(tif)
+                pytest.skip("libtiff built without JPEG support")
+        assert lt.TIFFSetField(tif, ctypes.c_uint32(530), 2, 1) == 1
+        lt.TIFFSetField(tif, ctypes.c_uint32(65537), 95)
+        for y in range(h):
+            buf = ctypes.create_string_buffer(px[y].tobytes(), w * spp)
+            if lt.TIFFWriteScanline(
+                tif, buf, ctypes.c_uint32(y), ctypes.c_uint16(0)
+            ) != 1:
+                lt.TIFFClose(tif)
+                pytest.skip("libtiff built without JPEG support")
+        lt.TIFFClose(tif)
+        data = open(p, "rb").read()
+        i = data.find(b"\xff\xc0")  # strip SOF0: Y factors must be 2x1
+        assert data[i + 11] == 0x21, "writer did not emit 4:2:2"
+        ours = decode_tiff(data)
+        theirs = self._libtiff_rgb(lt, p, h, w)
+        assert (ours == theirs).all()
+
+
+class TestMalformed:
+    """Crafted-input error contract: malformed geometry raises ValueError,
+    never an arithmetic error (review r5 findings)."""
+
+    @staticmethod
+    def _patch_tag(data: bytes, tag: int, ftype: int, value: int) -> bytes:
+        out = bytearray(data)
+        i = bytes(data).index(struct.pack("<HH", tag, ftype))
+        out[i + 8 : i + 12] = struct.pack("<I", value)
+        return bytes(out)
+
+    @pytest.mark.parametrize("zero_tag", [322, 323])
+    def test_zero_tile_size_rejected(self, zero_tag):
+        """Hand-built tiled grayscale TIFF with TileWidth/TileLength=0:
+        must raise ValueError, not ZeroDivisionError."""
+        body = bytes(16)  # one 4x4 "tile"
+        ifd_off = 8 + len(body)
+        out = bytearray(b"II" + struct.pack("<HI", 42, ifd_off))
+        out += body
+        entries = [
+            (256, 4, 1, struct.pack("<I", 4)),
+            (257, 4, 1, struct.pack("<I", 4)),
+            (258, 3, 1, struct.pack("<HH", 8, 0)),
+            (259, 3, 1, struct.pack("<HH", 1, 0)),
+            (262, 3, 1, struct.pack("<HH", 1, 0)),
+            (277, 3, 1, struct.pack("<HH", 1, 0)),
+            (322, 4, 1, struct.pack("<I", 0 if zero_tag == 322 else 4)),
+            (323, 4, 1, struct.pack("<I", 0 if zero_tag == 323 else 4)),
+            (324, 4, 1, struct.pack("<I", 8)),
+            (325, 4, 1, struct.pack("<I", 16)),
+        ]
+        out += struct.pack("<H", len(entries))
+        for tag, ftype, count, vb in entries:
+            out += struct.pack("<HHI", tag, ftype, count) + vb
+        out += struct.pack("<I", 0)
+        with pytest.raises(ValueError, match="tile size"):
+            decode_tiff(bytes(out))
+
+    def test_zero_width_rejected(self):
+        px = np.zeros((4, 4, 1), dtype=np.uint8)
+        data = self._patch_tag(encode_tiff(px), 256, 4, 0)
+        with pytest.raises(ValueError, match="dimensions"):
+            decode_tiff(data)
+
+    def test_zero_height_jpeg_rejected(self):
+        px = np.zeros((4, 4, 1), dtype=np.uint8)
+        data = encode_tiff(px)
+        data = self._patch_tag(data, 257, 4, 0)
+        out = bytearray(data)
+        i = bytes(out).index(struct.pack("<HHI", 259, 3, 1))
+        out[i + 8 : i + 10] = struct.pack("<H", 7)  # JPEG compression
+        with pytest.raises(ValueError, match="dimensions"):
+            decode_tiff(bytes(out))
