@@ -661,6 +661,5 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_webp(data)
     raise ValueError(
         "unrecognized image payload "
-        "(supported: PNG, BMP, GIF, baseline JPEG, baseline TIFF, "
-        "lossless WEBP)"
+        "(supported: PNG, BMP, GIF, baseline JPEG, baseline TIFF, WEBP)"
     )

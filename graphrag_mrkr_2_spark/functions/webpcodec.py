@@ -7,8 +7,9 @@ them via PIL; this module closes the highest-frequency remaining codec seam
 "WebP Lossless Bitstream Specification" (developers.google.com/speed/webp/
 docs/webp_lossless_bitstream_specification):
 
-- RIFF/WEBP container walk (VP8L chunk; VP8X extended container supported,
-  lossy VP8 remains an explicit seam — it needs a full DCT codec);
+- RIFF/WEBP container walk (VP8L / VP8 / ALPH / VP8X chunks; lossy VP8
+  frames dispatch to functions/vp8codec.py, lossy-with-alpha composes the
+  ALPH plane — raw or headerless-VP8L — over the VP8 RGB);
 - LSB-first bit reader; canonical prefix codes (simple 1/2-symbol codes and
   code-length-coded codes incl. the 16/17/18 repeat ops and the optional
   max_symbol counter);
@@ -544,40 +545,141 @@ def _inverse_color_indexing(
 # ---------------------------------------------------------------------------
 
 
-def _find_vp8l_chunk(data: bytes) -> bytes:
+def _walk_chunks(data: bytes) -> dict:
+    """RIFF container walk -> {fourcc: payload} for the chunks we consume
+    (first VP8L / VP8 / ALPH / VP8X)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WEBP (RIFF) container")
+    chunks: dict = {}
     pos = 12
     while pos + 8 <= len(data):
         fourcc = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
-        payload = data[pos + 8 : pos + 8 + size]
-        if fourcc == b"VP8L":
-            return payload
-        if fourcc == b"VP8 ":
-            raise ValueError(
-                "lossy WEBP (VP8) is not supported by the pure-stdlib codec "
-                "(inject a native codec through the image_features seam)"
-            )
+        if fourcc in (b"VP8L", b"VP8 ", b"ALPH", b"VP8X") and fourcc not in chunks:
+            chunks[fourcc] = data[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size & 1)
+    return chunks
+
+
+def _find_vp8l_chunk(data: bytes) -> bytes:
+    chunks = _walk_chunks(data)
+    if b"VP8L" in chunks:
+        return chunks[b"VP8L"]
     raise ValueError("WEBP container has no VP8L chunk")
 
 
+def _unfilter_alpha(plane: np.ndarray, method: int) -> np.ndarray:
+    """Inverse of the WEBP alpha-plane row filters (container spec §Alpha;
+    semantics of libwebp dsp/filters.c Unfilter, row 0 always horizontal
+    for methods 2 and 3)."""
+    if method == 0:
+        return plane
+    h, w = plane.shape
+    out = np.empty_like(plane)
+    if method == 1:  # horizontal
+        for y in range(h):
+            pred = out[y - 1, 0] if y > 0 else 0
+            for x in range(w):
+                pred = (int(pred) + int(plane[y, x])) & 0xFF
+                out[y, x] = pred
+    elif method == 2:  # vertical (row 0: horizontal from 0)
+        pred = 0
+        for x in range(w):
+            pred = (pred + int(plane[0, x])) & 0xFF
+            out[0, x] = pred
+        prev = out[0].astype(np.int32)
+        for y in range(1, h):
+            row = (prev + plane[y]) & 0xFF
+            out[y] = row.astype(np.uint8)
+            prev = row
+    elif method == 3:  # gradient (row 0: horizontal from 0)
+        pred = 0
+        for x in range(w):
+            pred = (pred + int(plane[0, x])) & 0xFF
+            out[0, x] = pred
+        for y in range(1, h):
+            left = int(out[y - 1, 0])
+            top_left = left
+            for x in range(w):
+                top = int(out[y - 1, x])
+                g = left + top - top_left
+                g = 0 if g < 0 else (255 if g > 255 else g)
+                left = (g + int(plane[y, x])) & 0xFF
+                out[y, x] = left
+                top_left = top
+    else:
+        raise ValueError(f"WEBP alpha: bad filter method {method}")
+    return out
+
+
+def _decode_alpha(payload: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk -> (h, w) uint8 alpha plane."""
+    if not payload:
+        raise ValueError("WEBP: empty ALPH chunk")
+    head = payload[0]
+    method = head & 3
+    filt = (head >> 2) & 3
+    body = payload[1:]
+    if method == 0:
+        if len(body) < w * h:
+            raise ValueError("WEBP alpha: raw plane too short")
+        plane = np.frombuffer(body[: w * h], dtype=np.uint8).reshape(h, w)
+    elif method == 1:
+        # headerless VP8L image stream; alpha lives in the green channel
+        br = _BitReader(body)
+        pixels, _ = _decode_image_stream(br, w, h, True)
+        arr = np.array(pixels, dtype=np.uint32).reshape(h, w)
+        plane = ((arr >> 8) & 0xFF).astype(np.uint8)
+    else:
+        raise ValueError(f"WEBP alpha: bad compression method {method}")
+    return _unfilter_alpha(plane, filt)
+
+
 def webp_dimensions(data: bytes) -> tuple[int, int]:
-    """(width, height) from the VP8L header without a full decode."""
-    payload = _find_vp8l_chunk(data)
-    if not payload or payload[0] != 0x2F:
-        raise ValueError("VP8L: bad signature byte")
-    br = _BitReader(payload[1:])
-    w = br.read(14) + 1
-    h = br.read(14) + 1
-    return w, h
+    """(width, height) from the VP8L / VP8 / VP8X header, no full decode."""
+    chunks = _walk_chunks(data)
+    if b"VP8X" in chunks and len(chunks[b"VP8X"]) >= 10:
+        ext = chunks[b"VP8X"]
+        w = 1 + (ext[4] | (ext[5] << 8) | (ext[6] << 16))
+        h = 1 + (ext[7] | (ext[8] << 8) | (ext[9] << 16))
+        return w, h
+    if b"VP8L" in chunks:
+        payload = chunks[b"VP8L"]
+        if not payload or payload[0] != 0x2F:
+            raise ValueError("VP8L: bad signature byte")
+        br = _BitReader(payload[1:])
+        w = br.read(14) + 1
+        h = br.read(14) + 1
+        return w, h
+    if b"VP8 " in chunks:
+        p = chunks[b"VP8 "]
+        if len(p) < 10 or p[3:6] != b"\x9d\x01\x2a":
+            raise ValueError("VP8: bad keyframe header")
+        (w16, h16) = struct.unpack_from("<HH", p, 6)
+        return w16 & 0x3FFF, h16 & 0x3FFF
+    raise ValueError("WEBP container has no image chunk")
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """WEBP lossless → (h, w, 4) uint8 RGBA (or (h, w, 3) when the header's
-    alpha-hint is unset and every alpha byte is 255)."""
-    payload = _find_vp8l_chunk(data)
+    """WEBP -> uint8 pixel array.
+
+    Lossless (VP8L): (h, w, 4) RGBA, or (h, w, 3) when the header's
+    alpha-hint is unset and every alpha byte is 255.  Lossy (VP8): (h, w, 3)
+    RGB bit-identical to libwebp's fancy-upsampling output, or (h, w, 4)
+    when an ALPH chunk is present (functions/vp8codec.py)."""
+    chunks = _walk_chunks(data)
+    if b"VP8L" not in chunks:
+        if b"VP8 " in chunks:
+            from graphrag_mrkr_2_spark.functions import vp8codec
+
+            rgb = vp8codec.decode_vp8(chunks[b"VP8 "])
+            if b"ALPH" in chunks:
+                h, w = rgb.shape[:2]
+                alpha = _decode_alpha(chunks[b"ALPH"], w, h)
+                return np.dstack([rgb, alpha])
+            return rgb
+        raise ValueError("WEBP container has no VP8L chunk")
+    payload = chunks[b"VP8L"]
     if not payload or payload[0] != 0x2F:
         raise ValueError("VP8L: bad signature byte")
     br = _BitReader(payload[1:])

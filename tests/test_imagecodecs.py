@@ -188,8 +188,9 @@ class TestSniffAndDispatch:
             assert (decode_image(enc(px)) == px).all()
         with pytest.raises(ValueError, match="unrecognized"):
             decode_image(b"ABCDxxxxWXYZdata")
-        # a recognized WEBP container with a lossy VP8 payload stays a seam
-        with pytest.raises(ValueError, match="lossy"):
+        # a recognized WEBP container with a garbage lossy VP8 payload fails
+        # loudly in the VP8 decoder (r5: lossy WEBP decodes for real)
+        with pytest.raises(ValueError, match="VP8"):
             decode_image(
                 b"RIFF" + (16).to_bytes(4, "little") + b"WEBP"
                 + b"VP8 " + (4).to_bytes(4, "little") + b"\x00\x00\x00\x00"

@@ -79,12 +79,14 @@ class TestContainer:
         with pytest.raises(ValueError, match="no VP8L"):
             decode_webp(data)
 
-    def test_lossy_vp8_is_explicit_seam(self):
+    def test_lossy_vp8_dispatches_to_vp8codec(self):
+        """A VP8 chunk routes to functions/vp8codec.py (r5 — lossy WEBP now
+        decodes for real); a garbage 4-byte frame must fail loudly there."""
         data = (
             b"RIFF" + (16).to_bytes(4, "little") + b"WEBP"
             + b"VP8 " + (4).to_bytes(4, "little") + b"\x00\x00\x00\x00"
         )
-        with pytest.raises(ValueError, match="lossy"):
+        with pytest.raises(ValueError, match="VP8"):
             decode_webp(data)
 
     def test_truncated_bitstream(self):
