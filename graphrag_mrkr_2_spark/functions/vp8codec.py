@@ -343,11 +343,6 @@ _C1 = 20091  # cospi8sqrt2 - 1, Q16
 _C2 = 35468  # sinpi8sqrt2, Q16
 
 
-def _idct4x4(block) -> np.ndarray:
-    """Exact integer inverse DCT; ``block`` is length-16 natural order."""
-    return _idct_batch(np.asarray(block, dtype=np.int64).reshape(1, 4, 4))[0]
-
-
 def _idct_batch(ip: np.ndarray) -> np.ndarray:
     """Vectorized exact inverse DCT over a (B, 4, 4) int64 batch."""
     # columns
@@ -810,7 +805,7 @@ def decode_vp8_frame(data: bytes):
                                 bool(nonzero) or not has_y2))
 
     # ---- loop filter ------------------------------------------------------
-    _loop_filter(hdr, mbs, filter_info, YB, UB, VB, mb_w, mb_h)
+    _loop_filter(hdr, filter_info, YB, UB, VB, mb_w, mb_h)
 
     Y = YB[1:1 + h, 1:1 + w]
     ch, cw = (h + 1) // 2, (w + 1) // 2
@@ -820,8 +815,13 @@ def decode_vp8_frame(data: bytes):
 
 
 def _filter_levels(hdr):
-    """Per-(segment, is_bpred) filter level, RFC §15.3 semantics: clamp
-    after the segment stage and again after the delta stage."""
+    """Per-(segment, is_bpred) filter level.
+
+    Matches libwebp's VP8PrecomputeFilterStrengths exactly: the segment
+    stage is NOT clamped — one clamp to [0, 63] after the ref/mode deltas.
+    (libvpx clamps the segment stage too; the two differ only on streams no
+    encoder emits, e.g. base 90 with a -40 ref delta.  The crafted-stream
+    test pins this decoder to the libwebp behavior, our declared oracle.)"""
     out = {}
     for s in range(4):
         if hdr["seg_enabled"]:
@@ -829,19 +829,17 @@ def _filter_levels(hdr):
                 else hdr["filter_level"] + hdr["seg_lf"][s]
         else:
             lvl = hdr["filter_level"]
-        lvl = max(0, min(63, lvl))
         for is_b in (False, True):
             v = lvl
             if hdr["lf_delta_enabled"]:
                 v += hdr["ref_deltas"][0]  # intra frame
                 if is_b:
                     v += hdr["mode_deltas"][0]
-                v = max(0, min(63, v))
-            out[(s, is_b)] = v
+            out[(s, is_b)] = max(0, min(63, v))
     return out
 
 
-def _limits(level, sharpness, keyframe=True):
+def _limits(level, sharpness):
     interior = level
     if sharpness:
         interior >>= 2 if sharpness > 4 else 1
@@ -855,11 +853,13 @@ def _limits(level, sharpness, keyframe=True):
     return interior, hev_t, mb_lim, sub_lim
 
 
-def _loop_filter(hdr, mbs, filter_info, YB, UB, VB, mb_w, mb_h):
-    levels = _filter_levels(hdr)
-    if hdr["filter_level"] == 0 and not any(
-            levels[k] for k in levels):
+def _loop_filter(hdr, filter_info, YB, UB, VB, mb_w, mb_h):
+    # a frame-level filter level of 0 disables ALL filtering, regardless of
+    # per-segment strengths (libwebp: filter_type_ = (hdr->level_ == 0) ? 0
+    # : ...; libvpx: if (pc->filter_level) vp8_loop_filter_frame(...))
+    if hdr["filter_level"] == 0:
         return
+    levels = _filter_levels(hdr)
     simple = hdr["filter_simple"]
     sharp = hdr["sharpness"]
     for mb_y in range(mb_h):

@@ -576,27 +576,25 @@ def _unfilter_alpha(plane: np.ndarray, method: int) -> np.ndarray:
         return plane
     h, w = plane.shape
     out = np.empty_like(plane)
+
+    def hrow(row, pred):
+        # out[x] = (pred + in[0] + ... + in[x]) mod 256 — mod distributes
+        return ((np.cumsum(row, dtype=np.int64) + pred) & 0xFF).astype(np.uint8)
+
     if method == 1:  # horizontal
-        for y in range(h):
-            pred = out[y - 1, 0] if y > 0 else 0
-            for x in range(w):
-                pred = (int(pred) + int(plane[y, x])) & 0xFF
-                out[y, x] = pred
+        out[0] = hrow(plane[0], 0)
+        for y in range(1, h):
+            out[y] = hrow(plane[y], int(out[y - 1, 0]))
     elif method == 2:  # vertical (row 0: horizontal from 0)
-        pred = 0
-        for x in range(w):
-            pred = (pred + int(plane[0, x])) & 0xFF
-            out[0, x] = pred
+        out[0] = hrow(plane[0], 0)
         prev = out[0].astype(np.int32)
         for y in range(1, h):
             row = (prev + plane[y]) & 0xFF
             out[y] = row.astype(np.uint8)
             prev = row
-    elif method == 3:  # gradient (row 0: horizontal from 0)
-        pred = 0
-        for x in range(w):
-            pred = (pred + int(plane[0, x])) & 0xFF
-            out[0, x] = pred
+    elif method == 3:  # gradient (row 0: horizontal from 0); the clamp
+        # inside the predictor is nonlinear, so interior rows stay scalar
+        out[0] = hrow(plane[0], 0)
         for y in range(1, h):
             left = int(out[y - 1, 0])
             top_left = left
@@ -625,9 +623,23 @@ def _decode_alpha(payload: bytes, w: int, h: int) -> np.ndarray:
             raise ValueError("WEBP alpha: raw plane too short")
         plane = np.frombuffer(body[: w * h], dtype=np.uint8).reshape(h, w)
     elif method == 1:
-        # headerless VP8L image stream; alpha lives in the green channel
+        # headerless VP8L image stream; alpha lives in the green channel.
+        # libwebp's alpha encoder routinely palettizes masks (color-indexing
+        # transform) — apply the full inverse-transform chain, exactly like
+        # decode_webp's main path.
         br = _BitReader(body)
-        pixels, _ = _decode_image_stream(br, w, h, True)
+        pixels, transforms = _decode_image_stream(br, w, h, True)
+        for ttype, arg, tiles, t_width in reversed(transforms):
+            if ttype == _COLOR_INDEXING:
+                width_bits, palette = arg
+                pixels = _inverse_color_indexing(
+                    pixels, t_width, h, width_bits, palette)
+            elif ttype == _SUBTRACT_GREEN:
+                _inverse_subtract_green(pixels)
+            elif ttype == _COLOR:
+                _inverse_color(pixels, t_width, h, arg, tiles)
+            else:
+                _inverse_predictor(pixels, t_width, h, arg, tiles)
         arr = np.array(pixels, dtype=np.uint32).reshape(h, w)
         plane = ((arr >> 8) & 0xFF).astype(np.uint8)
     else:
@@ -656,7 +668,10 @@ def webp_dimensions(data: bytes) -> tuple[int, int]:
         if len(p) < 10 or p[3:6] != b"\x9d\x01\x2a":
             raise ValueError("VP8: bad keyframe header")
         (w16, h16) = struct.unpack_from("<HH", p, 6)
-        return w16 & 0x3FFF, h16 & 0x3FFF
+        w, h = w16 & 0x3FFF, h16 & 0x3FFF
+        if w < 1 or h < 1:
+            raise ValueError(f"VP8: bad dimensions {w}x{h}")
+        return w, h
     raise ValueError("WEBP container has no image chunk")
 
 

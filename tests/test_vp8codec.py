@@ -377,6 +377,31 @@ class TestLossyAlpha:
         data = lw.encode_cfg(rgb, alpha=alpha, quality=70.0, alpha_compression=0)
         assert (decode_webp(data) == lw.decode_rgb(data, channels=4)).all()
 
+    def test_palettized_alpha_mask(self, lw):
+        """A binary 0/255 alpha mask: libwebp's alpha encoder palettizes it
+        (color-indexing transform inside the headerless VP8L stream), which
+        a green-channel-only read would decode as palette indices (review
+        r5 finding #1)."""
+        r = _rng(12)
+        rgb = _smooth(48, 64, 2)
+        alpha = np.where(r.rand(48, 64) > 0.5, 255, 0).astype(np.uint8)
+        data = lw.encode_cfg(rgb, alpha=alpha, quality=60.0)
+        ref = lw.decode_rgb(data, channels=4)
+        out = decode_webp(data)
+        assert out.shape == (48, 64, 4)
+        assert (out == ref).all()
+        # the mask survives lossy alpha compression only approximately in
+        # general, but must be IDENTICAL to what libwebp itself decodes
+        assert set(np.unique(out[..., 3])) <= {0, 255}
+
+    def test_few_level_alpha(self, lw):
+        """4-level alpha — small palette, sub-byte bundling width_bits>0."""
+        r = _rng(13)
+        rgb = _smooth(32, 40, 9)
+        alpha = np.asarray([0, 85, 170, 255], np.uint8)[r.randint(0, 4, (32, 40))]
+        data = lw.encode_cfg(rgb, alpha=alpha, quality=70.0)
+        assert (decode_webp(data) == lw.decode_rgb(data, channels=4)).all()
+
     def test_vp8x_dimensions(self, lw):
         rgb = _smooth(25, 38, 4)
         alpha = np.full((25, 38), 7, np.uint8)
@@ -444,60 +469,121 @@ class _BoolEnc:
         return bytes(self.out)
 
 
-def _craft_skip_frame() -> bytes:
-    """A legal 32x32 keyframe: mb_no_coeff_skip on, MB(0,0) coded with one
-    Y2 DC coefficient, the other three MBs skipped."""
+def _craft_frame(mb_plan, filter_level=0, sharpness=0, simple=0,
+                 seg=None, lf_deltas=None, q=40) -> bytes:
+    """Build a legal 32x32 keyframe (2x2 MBs, all DC16/DC-chroma modes).
+
+    ``mb_plan`` is 4 entries in raster order: ``"skip"`` or an int — the
+    (signed) token value coded as the MB's Y2 DC coefficient (0 = coded but
+    empty).  ``seg`` = dict(abs=0/1, lf=[4 ints]) enables segmentation with
+    those loop-filter strengths (no per-MB map — every MB is segment 0).
+    ``lf_deltas`` = dict(ref0=..., mode0=...) enables loop-filter deltas.
+    Streams like filter_level=0-with-segment-strengths or
+    over-63-base-with-negative-delta are legal but never produced by
+    libwebp's encoder — crafting them pins the decoder's filter-level
+    semantics against libwebp's decoder."""
     from graphrag_mrkr_2_spark.functions._vp8tables import COEFF_UPDATE_PROBS
     from graphrag_mrkr_2_spark.functions import vp8codec as vc
 
+    use_skip = any(m == "skip" for m in mb_plan)
     e = _BoolEnc()
     e.bit(128, 0)  # color space
     e.bit(128, 0)  # clamping
-    e.bit(128, 0)  # segmentation_enabled
-    e.bit(128, 0)  # filter type (normal)
-    e.literal(6, 0)  # filter level 0 (no filtering)
-    e.literal(3, 0)  # sharpness
-    e.bit(128, 0)  # lf delta enabled
+    if seg is None:
+        e.bit(128, 0)  # segmentation_enabled
+    else:
+        e.bit(128, 1)
+        e.bit(128, 0)  # update_mb_segmentation_map: no
+        e.bit(128, 1)  # update_segment_feature_data
+        e.bit(128, seg.get("abs", 1))
+        for _ in range(4):
+            e.bit(128, 0)  # quantizer updates absent
+        for v in seg["lf"]:
+            e.bit(128, 1)
+            e.literal(6, abs(v))
+            e.bit(128, 1 if v < 0 else 0)
+    e.bit(128, simple)  # filter type
+    e.literal(6, filter_level)
+    e.literal(3, sharpness)
+    if lf_deltas is None:
+        e.bit(128, 0)  # lf delta enabled
+    else:
+        e.bit(128, 1)
+        e.bit(128, 1)  # delta update flag
+        for i, v in enumerate([lf_deltas.get("ref0", 0), 0, 0, 0,
+                               lf_deltas.get("mode0", 0), 0, 0, 0]):
+            if v:
+                e.bit(128, 1)
+                e.literal(6, abs(v))
+                e.bit(128, 1 if v < 0 else 0)
+            else:
+                e.bit(128, 0)
     e.literal(2, 0)  # log2 partitions = 0 -> 1 partition
-    e.literal(7, 40)  # y_ac_q
+    e.literal(7, q)  # y_ac_q
     for _ in range(5):
         e.bit(128, 0)  # quant deltas absent
     e.bit(128, 1)  # refresh entropy probs
     for i in range(1056):
         e.bit(COEFF_UPDATE_PROBS[i], 0)  # no token prob updates
-    e.bit(128, 1)  # mb_no_coeff_skip
-    e.literal(8, 200)  # prob_skip_false
+    e.bit(128, 1 if use_skip else 0)  # mb_no_coeff_skip
+    if use_skip:
+        e.literal(8, 200)  # prob_skip_false
 
-    def put_modes(skip):
-        e.bit(200, skip)
+    for m in mb_plan:
+        if use_skip:
+            e.bit(200, 1 if m == "skip" else 0)
         # kf ymode tree: DC_PRED = bits 1,0,0 against probs 145,156,163
         e.bit(145, 1)
         e.bit(156, 0)
         e.bit(163, 0)
         e.bit(142, 0)  # uv mode: DC ("0")
-
-    put_modes(0)  # MB(0,0): coded
-    put_modes(1)  # MB(0,1): skipped
-    put_modes(1)  # MB(1,0)
-    put_modes(1)  # MB(1,1)
     part0 = e.flush()
 
-    # token partition: MB(0,0) = y2 block with DC=+1 then EOB, then
-    # 16 luma (first=1) + 8 chroma blocks, all immediate EOB
+    # token partition — mirror the decoder's nonzero-context tracking
     t = _BoolEnc()
-    probs = [[[ [vc.COEFF_PROBS[((ty * 8 + b) * 3 + c) * 11 + p] for p in range(11)]
-                for c in range(3)] for b in range(8)] for ty in range(4)]
-    p = probs[1][0][0]  # y2, band 0, ctx 0
-    t.bit(p[0], 1)  # not EOB
-    t.bit(p[1], 1)  # not zero
-    t.bit(p[2], 0)  # value 1
-    t.bit(128, 0)  # sign +
-    p = probs[1][1][1]  # y2, next position band 1, ctx 1 (prev token was 1)
-    t.bit(p[0], 0)  # EOB
-    for _ in range(16):  # luma, first=1 -> band 1; ctx 0 (no nonzeros yet)
-        t.bit(probs[0][1][0][0], 0)
-    for _ in range(8):  # chroma, band 0 ctx 0
-        t.bit(probs[2][0][0][0], 0)
+    probs = [[[[vc.COEFF_PROBS[((ty * 8 + b) * 3 + c) * 11 + p] for p in range(11)]
+               for c in range(3)] for b in range(8)] for ty in range(4)]
+
+    def put_y2_token(p, v):
+        """Encode one signed token value v (|v| in {1,2,3,4}) then rely on
+        the caller for the following EOB."""
+        a = abs(v)
+        t.bit(p[0], 1)  # not EOB
+        t.bit(p[1], 1)  # not DCT_0
+        if a == 1:
+            t.bit(p[2], 0)
+        else:
+            t.bit(p[2], 1)
+            t.bit(p[3], 0)  # {2,3,4} branch
+            if a == 2:
+                t.bit(p[4], 0)
+            else:
+                t.bit(p[4], 1)
+                t.bit(p[5], 0 if a == 3 else 1)
+        t.bit(128, 1 if v < 0 else 0)  # sign
+
+    above_y2 = [0, 0]
+    for idx, m in enumerate(mb_plan):
+        mb_x, row_start = idx & 1, (idx & 1) == 0
+        if row_start:
+            left_y2 = 0
+        if m == "skip":
+            above_y2[mb_x] = left_y2 = 0  # DC16 MBs have a Y2 block
+            continue
+        ctx = above_y2[mb_x] + left_y2
+        v = int(m)
+        if v == 0:
+            t.bit(probs[1][0][ctx][0], 0)  # immediate EOB
+            above_y2[mb_x] = left_y2 = 0
+        else:
+            put_y2_token(probs[1][0][ctx], v)
+            nxt_ctx = 1 if abs(v) == 1 else 2
+            t.bit(probs[1][1][nxt_ctx][0], 0)  # EOB at position 1 (band 1)
+            above_y2[mb_x] = left_y2 = 1
+        for _ in range(16):  # luma, first=1 -> band 1; own ctx stays 0
+            t.bit(probs[0][1][0][0], 0)
+        for _ in range(8):  # chroma, band 0 ctx 0
+            t.bit(probs[2][0][0][0], 0)
     part1 = t.flush()
 
     tag = (len(part0) << 5) | (1 << 4) | 0  # keyframe, show_frame, version 0
@@ -508,6 +594,59 @@ def _craft_skip_frame() -> bytes:
     if len(frame) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _craft_skip_frame() -> bytes:
+    """A legal 32x32 keyframe: mb_no_coeff_skip on, MB(0,0) coded with one
+    Y2 DC coefficient, the other three MBs skipped."""
+    return _craft_frame([1, "skip", "skip", "skip"])
+
+
+class TestCraftedFilterSemantics:
+    """Legal streams libwebp's encoder never emits, decoded by BOTH
+    libwebp's decoder and ours — pins the filter-level corner semantics
+    (review r5 findings #2/#3)."""
+
+    def _ab(self, lw, data):
+        refY, refU, refV = lw.decode_yuv(data)
+        Y, U, V, w, h = decode_vp8_frame(_vp8_payload(data))
+        assert (refY == Y).all() and (refU == U).all() and (refV == V).all()
+        return Y
+
+    def test_level0_with_segment_strengths_disables_filter(self, lw):
+        """frame filter_level=0 + absolute segment strengths 20: every
+        reference decoder skips ALL filtering (libwebp keys filter_type off
+        hdr->level_ alone)."""
+        data = _craft_frame([4, 0, 0, -4], filter_level=0,
+                            seg={"abs": 1, "lf": [20, 20, 20, 20]})
+        self._ab(lw, data)
+
+    def test_overflow_base_negative_delta_single_clamp(self, lw):
+        """base level 60 + non-absolute segment delta +30 (=90, >63) with
+        ref_lf_delta -40: libwebp clamps ONCE after the deltas (-> 50);
+        a libvpx-style intermediate clamp would give 23. The Y2 DC edges
+        between MBs make the two strengths produce different pixels."""
+        data = _craft_frame([4, -3, 2, -4], filter_level=60,
+                            seg={"abs": 0, "lf": [30, 0, 0, 0]},
+                            lf_deltas={"ref0": -40})
+        self._ab(lw, data)
+
+    def test_segment_strengths_with_nonzero_base(self, lw):
+        data = _craft_frame([4, -4, 3, -2], filter_level=10,
+                            seg={"abs": 1, "lf": [35, 0, 0, 0]},
+                            sharpness=2)
+        self._ab(lw, data)
+
+    def test_simple_filter_crafted(self, lw):
+        data = _craft_frame([4, -4, 4, -4], filter_level=30, simple=1)
+        self._ab(lw, data)
+
+    def test_mode_delta_applies_only_to_bpred(self, lw):
+        """mode_lf_deltas[0] targets B_PRED; these MBs are DC16, so only
+        the ref delta applies — both decoders must agree."""
+        data = _craft_frame([4, -4, 2, -2], filter_level=25,
+                            lf_deltas={"ref0": 10, "mode0": -25})
+        self._ab(lw, data)
 
 
 class TestCraftedSkipStream:
