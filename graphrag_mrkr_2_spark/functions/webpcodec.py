@@ -42,7 +42,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_webp", "encode_webp_lossless", "webp_dimensions"]
+__all__ = ["decode_webp", "encode_webp_lossless", "webp_dimensions",
+           "webp_frames"]
 
 # extracted from libwebp.so.7.1.5 kCodeToPlane (public spec "distance
 # mapping" table); high nibble = y offset, xoffset = 8 - low nibble
@@ -555,7 +556,8 @@ def _walk_chunks(data: bytes) -> dict:
     while pos + 8 <= len(data):
         fourcc = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
-        if fourcc in (b"VP8L", b"VP8 ", b"ALPH", b"VP8X") and fourcc not in chunks:
+        if fourcc in (b"VP8L", b"VP8 ", b"ALPH", b"VP8X", b"ANMF", b"ANIM") \
+                and fourcc not in chunks:
             chunks[fourcc] = data[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size & 1)
     return chunks
@@ -681,8 +683,15 @@ def decode_webp(data: bytes) -> np.ndarray:
     Lossless (VP8L): (h, w, 4) RGBA, or (h, w, 3) when the header's
     alpha-hint is unset and every alpha byte is 255.  Lossy (VP8): (h, w, 3)
     RGB bit-identical to libwebp's fancy-upsampling output, or (h, w, 4)
-    when an ALPH chunk is present (functions/vp8codec.py)."""
+    when an ALPH chunk is present (functions/vp8codec.py).  Animated
+    (VP8X + ANMF): the first frame composited on the canvas, (h, w, 4) —
+    use :func:`webp_frames` for the full sequence."""
     chunks = _walk_chunks(data)
+    if b"ANMF" in chunks:
+        frames = webp_frames(data)
+        if not frames:
+            raise ValueError("animated WEBP has no frames")
+        return frames[0][1]
     if b"VP8L" not in chunks:
         if b"VP8 " in chunks:
             from graphrag_mrkr_2_spark.functions import vp8codec
@@ -694,7 +703,14 @@ def decode_webp(data: bytes) -> np.ndarray:
                 return np.dstack([rgb, alpha])
             return rgb
         raise ValueError("WEBP container has no VP8L chunk")
-    payload = chunks[b"VP8L"]
+    rgba, alpha_hint = _decode_vp8l_rgba(chunks[b"VP8L"])
+    if not alpha_hint and np.all(rgba[..., 3] == 255):
+        return rgba[..., :3].copy()
+    return rgba
+
+
+def _decode_vp8l_rgba(payload: bytes):
+    """VP8L chunk payload -> ((h, w, 4) uint8 RGBA, alpha_hint bit)."""
     if not payload or payload[0] != 0x2F:
         raise ValueError("VP8L: bad signature byte")
     br = _BitReader(payload[1:])
@@ -724,9 +740,113 @@ def decode_webp(data: bytes) -> np.ndarray:
     rgba[..., 1] = (arr >> 8) & 0xFF
     rgba[..., 2] = arr & 0xFF
     rgba[..., 3] = (arr >> 24) & 0xFF
-    if not alpha_hint and np.all(rgba[..., 3] == 255):
-        return rgba[..., :3].copy()
-    return rgba
+    return rgba, alpha_hint
+
+
+def _u24(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def _frame_rgba(sub: bytes) -> np.ndarray:
+    """Decode one ANMF frame's sub-bitstream (optional ALPH + VP8/VP8L)
+    to (h, w, 4) RGBA."""
+    pos = 0
+    alph = vp8 = vp8l = None
+    while pos + 8 <= len(sub):
+        fourcc = sub[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", sub, pos + 4)
+        body = sub[pos + 8:pos + 8 + size]
+        if fourcc == b"ALPH":
+            alph = body
+        elif fourcc == b"VP8 ":
+            vp8 = body
+        elif fourcc == b"VP8L":
+            vp8l = body
+        pos += 8 + size + (size & 1)
+    if vp8l is not None:
+        return _decode_vp8l_rgba(vp8l)[0]
+    if vp8 is not None:
+        from graphrag_mrkr_2_spark.functions import vp8codec
+
+        rgb = vp8codec.decode_vp8(vp8)
+        h, w = rgb.shape[:2]
+        if alph is not None:
+            return np.dstack([rgb, _decode_alpha(alph, w, h)])
+        return np.dstack([rgb, np.full((h, w), 255, np.uint8)])
+    raise ValueError("ANMF frame has no VP8/VP8L bitstream")
+
+
+def _blend_frame(canvas: np.ndarray, frame: np.ndarray, y: int, x: int) -> None:
+    """Non-premultiplied src-over, the integer arithmetic of libwebp's
+    WebPAnimDecoder (demux/anim_decode.c BlendPixelRowNonPremult)."""
+    fh, fw = frame.shape[:2]
+    dst = canvas[y:y + fh, x:x + fw].astype(np.int32)
+    src = frame.astype(np.int32)
+    src_a = src[..., 3:4]
+    dst_a = dst[..., 3:4]
+    scale = (dst_a * (255 - src_a)) // 255
+    blend_a = src_a + scale
+    safe = np.maximum(blend_a, 1)
+    rgb = (src[..., :3] * src_a + dst[..., :3] * scale) // safe
+    out = np.concatenate([rgb, blend_a], axis=2)
+    out = np.where(src_a == 0, dst, out)  # fully-transparent src: keep dst
+    canvas[y:y + fh, x:x + fw] = out.astype(np.uint8)
+
+
+def webp_frames(data: bytes) -> list:
+    """Animated WEBP (VP8X + ANIM + ANMF) -> [(duration_ms, (H, W, 4) RGBA
+    canvas after compositing)], one entry per frame.
+
+    Compositing follows libwebp's WebPAnimDecoder semantics: the canvas
+    starts fully transparent, frames either alpha-blend (flag bit 1 clear)
+    or overwrite their rectangle, and dispose-to-background (flag bit 0)
+    clears the frame rectangle to transparent black after the frame is
+    emitted.  Frame bitstreams decode through the libwebp-conformance-
+    pinned VP8/VP8L paths."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WEBP (RIFF) container")
+    vp8x = None
+    anmf = []
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + size]
+        if fourcc == b"VP8X":
+            vp8x = body
+        elif fourcc == b"ANMF":
+            anmf.append(body)
+        pos += 8 + size + (size & 1)
+    if vp8x is None or len(vp8x) < 10:
+        raise ValueError("animated WEBP requires a VP8X chunk")
+    W = 1 + _u24(vp8x, 4)
+    H = 1 + _u24(vp8x, 7)
+    canvas = np.zeros((H, W, 4), dtype=np.uint8)
+    frames = []
+    for body in anmf:
+        if len(body) < 16:
+            raise ValueError("ANMF frame header truncated")
+        fx = 2 * _u24(body, 0)
+        fy = 2 * _u24(body, 3)
+        fw = 1 + _u24(body, 6)
+        fh = 1 + _u24(body, 9)
+        duration = _u24(body, 12)
+        flags = body[15]
+        if fx + fw > W or fy + fh > H:
+            raise ValueError("ANMF frame exceeds the canvas")
+        frame = _frame_rgba(body[16:])
+        if frame.shape[:2] != (fh, fw):
+            raise ValueError(
+                f"ANMF frame is {frame.shape[1]}x{frame.shape[0]}, "
+                f"header says {fw}x{fh}")
+        if flags & 2:  # blending method 1: overwrite
+            canvas[fy:fy + fh, fx:fx + fw] = frame
+        else:
+            _blend_frame(canvas, frame, fy, fx)
+        frames.append((duration, canvas.copy()))
+        if flags & 1:  # dispose to background: transparent black
+            canvas[fy:fy + fh, fx:fx + fw] = 0
+    return frames
 
 
 # ---------------------------------------------------------------------------

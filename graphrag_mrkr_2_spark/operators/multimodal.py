@@ -516,17 +516,18 @@ def sample_video_frames(
     every_ms: int = 1000,
     strict: bool = False,
 ) -> DataFrame:
-    """Frame sampling via row-multiplying mapInPandas (r4: REAL for MJPEG
-    AVI and animated GIF). RIFF/AVI payloads are container-walked
-    (functions/avicodec.py) and their MJPEG frames sampled every
-    ``every_ms`` by the container's own fps — each emitted ``frame`` is
-    the frame's raw JPEG bytes. Animated GIFs are composited per the
-    disposal model (functions/imagecodecs.gif_frames) and sampled by their
-    own per-frame delays — emitted as PNG bytes. Either way
-    image_features decodes the emitted frames directly (real video →
-    pixels with zero native libraries). Other codecs (H.264/VP9 — the
-    ffmpeg seam): strict=True raises, strict=False emits deterministic
-    fake frames; corrupt containers quarantine to the fake path."""
+    """Frame sampling via row-multiplying mapInPandas (REAL for MJPEG
+    AVI, animated GIF — r4 — and animated WEBP — r5). RIFF/AVI payloads
+    are container-walked (functions/avicodec.py) and their MJPEG frames
+    sampled every ``every_ms`` by the container's own fps — each emitted
+    ``frame`` is the frame's raw JPEG bytes. Animated GIFs/WEBPs are
+    composited per their disposal/blend models (imagecodecs.gif_frames /
+    webpcodec.webp_frames) and sampled by their own per-frame delays —
+    emitted as PNG bytes. Either way image_features decodes the emitted
+    frames directly (real video → pixels with zero native libraries).
+    Other codecs (H.264/VP9 — the ffmpeg seam): strict=True raises,
+    strict=False emits deterministic fake frames; corrupt containers
+    quarantine to the fake path."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from graphrag_mrkr_2_spark.functions.avicodec import extract_frames, sniff_video
@@ -536,8 +537,7 @@ def sample_video_frames(
             sniff_image,
         )
 
-        def _sample_gif(payload: bytes) -> list[tuple[int, bytes]]:
-            frames = gif_frames(payload)
+        def _sample_animation(frames) -> list[tuple[int, bytes]]:
             picked = []
             cum, next_t = 0, 0
             for i, (delay, px) in enumerate(frames):
@@ -565,11 +565,20 @@ def sample_video_frames(
                         sampled = None  # corrupt/non-MJPEG -> fake fallback
                 elif sniff_image(payload) == "gif":
                     try:
-                        sampled = _sample_gif(payload)
+                        sampled = _sample_animation(gif_frames(payload))
                     except Exception:
                         if strict:
                             raise
                         sampled = None
+                elif sniff_image(payload) == "webp":
+                    from graphrag_mrkr_2_spark.functions.webpcodec import webp_frames
+
+                    try:
+                        sampled = _sample_animation(webp_frames(payload))
+                    except Exception:
+                        if strict:
+                            raise
+                        sampled = None  # still image / corrupt -> fallback
                 if sampled is not None:
                     for i, jpeg in sampled:
                         rows.append(

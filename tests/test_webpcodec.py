@@ -126,6 +126,155 @@ class TestDispatch:
         assert (info["width"], info["height"]) == (27, 14)
 
 
+def _mux_animation(canvas_wh, frames) -> bytes:
+    """Test-side muxer: build a VP8X+ANIM+ANMF container per the public
+    container spec. ``frames`` = [(x, y, duration_ms, flags, still_webp)]
+    where still_webp is a complete single-image .webp whose image chunk is
+    transplanted into the ANMF frame."""
+    import struct
+
+    W, H = canvas_wh
+
+    def u24(v):
+        return bytes([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF])
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def image_chunks(webp):
+        out = b""
+        pos = 12
+        while pos + 8 <= len(webp):
+            fourcc = webp[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", webp, pos + 4)
+            if fourcc in (b"VP8 ", b"VP8L", b"ALPH"):
+                out += chunk(fourcc, webp[pos + 8:pos + 8 + size])
+            pos += 8 + size + (size & 1)
+        return out
+
+    body = chunk(b"VP8X", bytes([0x02, 0, 0, 0]) + u24(W - 1) + u24(H - 1))
+    body += chunk(b"ANIM", struct.pack("<IH", 0, 0))
+    for x, y, dur, flags, still in frames:
+        fw, fh = __import__(
+            "graphrag_mrkr_2_spark.functions.webpcodec", fromlist=["webp_dimensions"]
+        ).webp_dimensions(still)
+        hdr = u24(x // 2) + u24(y // 2) + u24(fw - 1) + u24(fh - 1) \
+            + u24(dur) + bytes([flags])
+        body += chunk(b"ANMF", hdr + image_chunks(still))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+class TestAnimatedWebp:
+    """Animated WEBP (ANMF) frame walk + WebPAnimDecoder-semantics
+    compositing. No demux library exists in this environment, so the
+    containers are built by the test-side muxer above from the container
+    spec; the per-frame bitstreams still decode through the
+    libwebp-conformance-pinned VP8L path, and the compositing cases are
+    chosen so expected pixels are derivable without re-implementing the
+    blend formula (opaque overwrite, fully-transparent src, dispose)."""
+
+    def _solid(self, w, h, rgba):
+        px = np.zeros((h, w, 4), np.uint8)
+        px[:] = rgba
+        return encode_webp_lossless(px)
+
+    def test_frame_walk_durations_and_canvas(self):
+        from graphrag_mrkr_2_spark.functions.webpcodec import webp_frames
+
+        data = _mux_animation((20, 10), [
+            (0, 0, 40, 0, self._solid(20, 10, (10, 20, 30, 255))),
+            (4, 2, 70, 0, self._solid(8, 6, (200, 0, 0, 255))),
+        ])
+        frames = webp_frames(data)
+        assert [d for d, _ in frames] == [40, 70]
+        f0, f1 = frames[0][1], frames[1][1]
+        assert f0.shape == (10, 20, 4) and f1.shape == (10, 20, 4)
+        assert (f0 == (10, 20, 30, 255)).all()
+        # opaque blend == overwrite of the 8x6 rect at (4,2)
+        assert (f1[2:8, 4:12] == (200, 0, 0, 255)).all()
+        assert (f1[0:2, :] == (10, 20, 30, 255)).all()
+
+    def test_transparent_src_keeps_dst_and_overwrite_replaces(self):
+        from graphrag_mrkr_2_spark.functions.webpcodec import webp_frames
+
+        base = self._solid(16, 16, (1, 2, 3, 255))
+        clear = self._solid(4, 4, (9, 9, 9, 0))
+        data = _mux_animation((16, 16), [
+            (0, 0, 10, 0, base),
+            (2, 2, 10, 0, clear),        # blend: fully transparent -> no-op
+            (2, 2, 10, 2, clear),        # overwrite: rect becomes (9,9,9,0)
+        ])
+        frames = webp_frames(data)
+        assert (frames[1][1] == frames[0][1]).all()
+        assert (frames[2][1][2:6, 2:6] == (9, 9, 9, 0)).all()
+        assert (frames[2][1][0:2, :] == (1, 2, 3, 255)).all()
+
+    def test_dispose_to_background(self):
+        from graphrag_mrkr_2_spark.functions.webpcodec import webp_frames
+
+        data = _mux_animation((8, 8), [
+            (0, 0, 10, 1, self._solid(8, 8, (50, 60, 70, 255))),  # dispose
+            (0, 4, 10, 2, self._solid(8, 4, (5, 6, 7, 255))),
+        ])
+        frames = webp_frames(data)
+        assert (frames[0][1] == (50, 60, 70, 255)).all()
+        # after dispose the canvas was cleared; frame 2 overwrites its rect
+        assert (frames[1][1][4:8] == (5, 6, 7, 255)).all()
+        assert (frames[1][1][0:4] == 0).all()
+
+    def test_half_transparent_blend_matches_spec_formula(self):
+        from graphrag_mrkr_2_spark.functions.webpcodec import webp_frames
+
+        base = self._solid(4, 4, (100, 0, 0, 255))
+        over = self._solid(4, 4, (0, 200, 0, 128))
+        frames = webp_frames(_mux_animation((4, 4), [
+            (0, 0, 10, 0, base), (0, 0, 10, 0, over)]))
+        px = frames[1][1][0, 0]
+        # spec: blend_a = 128 + 255*(255-128)//255 = 255; scale = 127
+        # r = (0*128 + 100*127)//255 ; g = (200*128 + 0)//255
+        assert tuple(px) == ((100 * 127) // 255, (200 * 128) // 255, 0, 255)
+
+    def test_decode_webp_returns_first_frame(self):
+        data = _mux_animation((6, 5), [
+            (0, 0, 10, 0, self._solid(6, 5, (7, 8, 9, 255))),
+            (0, 0, 10, 0, self._solid(6, 5, (1, 1, 1, 255))),
+        ])
+        out = decode_webp(data)
+        assert out.shape == (5, 6, 4)
+        assert (out == (7, 8, 9, 255)).all()
+
+    def test_frame_exceeding_canvas_rejected(self):
+        from graphrag_mrkr_2_spark.functions.webpcodec import webp_frames
+
+        data = _mux_animation((8, 8), [
+            (4, 0, 10, 0, self._solid(8, 8, (1, 1, 1, 255)))])
+        with pytest.raises(ValueError, match="canvas"):
+            webp_frames(data)
+
+    @pytest.mark.spark
+    def test_sample_video_frames_animated_webp(self, spark):
+        from graphrag_mrkr_2_spark.functions.imagecodecs import decode_png
+        from graphrag_mrkr_2_spark.operators.multimodal import sample_video_frames
+
+        data = _mux_animation((10, 10), [
+            (0, 0, 1000, 0, self._solid(10, 10, (1, 2, 3, 255))),
+            (0, 0, 1000, 0, self._solid(10, 10, (4, 5, 6, 255))),
+            (0, 0, 1000, 0, self._solid(10, 10, (7, 8, 9, 255))),
+        ])
+        df = spark.createDataFrame(
+            [("m1", "video", bytearray(data),
+              {"codec": "webp", "width": 10, "height": 10,
+               "sample_rate": None, "channels": None, "duration_ms": 3000})],
+            "media_id string, kind string, payload binary, "
+            "meta struct<codec:string,width:int,height:int,"
+            "sample_rate:int,channels:int,duration_ms:int>")
+        rows = sample_video_frames(df, every_ms=1500).collect()
+        assert [r.frame_index for r in rows] == [0, 2]
+        px = decode_png(bytes(rows[1].frame))
+        assert (px == (7, 8, 9, 255)).all()
+
+
 # ---------------------------------------------------------------------------
 # libwebp conformance (ctypes, both directions)
 # ---------------------------------------------------------------------------
