@@ -556,7 +556,7 @@ def _walk_chunks(data: bytes) -> dict:
     while pos + 8 <= len(data):
         fourcc = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
-        if fourcc in (b"VP8L", b"VP8 ", b"ALPH", b"VP8X", b"ANMF", b"ANIM") \
+        if fourcc in (b"VP8L", b"VP8 ", b"ALPH", b"VP8X", b"ANMF") \
                 and fourcc not in chunks:
             chunks[fourcc] = data[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size & 1)
@@ -628,20 +628,10 @@ def _decode_alpha(payload: bytes, w: int, h: int) -> np.ndarray:
         # headerless VP8L image stream; alpha lives in the green channel.
         # libwebp's alpha encoder routinely palettizes masks (color-indexing
         # transform) — apply the full inverse-transform chain, exactly like
-        # decode_webp's main path.
+        # the main VP8L path.
         br = _BitReader(body)
         pixels, transforms = _decode_image_stream(br, w, h, True)
-        for ttype, arg, tiles, t_width in reversed(transforms):
-            if ttype == _COLOR_INDEXING:
-                width_bits, palette = arg
-                pixels = _inverse_color_indexing(
-                    pixels, t_width, h, width_bits, palette)
-            elif ttype == _SUBTRACT_GREEN:
-                _inverse_subtract_green(pixels)
-            elif ttype == _COLOR:
-                _inverse_color(pixels, t_width, h, arg, tiles)
-            else:
-                _inverse_predictor(pixels, t_width, h, arg, tiles)
+        pixels = _apply_inverse_transforms(pixels, transforms, h)
         arr = np.array(pixels, dtype=np.uint32).reshape(h, w)
         plane = ((arr >> 8) & 0xFF).astype(np.uint8)
     else:
@@ -688,10 +678,7 @@ def decode_webp(data: bytes) -> np.ndarray:
     use :func:`webp_frames` for the full sequence."""
     chunks = _walk_chunks(data)
     if b"ANMF" in chunks:
-        frames = webp_frames(data)
-        if not frames:
-            raise ValueError("animated WEBP has no frames")
-        return frames[0][1]
+        return webp_frames(data, limit=1)[0][1]
     if b"VP8L" not in chunks:
         if b"VP8 " in chunks:
             from graphrag_mrkr_2_spark.functions import vp8codec
@@ -709,6 +696,22 @@ def decode_webp(data: bytes) -> np.ndarray:
     return rgba
 
 
+def _apply_inverse_transforms(pixels, transforms, h):
+    """Inverse-apply the VP8L transforms in reverse read order (shared by
+    the main VP8L path and the compressed-alpha path)."""
+    for ttype, arg, tiles, t_width in reversed(transforms):
+        if ttype == _COLOR_INDEXING:
+            width_bits, palette = arg
+            pixels = _inverse_color_indexing(pixels, t_width, h, width_bits, palette)
+        elif ttype == _SUBTRACT_GREEN:
+            _inverse_subtract_green(pixels)
+        elif ttype == _COLOR:
+            _inverse_color(pixels, t_width, h, arg, tiles)
+        else:
+            _inverse_predictor(pixels, t_width, h, arg, tiles)
+    return pixels
+
+
 def _decode_vp8l_rgba(payload: bytes):
     """VP8L chunk payload -> ((h, w, 4) uint8 RGBA, alpha_hint bit)."""
     if not payload or payload[0] != 0x2F:
@@ -722,18 +725,7 @@ def _decode_vp8l_rgba(payload: bytes):
         raise ValueError(f"VP8L: unsupported version {version}")
 
     pixels, transforms = _decode_image_stream(br, w, h, True)
-
-    for ttype, arg, tiles, t_width in reversed(transforms):
-        if ttype == _COLOR_INDEXING:
-            width_bits, palette = arg
-            pixels = _inverse_color_indexing(pixels, t_width, h, width_bits, palette)
-        elif ttype == _SUBTRACT_GREEN:
-            _inverse_subtract_green(pixels)
-        elif ttype == _COLOR:
-            _inverse_color(pixels, t_width, h, arg, tiles)
-        else:
-            _inverse_predictor(pixels, t_width, h, arg, tiles)
-
+    pixels = _apply_inverse_transforms(pixels, transforms, h)
     arr = np.array(pixels, dtype=np.uint32).reshape(h, w)
     rgba = np.empty((h, w, 4), dtype=np.uint8)
     rgba[..., 0] = (arr >> 16) & 0xFF
@@ -793,9 +785,10 @@ def _blend_frame(canvas: np.ndarray, frame: np.ndarray, y: int, x: int) -> None:
     canvas[y:y + fh, x:x + fw] = out.astype(np.uint8)
 
 
-def webp_frames(data: bytes) -> list:
+def webp_frames(data: bytes, limit: int = None) -> list:
     """Animated WEBP (VP8X + ANIM + ANMF) -> [(duration_ms, (H, W, 4) RGBA
-    canvas after compositing)], one entry per frame.
+    canvas after compositing)], one entry per frame (at most ``limit`` when
+    given — later frames are then neither decoded nor composited).
 
     Compositing follows libwebp's WebPAnimDecoder semantics: the canvas
     starts fully transparent, frames either alpha-blend (flag bit 1 clear)
@@ -844,6 +837,8 @@ def webp_frames(data: bytes) -> list:
         else:
             _blend_frame(canvas, frame, fy, fx)
         frames.append((duration, canvas.copy()))
+        if limit is not None and len(frames) >= limit:
+            break
         if flags & 1:  # dispose to background: transparent black
             canvas[fy:fy + fh, fx:fx + fw] = 0
     return frames

@@ -563,22 +563,32 @@ def sample_video_frames(
                         if strict:
                             raise
                         sampled = None  # corrupt/non-MJPEG -> fake fallback
-                elif sniff_image(payload) == "gif":
+                elif (img := sniff_image(payload)) == "gif":
                     try:
                         sampled = _sample_animation(gif_frames(payload))
                     except Exception:
                         if strict:
                             raise
                         sampled = None
-                elif sniff_image(payload) == "webp":
-                    from graphrag_mrkr_2_spark.functions.webpcodec import webp_frames
+                elif img == "webp":
+                    from graphrag_mrkr_2_spark.functions.webpcodec import (
+                        _walk_chunks,
+                        decode_webp,
+                        webp_frames,
+                    )
 
                     try:
-                        sampled = _sample_animation(webp_frames(payload))
+                        if b"ANMF" in _walk_chunks(payload):
+                            frames = webp_frames(payload)
+                        else:
+                            # still WEBP mislabeled as video: one real frame
+                            # (mirrors the single-frame-GIF behavior)
+                            frames = [(every_ms, decode_webp(payload))]
+                        sampled = _sample_animation(frames)
                     except Exception:
                         if strict:
                             raise
-                        sampled = None  # still image / corrupt -> fallback
+                        sampled = None  # corrupt -> fake fallback
                 if sampled is not None:
                     for i, jpeg in sampled:
                         rows.append(

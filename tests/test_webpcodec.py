@@ -252,6 +252,37 @@ class TestAnimatedWebp:
         with pytest.raises(ValueError, match="canvas"):
             webp_frames(data)
 
+    def test_limit_skips_decoding_later_frames(self):
+        from graphrag_mrkr_2_spark.functions.webpcodec import webp_frames
+
+        good = self._solid(6, 5, (7, 8, 9, 255))
+        data = _mux_animation((6, 5), [(0, 0, 10, 0, good),
+                                       (0, 0, 10, 0, good)])
+        # corrupt the SECOND frame's bitstream; limit=1 must not touch it
+        second = data.rindex(b"VP8L")
+        broken = data[:second + 8] + b"\xff" + data[second + 9:]
+        assert (webp_frames(broken, limit=1)[0][1] == (7, 8, 9, 255)).all()
+        with pytest.raises(ValueError):
+            webp_frames(broken)
+
+    @pytest.mark.spark
+    def test_sample_video_frames_still_webp_emits_real_frame(self, spark):
+        from graphrag_mrkr_2_spark.functions.imagecodecs import decode_png
+        from graphrag_mrkr_2_spark.operators.multimodal import sample_video_frames
+
+        still = self._solid(9, 7, (11, 22, 33, 255))  # no VP8X/ANMF at all
+        df = spark.createDataFrame(
+            [("m1", "video", bytearray(still),
+              {"codec": "webp", "width": 9, "height": 7,
+               "sample_rate": None, "channels": None, "duration_ms": 0})],
+            "media_id string, kind string, payload binary, "
+            "meta struct<codec:string,width:int,height:int,"
+            "sample_rate:int,channels:int,duration_ms:int>")
+        rows = sample_video_frames(df, every_ms=1000).collect()
+        assert [r.frame_index for r in rows] == [0]
+        # decode_webp collapses all-opaque alpha -> 3-channel RGB
+        assert (decode_png(bytes(rows[0].frame)) == (11, 22, 33)).all()
+
     @pytest.mark.spark
     def test_sample_video_frames_animated_webp(self, spark):
         from graphrag_mrkr_2_spark.functions.imagecodecs import decode_png
