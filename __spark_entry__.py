@@ -581,6 +581,25 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe == n_lists: the probed path must degenerate to
+    the EXACT knn_join result regardless of what k-means learned — that is
+    the property this oracle pins (operators/ann.py ivf_train/ivf_topk).
+    The recall-at-nprobe<k tradeoff is covered by tests/test_ann.py."""
+    from graphrag_mrkr_2_spark.operators.ann import ivf_topk, ivf_train
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = ivf_train(emb, n_lists=8, max_iter=3)
+    return (
+        ivf_topk(emb, queries, centroids, k=4, nprobe=8)
+        .select("query_id", "rank", "vec_id")
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs over a salted embedding table: every 20th vector is
     unioned back in with dim-0 perturbed by +0.1 (unit-norm inputs → planted
@@ -1375,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ann_topk": q_ann_topk,
         "ann_knn_join": q_ann_knn_join,
+        "ann_ivf_full": q_ann_ivf_full,
         "embedding_near_dupes": q_embedding_near_dupes,
         "query_bm25": q_query_bm25,
         "query_rrf": q_query_rrf,
@@ -1696,6 +1716,17 @@ def oracle_sql() -> dict[str, str]:
                                 e.vec_id ASC) AS rank
               FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
             ) WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "ann_ivf_full": """
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id FROM (
+              SELECT q.vec_id AS query_id, e.vec_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                                e.vec_id ASC) AS rank
+              FROM embeddings e,
+                   (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 7) q
+            ) WHERE rank <= 4 ORDER BY query_id, rank
         """,
         "embedding_near_dupes": """
             WITH salted AS (

@@ -245,3 +245,82 @@ def test_embedding_near_dupes_lsh_equals_exact(spark):
     }
     assert all((j, 100 + j) in exact for j in range(10))
     assert lsh == exact
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (operators/ann.py ivf_train / ivf_topk)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.spark
+def test_ivf_full_probe_equals_exact_knn(emb_df):
+    """nprobe == n_lists must reproduce knn_join EXACTLY, whatever the
+    k-means quantizer learned — the driver oracle (ann_ivf_full) pins the
+    same property against DuckDB at sf0.01."""
+    from graphrag_mrkr_2_spark.operators.ann import ivf_topk, ivf_train, knn_join
+
+    queries = emb_df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = ivf_train(emb_df, n_lists=4, max_iter=2)
+    assert centroids.shape == (4, 64)
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in ivf_topk(emb_df, queries, centroids, k=3, nprobe=4).collect()
+    )
+    exact = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in knn_join(emb_df, queries, k=3).collect()
+    )
+    assert got == exact
+
+
+@pytest.mark.spark
+def test_ivf_partial_probe_recall_on_clustered_data(spark):
+    """Gaussian blobs around 8 anchors: probing 2 of 8 lists must still
+    find the true nearest neighbor for >= 90% of queries (the blob
+    structure is what IVF exploits)."""
+    import numpy as np
+
+    from graphrag_mrkr_2_spark.operators.ann import ivf_topk, ivf_train, knn_join
+
+    rng = np.random.RandomState(3)
+    anchors = rng.normal(size=(8, 16))
+    rows = []
+    for i in range(400):
+        a = anchors[i % 8]
+        rows.append((i, (a + 0.05 * rng.normal(size=16)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    queries = df.where(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = ivf_train(df, n_lists=8, max_iter=4)
+    got = {
+        r["query_id"]: r["vec_id"]
+        for r in ivf_topk(df, queries, centroids, k=1, nprobe=2).collect()
+        if r["rank"] == 1
+    }
+    exact = {
+        r["query_id"]: r["vec_id"]
+        for r in knn_join(df, queries, k=1).collect()
+        if r["rank"] == 1
+    }
+    hits = sum(1 for q in exact if got.get(q) == exact[q])
+    assert hits / len(exact) >= 0.9
+    # and the probed candidate set is genuinely partial: with tight blobs,
+    # a query's own list plus one neighbor can't cover all 400 items
+    from graphrag_mrkr_2_spark.operators.ann import ivf_assign
+
+    sizes = ivf_assign(df, centroids).groupBy("list_id").count().collect()
+    assert len(sizes) >= 4  # k-means actually spread the corpus
+
+
+@pytest.mark.spark
+def test_ivf_train_requires_enough_vectors(spark):
+    from graphrag_mrkr_2_spark.operators.ann import ivf_train
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="train"):
+        ivf_train(df, n_lists=5)
