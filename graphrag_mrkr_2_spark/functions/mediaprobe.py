@@ -1,0 +1,335 @@
+"""Header-only metadata probes for compressed media containers.
+
+Decode for MP4/H.264, MP3, AAC, Opus and Vorbis stays an explicit codec
+seam (no decoder library exists in this environment, so no independent
+oracle is possible — see operators/multimodal.py). But a 100-TB crawl
+pipeline still has to CLASSIFY and ROUTE those payloads: the reference
+accepts media uploads by extension/mimetype (ingestion/converters.py,
+ingestion/document_processor.py) and records their metadata. These probes
+parse the container headers for real — box/frame/page structures per the
+public specs (ISO 14496-12, MPEG-1/2 audio frame headers, RFC 3533/7845,
+the FLAC format spec) — returning kind/codec/dims/sample-rate/duration
+without touching the entropy-coded payloads.
+
+Every parser is defensive: malformed structures raise ValueError; callers
+(operators/multimodal.probe_media) quarantine to kind-only metadata.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF (ISO 14496-12)
+# ---------------------------------------------------------------------------
+
+_MP4_VIDEO_CODECS = {b"avc1", b"avc3", b"hvc1", b"hev1", b"vp09", b"av01",
+                     b"mp4v", b"h263", b"s263"}
+_MP4_AUDIO_CODECS = {b"mp4a", b"opus", b"ac-3", b"ec-3", b"alac", b"flac",
+                     b"samr", b"sawb"}
+
+
+def sniff_mp4(data: bytes) -> bool:
+    return len(data) >= 12 and data[4:8] == b"ftyp"
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4:pos + 8]
+        header = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("MP4: truncated 64-bit box size")
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            header = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < header or pos + size > end:
+            raise ValueError("MP4: box overruns its container")
+        yield btype, pos + header, pos + size
+        pos += size
+
+
+def _find_box(data: bytes, start: int, end: int, path: tuple):
+    """First box matching a fourcc path, as (payload_start, payload_end)."""
+    for btype, ps, pe in _walk_boxes(data, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return ps, pe
+            return _find_box(data, ps, pe, path[1:])
+    return None
+
+
+def probe_mp4(data: bytes) -> dict:
+    """MP4/MOV: duration from mvhd, dims from the first video tkhd, codec
+    from the first stsd sample entry (video preferred)."""
+    if not sniff_mp4(data):
+        raise ValueError("not an MP4 (no ftyp box)")
+    out = {"kind": "video", "codec": None, "width": None, "height": None,
+           "duration_ms": None}
+    moov = _find_box(data, 0, len(data), (b"moov",))
+    if moov is None:
+        return out  # streaming/fragmented file with moov beyond the prefix
+    ms, me = moov
+    mvhd = _find_box(data, ms, me, (b"mvhd",))
+    if mvhd is not None:
+        ps = mvhd[0]
+        version = data[ps]
+        if version == 1:
+            timescale, duration = struct.unpack_from(">IQ", data, ps + 20)
+        else:
+            timescale, duration = struct.unpack_from(">II", data, ps + 12)
+        if timescale:
+            out["duration_ms"] = int(duration * 1000 // timescale)
+    video_seen = False
+    for btype, ts, te in _walk_boxes(data, ms, me):
+        if btype != b"trak":
+            continue
+        stsd = _find_box(data, ts, te, (b"mdia", b"minf", b"stbl", b"stsd"))
+        if stsd is None:
+            continue
+        ps, pe = stsd
+        if pe - ps < 16:
+            continue
+        entry_type = data[ps + 12:ps + 16]  # first sample entry fourcc
+        is_video = entry_type in _MP4_VIDEO_CODECS
+        if is_video and not video_seen:
+            video_seen = True
+            out["codec"] = entry_type.decode("ascii", "replace")
+            tkhd = _find_box(data, ts, te, (b"tkhd",))
+            if tkhd is not None:
+                hs, he = tkhd
+                if he - hs >= 8:  # width/height are the last two 16.16s
+                    w_fx, h_fx = struct.unpack_from(">II", data, he - 8)
+                    out["width"], out["height"] = w_fx >> 16, h_fx >> 16
+        elif out["codec"] is None and entry_type in _MP4_AUDIO_CODECS:
+            out["codec"] = entry_type.decode("ascii", "replace")
+    if not video_seen and out["codec"] is not None:
+        out["kind"] = "audio"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1/2 audio frame header + ID3v2 skip)
+# ---------------------------------------------------------------------------
+
+_MP3_BITRATES_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                      224, 256, 320, 0)
+_MP3_BITRATES_V2L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                      144, 160, 0)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}  # version bits -> rates
+
+
+def sniff_mp3(data: bytes) -> bool:
+    if data[:3] == b"ID3":
+        return True
+    return _find_mp3_frame(data, limit=4096) is not None
+
+
+def _id3v2_size(data: bytes) -> int:
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    ss = data[6:10]
+    return 10 + ((ss[0] & 0x7F) << 21 | (ss[1] & 0x7F) << 14
+                 | (ss[2] & 0x7F) << 7 | (ss[3] & 0x7F))
+
+
+def _parse_mp3_header(data: bytes, pos: int):
+    if pos + 4 > len(data):
+        return None
+    b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
+    if data[pos] != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version = (b1 >> 3) & 3       # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer = (b1 >> 1) & 3         # 1 = Layer III
+    if version == 1 or layer != 1:
+        return None
+    bitrate_idx = (b2 >> 4) & 0xF
+    rate_idx = (b2 >> 2) & 3
+    if rate_idx == 3:
+        return None
+    table = _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
+    bitrate = table[bitrate_idx] * 1000
+    if not bitrate:
+        return None
+    sample_rate = _MP3_RATES[version][rate_idx]
+    padding = (b2 >> 1) & 1
+    spf = 1152 if version == 3 else 576  # samples per Layer-III frame
+    frame_len = spf // 8 * bitrate // sample_rate + padding
+    channels = 1 if ((b3 >> 6) & 3) == 3 else 2
+    return {"bitrate": bitrate, "sample_rate": sample_rate,
+            "frame_len": frame_len, "channels": channels, "spf": spf}
+
+
+def _find_mp3_frame(data: bytes, limit: int = 1 << 16):
+    pos = _id3v2_size(data)
+    end = min(len(data) - 4, pos + limit)
+    while pos <= end:
+        hdr = _parse_mp3_header(data, pos)
+        if hdr is not None:
+            # require a second consistent frame right after (kills random
+            # 0xFFEx byte pairs inside non-MP3 payloads)
+            nxt = _parse_mp3_header(data, pos + hdr["frame_len"])
+            if nxt is not None and nxt["sample_rate"] == hdr["sample_rate"]:
+                return pos, hdr
+        pos += 1
+    return None
+
+
+def probe_mp3(data: bytes) -> dict:
+    """MP3: first valid Layer-III frame header (after ID3v2) gives
+    rate/channels; duration is the CBR estimate over the payload bytes."""
+    found = _find_mp3_frame(data)
+    if found is None:
+        raise ValueError("no MP3 frame sync found")
+    pos, hdr = found
+    audio_bytes = len(data) - pos
+    return {
+        "kind": "audio",
+        "codec": "mp3",
+        "sample_rate": hdr["sample_rate"],
+        "channels": hdr["channels"],
+        "duration_ms": int(audio_bytes * 8000 // hdr["bitrate"]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Ogg (RFC 3533) carrying Opus (RFC 7845) or Vorbis
+# ---------------------------------------------------------------------------
+
+
+def sniff_ogg(data: bytes) -> bool:
+    return data[:4] == b"OggS"
+
+
+def probe_ogg(data: bytes) -> dict:
+    """Ogg: codec from the first page's payload magic; duration from the
+    last page's granule position (Opus: 48 kHz ticks minus pre-skip;
+    Vorbis: sample-rate ticks)."""
+    if not sniff_ogg(data):
+        raise ValueError("not an Ogg stream")
+    if len(data) < 28:
+        raise ValueError("Ogg: truncated first page")
+    nseg = data[26]
+    payload0 = 27 + nseg
+    head = data[payload0:payload0 + 16]
+    out = {"kind": "audio", "codec": None, "sample_rate": None,
+           "channels": None, "duration_ms": None}
+    pre_skip = 0
+    if head.startswith(b"OpusHead"):
+        out["codec"] = "opus"
+        out["channels"] = head[9]
+        pre_skip = struct.unpack_from("<H", data, payload0 + 10)[0]
+        out["sample_rate"] = 48000  # Opus always decodes at 48 kHz
+        tick_rate = 48000
+    elif head.startswith(b"\x01vorbis"):
+        out["codec"] = "vorbis"
+        out["channels"] = data[payload0 + 11]
+        out["sample_rate"] = struct.unpack_from("<I", data, payload0 + 12)[0]
+        tick_rate = out["sample_rate"]
+    else:
+        return out  # other codec: kind only
+    # final granule: scan the tail for the last page header
+    tail_start = max(0, len(data) - (1 << 16))
+    last = data.rfind(b"OggS", tail_start)
+    if last >= 0 and last + 14 <= len(data):
+        (granule,) = struct.unpack_from("<q", data, last + 6)
+        if granule > 0 and tick_rate:
+            samples = max(0, granule - pre_skip)
+            out["duration_ms"] = int(samples * 1000 // tick_rate)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# FLAC (format spec: fLaC magic + STREAMINFO)
+# ---------------------------------------------------------------------------
+
+
+def sniff_flac(data: bytes) -> bool:
+    return data[:4] == b"fLaC"
+
+
+def probe_flac(data: bytes) -> dict:
+    """FLAC STREAMINFO: exact sample rate / channels / duration."""
+    if not sniff_flac(data):
+        raise ValueError("not a FLAC stream")
+    if len(data) < 8 + 34 or (data[4] & 0x7F) != 0:
+        raise ValueError("FLAC: first metadata block is not STREAMINFO")
+    si = data[8:8 + 34]
+    sample_rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+    channels = ((si[12] >> 1) & 0x7) + 1
+    total = ((si[13] & 0x0F) << 32) | struct.unpack_from(">I", si, 14)[0]
+    out = {"kind": "audio", "codec": "flac", "sample_rate": sample_rate,
+           "channels": channels, "duration_ms": None}
+    if sample_rate:
+        out["duration_ms"] = int(total * 1000 // sample_rate)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# animation durations for formats we DO decode (header walk, no decode)
+# ---------------------------------------------------------------------------
+
+
+def webp_animation_info(data: bytes):
+    """(n_frames, total_duration_ms) for an animated WEBP, else None —
+    a pure chunk walk (ANMF headers), no frame decode."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        return None
+    pos = 12
+    n, total = 0, 0
+    while pos + 8 <= len(data):
+        fourcc = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if fourcc == b"ANMF" and size >= 16:
+            n += 1
+            total += (data[pos + 20] | (data[pos + 21] << 8)
+                      | (data[pos + 22] << 16))
+        pos += 8 + size + (size & 1)
+    return (n, total) if n else None
+
+
+def gif_animation_info(data: bytes):
+    """(n_frames, total_duration_ms) for an animated GIF, else None —
+    walks blocks skipping LZW sub-blocks, reading GCE delays only."""
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
+        return None
+    pos = 13
+    flags = data[10]
+    if flags & 0x80:  # global color table
+        pos += 3 * (2 << (flags & 7))
+    n, total, delay = 0, 0, 0
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if pos + 2 > len(data):
+                break
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and pos + 5 <= len(data):  # GCE
+                delay = struct.unpack_from("<H", data, pos + 2)[0] * 10
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            n += 1
+            total += delay
+            delay = 0
+            if pos + 10 > len(data):
+                break
+            lflags = data[pos + 9]
+            pos += 10
+            if lflags & 0x80:
+                pos += 3 * (2 << (lflags & 7))
+            pos += 1  # LZW min code size
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        else:
+            break  # malformed: stop, report what we saw
+    return (n, total) if n > 1 else None

@@ -693,6 +693,19 @@ def probe_media(payload: bytes) -> dict:
             out["width"], out["height"] = (int(w) if w else None), (int(h) if h else None)
         except Exception:
             pass  # header-probe failure: keep kind/codec, dims unknown
+        if img in ("gif", "webp"):
+            try:
+                from graphrag_mrkr_2_spark.functions.mediaprobe import (
+                    gif_animation_info,
+                    webp_animation_info,
+                )
+
+                anim = (gif_animation_info if img == "gif"
+                        else webp_animation_info)(payload)
+                if anim:
+                    out["duration_ms"] = anim[1]  # animated: total play time
+            except Exception:
+                pass
         return out
     if sniff_audio(payload):
         out["kind"], out["codec"] = "audio", "wav"
@@ -715,6 +728,29 @@ def probe_media(payload: bytes) -> dict:
         except Exception:
             out["codec"] = "avi"
         return out
+    # compressed containers whose DECODE stays a codec seam but whose
+    # metadata is real header parsing (functions/mediaprobe.py): classify +
+    # route them even where pixels/samples need an injected codec
+    from graphrag_mrkr_2_spark.functions import mediaprobe as _mp
+
+    for sniffer, prober, fallback_kind in (
+        (_mp.sniff_mp4, _mp.probe_mp4, "video"),
+        (_mp.sniff_flac, _mp.probe_flac, "audio"),
+        (_mp.sniff_ogg, _mp.probe_ogg, "audio"),
+        (_mp.sniff_mp3, _mp.probe_mp3, "audio"),
+    ):
+        try:
+            matched = sniffer(payload)
+        except Exception:
+            matched = False
+        if matched:
+            out["kind"] = fallback_kind
+            try:
+                info = prober(payload)
+                out.update({k: v for k, v in info.items() if k in out})
+            except Exception:
+                pass  # header-probe failure: keep the sniffed kind
+            return out
     return out
 
 

@@ -1,0 +1,253 @@
+"""Header-only probes for compressed media (functions/mediaprobe.py).
+
+Decode for these formats is an explicit codec seam (no decoder library in
+this environment), but classification/routing metadata is real parsing.
+The fixtures are built from the public container specs (ISO 14496-12, the
+MPEG audio frame header layout, RFC 3533/7845, the FLAC spec) field by
+field, then the probes must read back exactly what was written — plus
+negative cases that must quarantine, not crash.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from graphrag_mrkr_2_spark.functions.mediaprobe import (
+    gif_animation_info,
+    probe_flac,
+    probe_mp3,
+    probe_mp4,
+    probe_ogg,
+    sniff_flac,
+    sniff_mp3,
+    sniff_mp4,
+    sniff_ogg,
+    webp_animation_info,
+)
+from graphrag_mrkr_2_spark.operators.multimodal import probe_media
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def _mp4(width=640, height=360, timescale=1000, duration=12000,
+         codec=b"avc1", video=True) -> bytes:
+    mvhd = _box(b"mvhd", b"\x00" + b"\x00" * 3 + b"\x00" * 8
+                + struct.pack(">II", timescale, duration) + b"\x00" * 80)
+    tkhd = _box(b"tkhd", b"\x00" * 76
+                + struct.pack(">II", width << 16, height << 16))
+    stsd = _box(b"stsd", b"\x00" * 8 + _box(codec, b"\x00" * 70))
+    stbl = _box(b"stbl", stsd)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov
+
+
+class TestMp4:
+    def test_video_metadata(self):
+        data = _mp4()
+        assert sniff_mp4(data)
+        out = probe_mp4(data)
+        assert out == {"kind": "video", "codec": "avc1", "width": 640,
+                       "height": 360, "duration_ms": 12000}
+
+    def test_audio_only(self):
+        out = probe_mp4(_mp4(codec=b"mp4a", video=False))
+        assert out["kind"] == "audio" and out["codec"] == "mp4a"
+        assert out["duration_ms"] == 12000
+
+    def test_largesize_box(self):
+        data = _mp4()
+        # rewrap moov with a 64-bit size header
+        moov_at = data.index(b"moov") - 4
+        moov = data[moov_at:]
+        payload = moov[8:]
+        big = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(payload)) + payload
+        out = probe_mp4(data[:moov_at] + big)
+        assert out["duration_ms"] == 12000 and out["width"] == 640
+
+    def test_v1_mvhd(self):
+        mvhd = _box(b"mvhd", b"\x01" + b"\x00" * 3 + b"\x00" * 16
+                    + struct.pack(">IQ", 90000, 90000 * 7) + b"\x00" * 80)
+        data = _box(b"ftyp", b"isom") + _box(b"moov", mvhd)
+        assert probe_mp4(data)["duration_ms"] == 7000
+
+    def test_truncated_box_rejected(self):
+        data = _mp4()
+        bad = bytearray(data)
+        moov_at = data.index(b"moov") - 4
+        bad[moov_at:moov_at + 4] = struct.pack(">I", len(data) * 2)
+        with pytest.raises(ValueError, match="overruns"):
+            probe_mp4(bytes(bad))
+
+    def test_probe_media_dispatch(self):
+        out = probe_media(_mp4())
+        assert out["kind"] == "video" and out["codec"] == "avc1"
+        assert (out["width"], out["height"]) == (640, 360)
+
+    def test_probe_media_quarantines_malformed(self):
+        data = _mp4()
+        bad = bytearray(data)
+        moov_at = data.index(b"moov") - 4
+        bad[moov_at:moov_at + 4] = struct.pack(">I", len(data) * 2)
+        out = probe_media(bytes(bad))
+        assert out["kind"] == "video" and out["codec"] is None
+
+
+def _mp3_frame(version=3, bitrate_idx=9, rate_idx=0, mono=False) -> bytes:
+    """One valid Layer-III frame (header + zero payload of the right size)."""
+    b1 = 0xE0 | (version << 3) | (1 << 1) | 1
+    b3 = 0xC0 if mono else 0x00
+    hdr = bytes([0xFF, b1, (bitrate_idx << 4) | (rate_idx << 2), b3])
+    from graphrag_mrkr_2_spark.functions.mediaprobe import _parse_mp3_header
+
+    info = _parse_mp3_header(hdr + b"\x00" * 4, 0)
+    return hdr + b"\x00" * (info["frame_len"] - 4)
+
+
+class TestMp3:
+    def test_cbr_stream(self):
+        frames = _mp3_frame() * 40  # MPEG1 L3 128kbps 44100
+        assert sniff_mp3(frames)
+        out = probe_mp3(frames)
+        assert out["codec"] == "mp3" and out["sample_rate"] == 44100
+        assert out["channels"] == 2
+        # 40 frames * 1152 samples / 44100 Hz = 1044 ms; CBR estimate over
+        # bytes gives the same number for constant bitrate
+        assert out["duration_ms"] == pytest.approx(1044, abs=10)
+
+    def test_id3v2_skipped(self):
+        tag = b"ID3\x04\x00\x00" + bytes([0, 0, 2, 5]) + b"\x00" * ((2 << 7) + 5)
+        data = tag + _mp3_frame(mono=True) * 5
+        out = probe_mp3(data)
+        assert out["channels"] == 1
+
+    def test_single_sync_word_not_enough(self):
+        # a lone 0xFF 0xFB pair inside noise: the second-frame check kills it
+        noise = b"ab" * 100 + b"\xff\xfb\x90\x00" + b"cd" * 100
+        assert not sniff_mp3(noise)
+        with pytest.raises(ValueError):
+            probe_mp3(noise)
+
+    def test_mpeg2_half_rate(self):
+        out = probe_mp3(_mp3_frame(version=2, rate_idx=0) * 10)
+        assert out["sample_rate"] == 22050
+
+    def test_probe_media_dispatch(self):
+        out = probe_media(_mp3_frame() * 3)
+        assert out["kind"] == "audio" and out["codec"] == "mp3"
+
+
+def _ogg_page(payload: bytes, granule=0, seq=0, header_type=0) -> bytes:
+    segs = []
+    n = len(payload)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)
+    page = (b"OggS\x00" + bytes([header_type]) + struct.pack("<q", granule)
+            + struct.pack("<III", 1, seq, 0) + bytes([len(segs)])
+            + bytes(segs) + payload)
+    return page
+
+
+class TestOgg:
+    def test_opus(self):
+        head = (b"OpusHead\x01" + bytes([2]) + struct.pack("<H", 312)
+                + struct.pack("<I", 48000) + b"\x00\x00\x00")
+        data = _ogg_page(head, header_type=2) + _ogg_page(
+            b"\x00" * 100, granule=48000 * 3 + 312, seq=7, header_type=4)
+        assert sniff_ogg(data)
+        out = probe_ogg(data)
+        assert out["codec"] == "opus" and out["channels"] == 2
+        assert out["sample_rate"] == 48000
+        assert out["duration_ms"] == 3000  # granule minus pre-skip
+
+    def test_vorbis(self):
+        head = (b"\x01vorbis" + b"\x00\x00\x00\x00" + bytes([2])
+                + struct.pack("<I", 44100) + b"\x00" * 16)
+        data = _ogg_page(head, header_type=2) + _ogg_page(
+            b"\x00" * 10, granule=44100 * 2, seq=3, header_type=4)
+        out = probe_ogg(data)
+        assert out["codec"] == "vorbis" and out["sample_rate"] == 44100
+        assert out["duration_ms"] == 2000
+
+    def test_unknown_codec_kind_only(self):
+        data = _ogg_page(b"Speex   " + b"\x00" * 20)
+        out = probe_ogg(data)
+        assert out["kind"] == "audio" and out["codec"] is None
+
+    def test_probe_media_dispatch(self):
+        head = (b"OpusHead\x01" + bytes([1]) + struct.pack("<H", 0)
+                + struct.pack("<I", 16000) + b"\x00\x00\x00")
+        out = probe_media(_ogg_page(head, header_type=2))
+        assert out["kind"] == "audio" and out["codec"] == "opus"
+
+
+def _flac(sample_rate=44100, channels=2, total=44100 * 5) -> bytes:
+    si = bytearray(34)
+    si[10] = (sample_rate >> 12) & 0xFF
+    si[11] = (sample_rate >> 4) & 0xFF
+    si[12] = ((sample_rate & 0xF) << 4) | ((channels - 1) << 1)
+    si[13] = (15 << 0)  # bits-per-sample tail + top 4 bits of total (0)
+    si[13] = (si[13] & 0xF0) | ((total >> 32) & 0x0F)
+    si[14:18] = struct.pack(">I", total & 0xFFFFFFFF)
+    return b"fLaC" + bytes([0x80]) + b"\x00\x00\x22" + bytes(si)
+
+
+class TestFlac:
+    def test_streaminfo(self):
+        data = _flac()
+        assert sniff_flac(data)
+        out = probe_flac(data)
+        assert out == {"kind": "audio", "codec": "flac",
+                       "sample_rate": 44100, "channels": 2,
+                       "duration_ms": 5000}
+
+    def test_odd_rate_and_channels(self):
+        out = probe_flac(_flac(sample_rate=96000, channels=6, total=96000))
+        assert out["sample_rate"] == 96000 and out["channels"] == 6
+        assert out["duration_ms"] == 1000
+
+    def test_probe_media_dispatch(self):
+        assert probe_media(_flac())["codec"] == "flac"
+
+
+class TestAnimationInfo:
+    def test_webp_animation_duration(self):
+        from tests.test_webpcodec import _mux_animation
+        from graphrag_mrkr_2_spark.functions.webpcodec import (
+            encode_webp_lossless,
+        )
+
+        px = np.zeros((4, 4, 3), np.uint8)
+        still = encode_webp_lossless(px)
+        data = _mux_animation((4, 4), [(0, 0, 40, 0, still),
+                                       (0, 0, 70, 0, still)])
+        assert webp_animation_info(data) == (2, 110)
+        assert webp_animation_info(still) is None
+        out = probe_media(data)
+        assert out["kind"] == "image" and out["duration_ms"] == 110
+
+    def test_gif_animation_duration(self):
+        from graphrag_mrkr_2_spark.functions.imagecodecs import encode_gif_frames
+
+        data = encode_gif_frames(
+            [np.zeros((3, 3, 3), np.uint8), np.full((3, 3, 3), 90, np.uint8)],
+            delays_ms=[30, 50],
+        )
+        assert gif_animation_info(data) == (2, 80)
+        out = probe_media(data)
+        assert out["kind"] == "image" and out["duration_ms"] == 80
+
+    def test_still_gif_no_animation(self):
+        from graphrag_mrkr_2_spark.functions.imagecodecs import encode_gif
+
+        assert gif_animation_info(encode_gif(np.zeros((3, 3, 3), np.uint8))) is None
