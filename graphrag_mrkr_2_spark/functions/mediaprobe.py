@@ -79,9 +79,11 @@ def probe_mp4(data: bytes) -> dict:
         version = data[ps]
         if version == 1:
             timescale, duration = struct.unpack_from(">IQ", data, ps + 20)
+            unknown = duration == 0xFFFFFFFFFFFFFFFF
         else:
             timescale, duration = struct.unpack_from(">II", data, ps + 12)
-        if timescale:
+            unknown = duration == 0xFFFFFFFF  # the spec's 'unknown' sentinel
+        if timescale and not unknown:
             out["duration_ms"] = int(duration * 1000 // timescale)
     video_seen = False
     for btype, ts, te in _walk_boxes(data, ms, me):
@@ -219,6 +221,9 @@ def probe_ogg(data: bytes) -> dict:
     out = {"kind": "audio", "codec": None, "sample_rate": None,
            "channels": None, "duration_ms": None}
     pre_skip = 0
+    if head.startswith(b"\x80theora"):
+        out["kind"], out["codec"] = "video", "theora"
+        return out
     if head.startswith(b"OpusHead"):
         out["codec"] = "opus"
         out["channels"] = head[9]
@@ -232,14 +237,22 @@ def probe_ogg(data: bytes) -> dict:
         tick_rate = out["sample_rate"]
     else:
         return out  # other codec: kind only
-    # final granule: scan the tail for the last page header
+    # final granule: scan the tail backwards for the last VALID page header
+    # — a raw 'OggS' match inside entropy-coded packet data is expected at
+    # crawl scale, so require version 0 and a segment table that fits
+    # (review r5 finding #3)
     tail_start = max(0, len(data) - (1 << 16))
     last = data.rfind(b"OggS", tail_start)
-    if last >= 0 and last + 14 <= len(data):
-        (granule,) = struct.unpack_from("<q", data, last + 6)
-        if granule > 0 and tick_rate:
-            samples = max(0, granule - pre_skip)
-            out["duration_ms"] = int(samples * 1000 // tick_rate)
+    while last >= 0:
+        if last + 27 <= len(data) and data[last + 4] == 0:
+            nseg = data[last + 26]
+            if last + 27 + nseg <= len(data):
+                (granule,) = struct.unpack_from("<q", data, last + 6)
+                if granule > 0 and tick_rate:
+                    samples = max(0, granule - pre_skip)
+                    out["duration_ms"] = int(samples * 1000 // tick_rate)
+                break
+        last = data.rfind(b"OggS", tail_start, last)
     return out
 
 
@@ -289,7 +302,9 @@ def webp_animation_info(data: bytes):
             total += (data[pos + 20] | (data[pos + 21] << 8)
                       | (data[pos + 22] << 16))
         pos += 8 + size + (size & 1)
-    return (n, total) if n else None
+    # n > 1 to match gif_animation_info: a one-frame ANMF container is a
+    # de-facto still and gets no duration (review r5 finding #5)
+    return (n, total) if n > 1 else None
 
 
 def gif_animation_info(data: bytes):

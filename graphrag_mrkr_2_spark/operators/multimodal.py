@@ -84,6 +84,8 @@ MEDIA_SCHEMA = StructType(
                     StructField("width", IntegerType(), True),
                     StructField("height", IntegerType(), True),
                     StructField("duration_ms", IntegerType(), True),
+                    StructField("sample_rate", IntegerType(), True),
+                    StructField("channels", IntegerType(), True),
                 ]
             ),
             True,
@@ -602,7 +604,10 @@ def sample_video_frames(
                     )
                 meta = rec.meta if isinstance(rec.meta, dict) else (rec.meta.asDict() if rec.meta else {})
                 duration = int(meta.get("duration_ms") or 0)
-                n_frames = max(1, duration // every_ms)
+                # cap the synthetic fallback: a malformed container's bogus
+                # header duration must not fan one row out into millions
+                # (review r5 finding #2)
+                n_frames = max(1, min(duration // every_ms, 3600))
                 digest = hashlib.sha256(payload).digest()
                 for i in range(n_frames):
                     rows.append(
@@ -631,7 +636,8 @@ def probe_media(payload: bytes) -> dict:
     from graphrag_mrkr_2_spark.functions.avicodec import parse_avi, sniff_video
     from graphrag_mrkr_2_spark.functions.imagecodecs import sniff_image
 
-    out = {"kind": None, "codec": None, "width": None, "height": None, "duration_ms": None}
+    out = {"kind": None, "codec": None, "width": None, "height": None,
+           "duration_ms": None, "sample_rate": None, "channels": None}
     img = sniff_image(payload)
     if img:
         out["kind"], out["codec"] = "image", img
@@ -706,7 +712,7 @@ def probe_media(payload: bytes) -> dict:
                     out["duration_ms"] = anim[1]  # animated: total play time
             except Exception:
                 pass
-        return out
+        return _clean_probe(out)
     if sniff_audio(payload):
         out["kind"], out["codec"] = "audio", "wav"
         try:
@@ -714,9 +720,10 @@ def probe_media(payload: bytes) -> dict:
 
             samples, rate = decode_wav(payload)
             out["duration_ms"] = int(round(1000.0 * len(samples) / rate)) if rate else None
+            out["sample_rate"] = int(rate) if rate else None
         except Exception:
             pass
-        return out
+        return _clean_probe(out)
     if sniff_video(payload):
         out["kind"] = "video"
         try:
@@ -727,7 +734,7 @@ def probe_media(payload: bytes) -> dict:
                 out["duration_ms"] = int(round(1000.0 * len(info["frames"]) / info["fps"]))
         except Exception:
             out["codec"] = "avi"
-        return out
+        return _clean_probe(out)
     # compressed containers whose DECODE stays a codec seam but whose
     # metadata is real header parsing (functions/mediaprobe.py): classify +
     # route them even where pixels/samples need an injected codec
@@ -750,7 +757,19 @@ def probe_media(payload: bytes) -> dict:
                 out.update({k: v for k, v in info.items() if k in out})
             except Exception:
                 pass  # header-probe failure: keep the sniffed kind
-            return out
+            return _clean_probe(out)
+    return out
+
+
+def _clean_probe(out: dict) -> dict:
+    """Header-derived numbers are attacker/corruption-controlled: clamp
+    them to the MEDIA_SCHEMA int32 domain so one bogus mvhd/granule field
+    can't crash the Arrow conversion of a whole scan (review r5 finding
+    #1 — a legal MP4 'unknown duration' sentinel is 2^32-1)."""
+    for key in ("duration_ms", "sample_rate", "channels", "width", "height"):
+        v = out.get(key)
+        if v is not None and not (0 <= int(v) < 2**31):
+            out[key] = None
     return out
 
 
@@ -775,6 +794,8 @@ def with_probed_media(df: DataFrame, id_col: str = "media_id", payload_col: str 
                             "width": p["width"],
                             "height": p["height"],
                             "duration_ms": p["duration_ms"],
+                            "sample_rate": p["sample_rate"],
+                            "channels": p["channels"],
                         },
                     }
                 )

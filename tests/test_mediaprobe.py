@@ -251,3 +251,75 @@ class TestAnimationInfo:
         from graphrag_mrkr_2_spark.functions.imagecodecs import encode_gif
 
         assert gif_animation_info(encode_gif(np.zeros((3, 3, 3), np.uint8))) is None
+
+
+class TestHardening:
+    """Review r5 findings: header-derived numbers are corruption-controlled
+    and must quarantine, never crash or fan out."""
+
+    def test_mp4_unknown_duration_sentinel(self):
+        # all-ones duration is the spec's "unknown" — must come back None,
+        # not 4294967295 (which would overflow MEDIA_SCHEMA's int32)
+        data = _mp4(duration=0xFFFFFFFF)
+        assert probe_mp4(data)["duration_ms"] is None
+        assert probe_media(data)["duration_ms"] is None
+
+    @pytest.mark.spark
+    def test_with_probed_media_survives_bogus_durations(self, spark):
+        """The reviewer's repro: an int32-overflowing header duration must
+        not ArrowInvalid-crash the whole scan."""
+        from graphrag_mrkr_2_spark.operators.multimodal import with_probed_media
+
+        mvhd = _box(b"mvhd", b"\x00" + b"\x00" * 3 + b"\x00" * 8
+                    + struct.pack(">II", 1, 0xFFFFFFF0) + b"\x00" * 80)
+        bogus = _box(b"ftyp", b"isom") + _box(b"moov", mvhd)
+        df = spark.createDataFrame(
+            [("ok", bytearray(_mp4())), ("bogus", bytearray(bogus))],
+            "media_id string, payload binary")
+        rows = {r.media_id: r for r in with_probed_media(df).collect()}
+        assert rows["ok"].meta["duration_ms"] == 12000
+        assert rows["bogus"].meta["duration_ms"] is None  # clamped, not crashed
+        assert rows["bogus"].kind == "video"
+
+    @pytest.mark.spark
+    def test_fake_frame_fallback_is_capped(self, spark):
+        from graphrag_mrkr_2_spark.operators.multimodal import sample_video_frames
+
+        df = spark.createDataFrame(
+            [("m1", "video", bytearray(b"not-a-container"),
+              {"codec": "h264", "width": 2, "height": 2,
+               "sample_rate": None, "channels": None,
+               "duration_ms": 1_790_000_000})],
+            "media_id string, kind string, payload binary, "
+            "meta struct<codec:string,width:int,height:int,"
+            "sample_rate:int,channels:int,duration_ms:int>")
+        n = sample_video_frames(df, every_ms=1000).count()
+        assert n == 3600  # capped, not 1.79 million rows
+
+    def test_ogg_spurious_sync_in_payload_ignored(self):
+        head = (b"OpusHead\x01" + bytes([2]) + struct.pack("<H", 0)
+                + struct.pack("<I", 48000) + b"\x00\x00\x00")
+        # final page whose PAYLOAD contains a fake 'OggS' with garbage after
+        evil_payload = b"\x00" * 10 + b"OggS" + b"\xff" * 30
+        data = _ogg_page(head, header_type=2) + _ogg_page(
+            evil_payload, granule=48000, seq=1, header_type=4)
+        out = probe_ogg(data)
+        assert out["duration_ms"] == 1000  # real page granule, not the decoy
+
+    def test_ogg_theora_is_video(self):
+        data = _ogg_page(b"\x80theora" + b"\x00" * 30, header_type=2)
+        out = probe_ogg(data)
+        assert out["kind"] == "video" and out["codec"] == "theora"
+        assert probe_media(data)["kind"] == "video"
+
+    def test_single_frame_anmf_not_animated(self):
+        from tests.test_webpcodec import _mux_animation
+        from graphrag_mrkr_2_spark.functions.webpcodec import encode_webp_lossless
+
+        still = encode_webp_lossless(np.zeros((4, 4, 3), np.uint8))
+        data = _mux_animation((4, 4), [(0, 0, 40, 0, still)])
+        assert webp_animation_info(data) is None  # matches GIF semantics
+
+    def test_probe_media_sample_rate_channels_surface(self):
+        out = probe_media(_flac(sample_rate=22050, channels=1, total=22050))
+        assert out["sample_rate"] == 22050 and out["channels"] == 1
