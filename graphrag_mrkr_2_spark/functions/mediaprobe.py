@@ -348,3 +348,142 @@ def gif_animation_info(data: bytes):
         else:
             break  # malformed: stop, report what we saw
     return (n, total) if n > 1 else None
+
+
+# ---------------------------------------------------------------------------
+# Matroska / WebM (EBML)
+# ---------------------------------------------------------------------------
+
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+# element ids (already including their length-marker bits)
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TIMESCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKENTRY = 0xAE
+_MKV_TRACKTYPE = 0x83
+_MKV_CODECID = 0x86
+_MKV_VIDEO = 0xE0
+_MKV_AUDIO = 0xE1
+_MKV_PIXELW = 0xB0
+_MKV_PIXELH = 0xBA
+_MKV_SAMPLERATE = 0xB5
+_MKV_CHANNELS = 0x9F
+
+
+def sniff_mkv(data: bytes) -> bool:
+    return data[:4] == _EBML_MAGIC
+
+
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool):
+    """(value, next_pos) for an EBML variable-length integer."""
+    if pos >= len(data):
+        raise ValueError("EBML: truncated vint")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("EBML: invalid vint leading byte")
+    length = 1
+    mask = 0x80
+    while not (first & mask):
+        mask >>= 1
+        length += 1
+    if pos + length > len(data):
+        raise ValueError("EBML: vint overruns buffer")
+    v = first if keep_marker else (first & (mask - 1))
+    for i in range(1, length):
+        v = (v << 8) | data[pos + i]
+    return v, pos + length
+
+
+def _walk_ebml(data: bytes, pos: int, end: int):
+    while pos < end:
+        eid, pos = _ebml_vint(data, pos, keep_marker=True)
+        size, pos = _ebml_vint(data, pos, keep_marker=False)
+        if pos + size > end:
+            raise ValueError("EBML: element overruns its parent")
+        yield eid, pos, pos + size
+        pos += size
+
+
+def _ebml_uint(data: bytes, start: int, end: int) -> int:
+    v = 0
+    for b in data[start:end]:
+        v = (v << 8) | b
+    return v
+
+
+def _ebml_float(data: bytes, start: int, end: int) -> float:
+    n = end - start
+    if n == 4:
+        return struct.unpack(">f", data[start:end])[0]
+    if n == 8:
+        return struct.unpack(">d", data[start:end])[0]
+    raise ValueError(f"EBML: bad float size {n}")
+
+
+def probe_mkv(data: bytes) -> dict:
+    """Matroska/WebM: duration from Info (TimecodeScale x Duration), codec
+    and dims/rate from the first video (preferred) or audio TrackEntry."""
+    if not sniff_mkv(data):
+        raise ValueError("not an EBML/Matroska stream")
+    out = {"kind": "video", "codec": None, "width": None, "height": None,
+           "duration_ms": None, "sample_rate": None, "channels": None}
+    segment = None
+    for eid, ps, pe in _walk_ebml(data, 0, len(data)):
+        if eid == _MKV_SEGMENT:
+            segment = (ps, pe)
+            break
+    if segment is None:
+        return out
+    timescale = 1_000_000  # default: 1 ms ticks
+    duration_ticks = None
+    video_seen = False
+    for eid, ps, pe in _walk_ebml(data, segment[0], segment[1]):
+        if eid == _MKV_INFO:
+            for iid, ips, ipe in _walk_ebml(data, ps, pe):
+                if iid == _MKV_TIMESCALE:
+                    timescale = _ebml_uint(data, ips, ipe)
+                elif iid == _MKV_DURATION:
+                    duration_ticks = _ebml_float(data, ips, ipe)
+        elif eid == _MKV_TRACKS:
+            for tid, tps, tpe in _walk_ebml(data, ps, pe):
+                if tid != _MKV_TRACKENTRY:
+                    continue
+                ttype, codec = None, None
+                vdims, adims = None, None
+                for fid, fps, fpe in _walk_ebml(data, tps, tpe):
+                    if fid == _MKV_TRACKTYPE:
+                        ttype = _ebml_uint(data, fps, fpe)
+                    elif fid == _MKV_CODECID:
+                        codec = data[fps:fpe].decode("ascii", "replace")
+                    elif fid == _MKV_VIDEO:
+                        w = h = None
+                        for vid, vps, vpe in _walk_ebml(data, fps, fpe):
+                            if vid == _MKV_PIXELW:
+                                w = _ebml_uint(data, vps, vpe)
+                            elif vid == _MKV_PIXELH:
+                                h = _ebml_uint(data, vps, vpe)
+                        vdims = (w, h)
+                    elif fid == _MKV_AUDIO:
+                        rate = ch = None
+                        for aid, aps, ape in _walk_ebml(data, fps, fpe):
+                            if aid == _MKV_SAMPLERATE:
+                                rate = int(_ebml_float(data, aps, ape))
+                            elif aid == _MKV_CHANNELS:
+                                ch = _ebml_uint(data, aps, ape)
+                        adims = (rate, ch)
+                if ttype == 1 and not video_seen:  # video track
+                    video_seen = True
+                    out["codec"] = codec
+                    if vdims:
+                        out["width"], out["height"] = vdims
+                elif ttype == 2 and out["codec"] is None:  # audio track
+                    out["codec"] = codec
+                    if adims:
+                        out["sample_rate"], out["channels"] = adims
+    if duration_ticks is not None and timescale:
+        out["duration_ms"] = int(duration_ticks * timescale / 1_000_000)
+    if not video_seen and out["codec"] is not None:
+        out["kind"] = "audio"
+    return out

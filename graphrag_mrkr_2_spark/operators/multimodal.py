@@ -742,6 +742,7 @@ def probe_media(payload: bytes) -> dict:
 
     for sniffer, prober, fallback_kind in (
         (_mp.sniff_mp4, _mp.probe_mp4, "video"),
+        (_mp.sniff_mkv, _mp.probe_mkv, "video"),
         (_mp.sniff_flac, _mp.probe_flac, "audio"),
         (_mp.sniff_ogg, _mp.probe_ogg, "audio"),
         (_mp.sniff_mp3, _mp.probe_mp3, "audio"),

@@ -323,3 +323,86 @@ class TestHardening:
     def test_probe_media_sample_rate_channels_surface(self):
         out = probe_media(_flac(sample_rate=22050, channels=1, total=22050))
         assert out["sample_rate"] == 22050 and out["channels"] == 1
+
+
+def _ebml_el(eid: int, payload: bytes) -> bytes:
+    """Encode one EBML element (id already carries its marker bits; size
+    as a minimal-length vint)."""
+    id_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(payload)
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            break
+    size = ((1 << (8 * length - length)) | n).to_bytes(length, "big")
+    return id_bytes + size + payload
+
+
+def _ebml_uintv(v: int, width: int = 0) -> bytes:
+    b = v.to_bytes(max(1, width or (v.bit_length() + 7) // 8), "big")
+    return b
+
+
+def _webm(duration_ms=6500.0, codec=b"V_VP9", video=True, w=1280, h=720,
+          rate=48000.0, ch=2) -> bytes:
+    import struct as _s
+
+    header = _ebml_el(0x1A45DFA3, _ebml_el(0x4282, b"webm"))
+    info = _ebml_el(0x1549A966,
+                    _ebml_el(0x2AD7B1, _ebml_uintv(1_000_000))
+                    + _ebml_el(0x4489, _s.pack(">d", duration_ms)))
+    if video:
+        media = _ebml_el(0xE0, _ebml_el(0xB0, _ebml_uintv(w))
+                         + _ebml_el(0xBA, _ebml_uintv(h)))
+        ttype = 1
+    else:
+        media = _ebml_el(0xE1, _ebml_el(0xB5, _s.pack(">f", rate))
+                         + _ebml_el(0x9F, _ebml_uintv(ch)))
+        ttype = 2
+    entry = _ebml_el(0xAE, _ebml_el(0x83, _ebml_uintv(ttype))
+                     + _ebml_el(0x86, codec) + media)
+    tracks = _ebml_el(0x1654AE6B, entry)
+    segment = _ebml_el(0x18538067, info + tracks)
+    return header + segment
+
+
+class TestMkv:
+    def test_webm_video(self):
+        from graphrag_mrkr_2_spark.functions.mediaprobe import probe_mkv, sniff_mkv
+
+        data = _webm()
+        assert sniff_mkv(data)
+        out = probe_mkv(data)
+        assert out["kind"] == "video" and out["codec"] == "V_VP9"
+        assert (out["width"], out["height"]) == (1280, 720)
+        assert out["duration_ms"] == 6500
+
+    def test_webm_audio_only(self):
+        from graphrag_mrkr_2_spark.functions.mediaprobe import probe_mkv
+
+        out = probe_mkv(_webm(codec=b"A_OPUS", video=False, rate=48000.0, ch=2))
+        assert out["kind"] == "audio" and out["codec"] == "A_OPUS"
+        assert out["sample_rate"] == 48000 and out["channels"] == 2
+
+    def test_custom_timescale(self):
+        from graphrag_mrkr_2_spark.functions.mediaprobe import probe_mkv
+        import struct as _s
+
+        # timescale 500000 ns/tick, duration 8000 ticks -> 4000 ms
+        info = _ebml_el(0x1549A966,
+                        _ebml_el(0x2AD7B1, _ebml_uintv(500_000))
+                        + _ebml_el(0x4489, _s.pack(">f", 8000.0)))
+        data = (_ebml_el(0x1A45DFA3, b"") + _ebml_el(0x18538067, info))
+        assert probe_mkv(data)["duration_ms"] == 4000
+
+    def test_truncated_rejected(self):
+        from graphrag_mrkr_2_spark.functions.mediaprobe import probe_mkv
+
+        data = _webm()
+        with pytest.raises(ValueError):
+            probe_mkv(data[:len(data) // 2])
+
+    def test_probe_media_dispatch_and_quarantine(self):
+        out = probe_media(_webm())
+        assert out["kind"] == "video" and out["codec"] == "V_VP9"
+        broken = probe_media(_webm()[: len(_webm()) // 2])
+        assert broken["kind"] == "video" and broken["codec"] is None
