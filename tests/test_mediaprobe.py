@@ -222,7 +222,10 @@ class TestFlac:
 
 class TestAnimationInfo:
     def test_webp_animation_duration(self):
-        from tests.test_webpcodec import _mux_animation
+        try:
+            from tests.test_webpcodec import _mux_animation
+        except ModuleNotFoundError:  # full-suite runs import tests top-level
+            from test_webpcodec import _mux_animation
         from graphrag_mrkr_2_spark.functions.webpcodec import (
             encode_webp_lossless,
         )
@@ -313,7 +316,10 @@ class TestHardening:
         assert probe_media(data)["kind"] == "video"
 
     def test_single_frame_anmf_not_animated(self):
-        from tests.test_webpcodec import _mux_animation
+        try:
+            from tests.test_webpcodec import _mux_animation
+        except ModuleNotFoundError:  # full-suite runs import tests top-level
+            from test_webpcodec import _mux_animation
         from graphrag_mrkr_2_spark.functions.webpcodec import encode_webp_lossless
 
         still = encode_webp_lossless(np.zeros((4, 4, 3), np.uint8))
