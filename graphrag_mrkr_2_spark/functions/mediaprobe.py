@@ -393,6 +393,8 @@ def _ebml_vint(data: bytes, pos: int, keep_marker: bool):
     v = first if keep_marker else (first & (mask - 1))
     for i in range(1, length):
         v = (v << 8) | data[pos + i]
+    if not keep_marker and v == (1 << (7 * length)) - 1:
+        v = None  # all-ones data bits: the spec's "unknown size"
     return v, pos + length
 
 
@@ -400,6 +402,10 @@ def _walk_ebml(data: bytes, pos: int, end: int):
     while pos < end:
         eid, pos = _ebml_vint(data, pos, keep_marker=True)
         size, pos = _ebml_vint(data, pos, keep_marker=False)
+        if size is None:
+            # unknown-size element (streamed Segment/Cluster): extends to
+            # the end of its parent scope (review r5 finding)
+            size = end - pos
         if pos + size > end:
             raise ValueError("EBML: element overruns its parent")
         yield eid, pos, pos + size
@@ -415,6 +421,8 @@ def _ebml_uint(data: bytes, start: int, end: int) -> int:
 
 def _ebml_float(data: bytes, start: int, end: int) -> float:
     n = end - start
+    if n == 0:
+        return 0.0  # zero-length element encodes the default value
     if n == 4:
         return struct.unpack(">f", data[start:end])[0]
     if n == 8:
@@ -438,7 +446,8 @@ def probe_mkv(data: bytes) -> dict:
         return out
     timescale = 1_000_000  # default: 1 ms ticks
     duration_ticks = None
-    video_seen = False
+    first_video = None  # (codec, w, h)
+    first_audio = None  # (codec, rate, channels)
     for eid, ps, pe in _walk_ebml(data, segment[0], segment[1]):
         if eid == _MKV_INFO:
             for iid, ips, ipe in _walk_ebml(data, ps, pe):
@@ -451,12 +460,12 @@ def probe_mkv(data: bytes) -> dict:
                 if tid != _MKV_TRACKENTRY:
                     continue
                 ttype, codec = None, None
-                vdims, adims = None, None
+                vdims, adims = (None, None), (None, None)
                 for fid, fps, fpe in _walk_ebml(data, tps, tpe):
                     if fid == _MKV_TRACKTYPE:
                         ttype = _ebml_uint(data, fps, fpe)
                     elif fid == _MKV_CODECID:
-                        codec = data[fps:fpe].decode("ascii", "replace")
+                        codec = _mkv_codec_name(data[fps:fpe])
                     elif fid == _MKV_VIDEO:
                         w = h = None
                         for vid, vps, vpe in _walk_ebml(data, fps, fpe):
@@ -473,17 +482,26 @@ def probe_mkv(data: bytes) -> dict:
                             elif aid == _MKV_CHANNELS:
                                 ch = _ebml_uint(data, aps, ape)
                         adims = (rate, ch)
-                if ttype == 1 and not video_seen:  # video track
-                    video_seen = True
-                    out["codec"] = codec
-                    if vdims:
-                        out["width"], out["height"] = vdims
-                elif ttype == 2 and out["codec"] is None:  # audio track
-                    out["codec"] = codec
-                    if adims:
-                        out["sample_rate"], out["channels"] = adims
+                if ttype == 1 and first_video is None:
+                    first_video = (codec, *vdims)
+                elif ttype == 2 and first_audio is None:
+                    first_audio = (codec, *adims)
+    # video track wins; audio fields surface only for audio-only files so
+    # track ORDER in the container cannot change the result (review r5)
+    if first_video is not None:
+        out["codec"], out["width"], out["height"] = first_video
+    elif first_audio is not None:
+        out["kind"] = "audio"
+        out["codec"], out["sample_rate"], out["channels"] = first_audio
     if duration_ticks is not None and timescale:
         out["duration_ms"] = int(duration_ticks * timescale / 1_000_000)
-    if not video_seen and out["codec"] is not None:
-        out["kind"] = "audio"
     return out
+
+
+def _mkv_codec_name(raw: bytes) -> str:
+    """Matroska CodecID -> the short lowercase convention the other probes
+    use ('V_VP9' -> 'vp9', 'A_OPUS' -> 'opus')."""
+    name = raw.decode("ascii", "replace")
+    if len(name) > 2 and name[1] == "_" and name[0] in "VAS":
+        name = name[2:]
+    return name.lower()

@@ -29,6 +29,11 @@ from graphrag_mrkr_2_spark.functions.mediaprobe import (
 )
 from graphrag_mrkr_2_spark.operators.multimodal import probe_media
 
+try:  # full-suite runs import tests' modules top-level (no package)
+    from tests.test_webpcodec import _mux_animation
+except ModuleNotFoundError:
+    from test_webpcodec import _mux_animation
+
 
 def _box(fourcc: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", 8 + len(payload)) + fourcc + payload
@@ -222,10 +227,6 @@ class TestFlac:
 
 class TestAnimationInfo:
     def test_webp_animation_duration(self):
-        try:
-            from tests.test_webpcodec import _mux_animation
-        except ModuleNotFoundError:  # full-suite runs import tests top-level
-            from test_webpcodec import _mux_animation
         from graphrag_mrkr_2_spark.functions.webpcodec import (
             encode_webp_lossless,
         )
@@ -316,10 +317,6 @@ class TestHardening:
         assert probe_media(data)["kind"] == "video"
 
     def test_single_frame_anmf_not_animated(self):
-        try:
-            from tests.test_webpcodec import _mux_animation
-        except ModuleNotFoundError:  # full-suite runs import tests top-level
-            from test_webpcodec import _mux_animation
         from graphrag_mrkr_2_spark.functions.webpcodec import encode_webp_lossless
 
         still = encode_webp_lossless(np.zeros((4, 4, 3), np.uint8))
@@ -378,7 +375,7 @@ class TestMkv:
         data = _webm()
         assert sniff_mkv(data)
         out = probe_mkv(data)
-        assert out["kind"] == "video" and out["codec"] == "V_VP9"
+        assert out["kind"] == "video" and out["codec"] == "vp9"
         assert (out["width"], out["height"]) == (1280, 720)
         assert out["duration_ms"] == 6500
 
@@ -386,7 +383,7 @@ class TestMkv:
         from graphrag_mrkr_2_spark.functions.mediaprobe import probe_mkv
 
         out = probe_mkv(_webm(codec=b"A_OPUS", video=False, rate=48000.0, ch=2))
-        assert out["kind"] == "audio" and out["codec"] == "A_OPUS"
+        assert out["kind"] == "audio" and out["codec"] == "opus"
         assert out["sample_rate"] == 48000 and out["channels"] == 2
 
     def test_custom_timescale(self):
@@ -409,6 +406,51 @@ class TestMkv:
 
     def test_probe_media_dispatch_and_quarantine(self):
         out = probe_media(_webm())
-        assert out["kind"] == "video" and out["codec"] == "V_VP9"
+        assert out["kind"] == "video" and out["codec"] == "vp9"
         broken = probe_media(_webm()[: len(_webm()) // 2])
         assert broken["kind"] == "video" and broken["codec"] is None
+
+
+class TestMkvHardening:
+    """Review r5 round-2 findings: streamed/edge-case EBML structures."""
+
+    def test_unknown_size_segment(self):
+        """Chrome MediaRecorder-style streaming: Segment written with the
+        all-ones 'unknown size' vint must still yield metadata."""
+        from graphrag_mrkr_2_spark.functions.mediaprobe import probe_mkv
+        import struct as _s
+
+        header = _ebml_el(0x1A45DFA3, _ebml_el(0x4282, b"webm"))
+        info = _ebml_el(0x1549A966,
+                        _ebml_el(0x2AD7B1, _ebml_uintv(1_000_000))
+                        + _ebml_el(0x4489, _s.pack(">d", 2500.0)))
+        seg_id = (0x18538067).to_bytes(4, "big")
+        segment = seg_id + b"\xff" + info  # 1-byte unknown-size vint
+        out = probe_mkv(header + segment)
+        assert out["duration_ms"] == 2500
+
+    def test_zero_length_duration_is_default(self):
+        from graphrag_mrkr_2_spark.functions.mediaprobe import probe_mkv
+
+        info = _ebml_el(0x1549A966, _ebml_el(0x4489, b""))
+        data = _ebml_el(0x1A45DFA3, b"") + _ebml_el(0x18538067, info)
+        assert probe_mkv(data)["duration_ms"] == 0
+
+    def test_audio_track_first_does_not_leak_into_video(self):
+        from graphrag_mrkr_2_spark.functions.mediaprobe import probe_mkv
+        import struct as _s
+
+        audio = _ebml_el(0xAE, _ebml_el(0x83, _ebml_uintv(2))
+                         + _ebml_el(0x86, b"A_OPUS")
+                         + _ebml_el(0xE1, _ebml_el(0xB5, _s.pack(">f", 48000.0))
+                                    + _ebml_el(0x9F, _ebml_uintv(2))))
+        video = _ebml_el(0xAE, _ebml_el(0x83, _ebml_uintv(1))
+                         + _ebml_el(0x86, b"V_VP8")
+                         + _ebml_el(0xE0, _ebml_el(0xB0, _ebml_uintv(320))
+                                    + _ebml_el(0xBA, _ebml_uintv(240))))
+        tracks = _ebml_el(0x1654AE6B, audio + video)
+        data = _ebml_el(0x1A45DFA3, b"") + _ebml_el(0x18538067, tracks)
+        out = probe_mkv(data)
+        assert out["kind"] == "video" and out["codec"] == "vp8"
+        assert (out["width"], out["height"]) == (320, 240)
+        assert out["sample_rate"] is None and out["channels"] is None
