@@ -1380,7 +1380,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": q_kg_communities,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_structured_query": q_kg_structured_query,
-        # SQL-checked operators
+        # SQL-checked operators.  NOTE on ordering: the driver's correctness
+        # snapshot covers exactly the FIRST 50 entries of this dict, so the
+        # TPC-H-shape analytics queries sit directly after the kg_* block to
+        # guarantee they get driver rows; the multi-round-green roundtrip /
+        # sampling oracles at the tail are the ones allowed to fall outside
+        # the window (they were exact in CORRECTNESS_r04 + r05).
+        "lineitem_pricing_summary": q_lineitem_pricing_summary,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "top_nations_revenue": q_top_nations_revenue,
+        "shipping_priority": q_shipping_priority,
+        "part_type_revenue": q_part_type_revenue,
+        "returned_items_revenue": q_returned_items_revenue,
+        "volume_shipping": q_volume_shipping,
+        "large_orders": q_large_orders,
         "doc_content_filter": q_doc_content_filter,
         "doc_token_counts": q_doc_token_counts,
         "doc_lang_id": q_doc_lang_id,
@@ -1423,14 +1436,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_name_clusters": q_er_name_clusters,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
-        "lineitem_pricing_summary": q_lineitem_pricing_summary,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "top_nations_revenue": q_top_nations_revenue,
-        "shipping_priority": q_shipping_priority,
-        "part_type_revenue": q_part_type_revenue,
-        "returned_items_revenue": q_returned_items_revenue,
-        "volume_shipping": q_volume_shipping,
-        "large_orders": q_large_orders,
     }
 
 
