@@ -546,6 +546,64 @@ def main() -> None:
         n_images / max(queries["image_decode"], 1e-9), 1
     )
 
+    # --- native-codec injection (round 6: VERDICT r5 #4) --------------------
+    # Same corpus, same mapInPandas plan, but JPEG/WEBP route through the
+    # system libjpeg/libwebp via the image_features decoder seam
+    # (functions/nativecodecs.py) — bit-identical pixels (tests/
+    # test_nativecodecs.py), only the per-batch decode cost changes. This is
+    # the injection you run at 100 TB; the pure kernels remain the
+    # correctness anchor and the fallback for formats the native API
+    # rejects. The jpeg-only pair below isolates the kernel speedup from
+    # Amdahl dilution (PNG/BMP/GIF decode stays pure in both runs).
+    from graphrag_mrkr_2_spark.functions.nativecodecs import NativeImageDecoder
+
+    native_dec = NativeImageDecoder()
+    if native_dec.available_formats():
+        queries["image_decode_native"] = best_of_2(
+            lambda: image_features(image_payloads, strict=True, decoder=native_dec)
+            .where(F.size("feature") > 0)
+            .count(),
+            label="image_decode_native",
+        )
+        extras["decode_native_images_per_sec"] = round(
+            n_images / max(queries["image_decode_native"], 1e-9), 1
+        )
+        extras["decode_native_formats"] = list(native_dec.available_formats())
+        # 40x replication: at the suite's corpus size a jpeg-only job is
+        # task-overhead-dominated (tens of ms of scheduling vs ~1 ms of
+        # decode) and the kernel speedup is invisible; with ~78 images per
+        # task the decode cost dominates and the measured ratio reflects
+        # the kernels, which is what this extras pair isolates.
+        jpeg_only = (
+            image_payloads.where(F.col("media_id").endswith("_jpeg"))
+            .crossJoin(spark.range(40).select(F.col("id").alias("rep")))
+            .select(
+                F.concat_ws("_", "media_id", "rep").alias("media_id"),
+                "payload",
+                "kind",
+                "meta",
+            )
+            .repartition(cpus * 4)
+            .persist()
+        )
+        n_jpeg = jpeg_only.count()
+        t_pure = best_of_2(
+            lambda: image_features(jpeg_only, strict=True)
+            .where(F.size("feature") > 0)
+            .count(),
+            label="jpeg_decode_pure",
+        )
+        t_native = best_of_2(
+            lambda: image_features(jpeg_only, strict=True, decoder=native_dec)
+            .where(F.size("feature") > 0)
+            .count(),
+            label="jpeg_decode_native",
+        )
+        jpeg_only.unpersist()
+        extras["jpeg_decode_pure_sec"] = t_pure
+        extras["jpeg_decode_native_sec"] = t_native
+        extras["jpeg_decode_images"] = n_jpeg
+        extras["jpeg_native_speedup"] = round(t_pure / max(t_native, 1e-9), 2)
     image_payloads.unpersist()
 
     # --- corpus hygiene (round 3: textclean) --------------------------------
