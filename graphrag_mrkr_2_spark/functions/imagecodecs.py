@@ -635,6 +635,22 @@ def sniff_image(data: bytes) -> str | None:
         return "tiff"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return "webp"
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        # HEIF image family (every HEIF also sniffs as generic MP4, so this
+        # must classify here, before any video dispatch sees the payload)
+        brand = data[8:12]
+        if brand in (b"avif", b"avis"):
+            return "avif"
+        if brand in (b"heic", b"heix", b"heim", b"heis", b"hevc", b"hevx"):
+            return "heic"
+        if brand in (b"mif1", b"msf1"):
+            from graphrag_mrkr_2_spark.functions.mediaprobe import _ftyp_brands
+
+            brands = set(_ftyp_brands(data))
+            if brands & {b"avif", b"avis"}:
+                return "avif"
+            if brands & {b"heic", b"heix", b"heim", b"heis", b"hevc", b"hevx"}:
+                return "heic"
     return None
 
 
@@ -659,6 +675,13 @@ def decode_image(data: bytes) -> np.ndarray:
         from .webpcodec import decode_webp
 
         return decode_webp(data)
+    if fmt in ("avif", "heic"):
+        raise ValueError(
+            "AVIF/HEIC decode requires an AV1/HEVC codec library not present "
+            "in this environment — inject one through the image_features "
+            "decoder seam (functions/nativecodecs.py); metadata still probes "
+            "via mediaprobe.probe_heif"
+        )
     raise ValueError(
         "unrecognized image payload "
         "(supported: PNG, BMP, GIF, baseline JPEG, baseline TIFF, WEBP)"

@@ -62,6 +62,25 @@ def _find_box(data: bytes, start: int, end: int, path: tuple):
     return None
 
 
+def _mvhd_duration_ms(data: bytes, moov_start: int, moov_end: int):
+    """Presentation duration in ms from the mvhd inside [moov_start, moov_end),
+    or None when absent / flagged unknown (the spec's all-ones sentinel)."""
+    mvhd = _find_box(data, moov_start, moov_end, (b"mvhd",))
+    if mvhd is None:
+        return None
+    ps = mvhd[0]
+    version = data[ps]
+    if version == 1:
+        timescale, duration = struct.unpack_from(">IQ", data, ps + 20)
+        unknown = duration == 0xFFFFFFFFFFFFFFFF
+    else:
+        timescale, duration = struct.unpack_from(">II", data, ps + 12)
+        unknown = duration == 0xFFFFFFFF  # the spec's 'unknown' sentinel
+    if timescale and not unknown:
+        return int(duration * 1000 // timescale)
+    return None
+
+
 def probe_mp4(data: bytes) -> dict:
     """MP4/MOV: duration from mvhd, dims from the first video tkhd, codec
     from the first stsd sample entry (video preferred)."""
@@ -73,18 +92,7 @@ def probe_mp4(data: bytes) -> dict:
     if moov is None:
         return out  # streaming/fragmented file with moov beyond the prefix
     ms, me = moov
-    mvhd = _find_box(data, ms, me, (b"mvhd",))
-    if mvhd is not None:
-        ps = mvhd[0]
-        version = data[ps]
-        if version == 1:
-            timescale, duration = struct.unpack_from(">IQ", data, ps + 20)
-            unknown = duration == 0xFFFFFFFFFFFFFFFF
-        else:
-            timescale, duration = struct.unpack_from(">II", data, ps + 12)
-            unknown = duration == 0xFFFFFFFF  # the spec's 'unknown' sentinel
-        if timescale and not unknown:
-            out["duration_ms"] = int(duration * 1000 // timescale)
+    out["duration_ms"] = _mvhd_duration_ms(data, ms, me)
     video_seen = False
     for btype, ts, te in _walk_boxes(data, ms, me):
         if btype != b"trak":
@@ -110,6 +118,127 @@ def probe_mp4(data: bytes) -> dict:
             out["codec"] = entry_type.decode("ascii", "replace")
     if not video_seen and out["codec"] is not None:
         out["kind"] = "audio"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# AVIF / HEIC still images and sequences (ISO 23008-12 item boxes over BMFF)
+# ---------------------------------------------------------------------------
+
+_HEIF_BRANDS = {b"avif", b"avis", b"heic", b"heix", b"heim", b"heis",
+                b"hevc", b"hevx", b"mif1", b"msf1"}
+_HEIF_CODEC_PROPS = {b"av1C": "av1", b"hvcC": "hevc", b"vvcC": "vvc"}
+
+
+def _ftyp_brands(data: bytes) -> list:
+    """Major brand + compatible brands from a leading ftyp box."""
+    if len(data) < 16 or data[4:8] != b"ftyp":
+        return []
+    (size,) = struct.unpack_from(">I", data, 0)
+    end = min(size if size >= 16 else len(data), len(data))
+    return [data[pos:pos + 4] for pos in range(8, end - 3, 4)
+            if pos != 12]  # skip minor_version at offset 12
+
+
+def sniff_heif(data: bytes) -> bool:
+    """True when the ftyp major or compatible brands name a HEIF image
+    (AVIF/HEIC family). Must be sniffed BEFORE generic MP4 — every HEIF
+    file also satisfies sniff_mp4."""
+    return any(b in _HEIF_BRANDS for b in _ftyp_brands(data))
+
+
+def _pitm_item_id(data: bytes, ms: int, me: int):
+    """Primary item ID from the pitm FullBox, or None."""
+    pitm = _find_box(data, ms, me, (b"pitm",))
+    if pitm is None:
+        return None
+    ps, pe = pitm
+    if data[ps] == 0 and pe - ps >= 6:
+        return struct.unpack_from(">H", data, ps + 4)[0]
+    if data[ps] >= 1 and pe - ps >= 8:
+        return struct.unpack_from(">I", data, ps + 4)[0]
+    return None
+
+
+def _ipma_property_indices(data: bytes, ms: int, me: int, item_id: int):
+    """1-based ipco child indices associated with item_id (ipma FullBox;
+    flags&1 selects 15-bit vs 7-bit property indices)."""
+    ipma = _find_box(data, ms, me, (b"iprp", b"ipma"))
+    if ipma is None or item_id is None:
+        return []
+    ps, pe = ipma
+    version = data[ps]
+    flags = struct.unpack_from(">I", data, ps)[0] & 0xFFFFFF
+    pos = ps + 4
+    (count,) = struct.unpack_from(">I", data, pos)
+    pos += 4
+    for _ in range(count):
+        if pos >= pe:
+            break
+        if version < 1:
+            (iid,) = struct.unpack_from(">H", data, pos)
+            pos += 2
+        else:
+            (iid,) = struct.unpack_from(">I", data, pos)
+            pos += 4
+        assoc_count = data[pos]
+        pos += 1
+        idxs = []
+        for _ in range(assoc_count):
+            if flags & 1:
+                (raw,) = struct.unpack_from(">H", data, pos)
+                pos += 2
+                idxs.append(raw & 0x7FFF)  # bit 15 = essential flag
+            else:
+                raw = data[pos]
+                pos += 1
+                idxs.append(raw & 0x7F)  # bit 7 = essential flag
+        if iid == item_id:
+            return [i for i in idxs if i]  # index 0 = "no property"
+    return []
+
+
+def probe_heif(data: bytes) -> dict:
+    """AVIF/HEIC: dims from the PRIMARY item's ispe property — resolved
+    pitm → ipma → ipco index, because real encoders put the alpha/thumb
+    item's ispe first in ipco; falls back to the first ispe when the
+    association walk fails. Codec from the av1C/hvcC/vvcC config property
+    (brand fallback), duration from the moov mvhd for image sequences
+    (avis/msf1 animated AVIF)."""
+    if not sniff_heif(data):
+        raise ValueError("not a HEIF/AVIF (no HEIF brand in ftyp)")
+    out = {"kind": "image", "codec": None, "width": None, "height": None,
+           "duration_ms": None}
+    meta = _find_box(data, 0, len(data), (b"meta",))
+    if meta is not None:
+        ms, me = meta[0] + 4, meta[1]  # meta is a FullBox: skip version/flags
+        ipco = _find_box(data, ms, me, (b"iprp", b"ipco"))
+        if ipco is not None:
+            props = list(_walk_boxes(data, ipco[0], ipco[1]))
+            try:
+                assoc = _ipma_property_indices(
+                    data, ms, me, _pitm_item_id(data, ms, me))
+            except Exception:
+                assoc = []  # malformed ipma/pitm: fall back to ipco order
+            pool = [props[i - 1] for i in assoc if 0 < i <= len(props)]
+            pool += props  # primary item's properties take precedence
+            for btype, ps, pe in pool:
+                if btype == b"ispe" and pe - ps >= 12 and out["width"] is None:
+                    w, h = struct.unpack_from(">II", data, ps + 4)
+                    out["width"], out["height"] = int(w), int(h)
+                elif out["codec"] is None and btype in _HEIF_CODEC_PROPS:
+                    out["codec"] = _HEIF_CODEC_PROPS[btype]
+    if out["codec"] is None:
+        brands = set(_ftyp_brands(data))
+        if brands & {b"avif", b"avis"}:
+            out["codec"] = "av1"
+        elif brands & (_HEIF_BRANDS - {b"avif", b"avis", b"mif1", b"msf1"}):
+            out["codec"] = "hevc"
+    # animated AVIF / HEIF sequence: a moov track carries the timing, same
+    # convention as animated GIF/WEBP (kind stays image, duration_ms set)
+    moov = _find_box(data, 0, len(data), (b"moov",))
+    if moov is not None:
+        out["duration_ms"] = _mvhd_duration_ms(data, moov[0], moov[1])
     return out
 
 

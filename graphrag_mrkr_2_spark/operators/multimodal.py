@@ -648,8 +648,8 @@ def probe_media(payload: bytes) -> dict:
     """Sniff kind/codec and extract REAL container metadata (dims, sample
     rate, duration) from a raw payload — header-only reads, no full decode:
     PNG IHDR, BMP/GIF headers, JPEG SOF scan, TIFF IFD, WEBP VP8L/VP8/VP8X
-    headers, WAV fmt chunk, AVI avih. Unknown payloads come back kind=None
-    (quarantine upstream)."""
+    headers, AVIF/HEIC item properties (pitm->ipma->ispe), WAV fmt chunk,
+    AVI avih. Unknown payloads come back kind=None (quarantine upstream)."""
     import struct as _struct
 
     from graphrag_mrkr_2_spark.functions.audiocodecs import sniff_audio
@@ -659,6 +659,20 @@ def probe_media(payload: bytes) -> dict:
     out = {"kind": None, "codec": None, "width": None, "height": None,
            "duration_ms": None, "sample_rate": None, "channels": None}
     img = sniff_image(payload)
+    if img in ("avif", "heic"):
+        # HEIF family: real dims/codec/duration from the item-property walk
+        # (primary item's ispe via pitm→ipma); decode stays the codec seam
+        out["kind"] = "image"
+        out["codec"] = "av1" if img == "avif" else "hevc"
+        try:
+            from graphrag_mrkr_2_spark.functions.mediaprobe import probe_heif
+
+            info = probe_heif(payload)
+            out.update({k: v for k, v in info.items()
+                        if k in out and v is not None})
+        except Exception:
+            pass  # header-probe failure: keep the sniffed kind/codec
+        return _clean_probe(out)
     if img:
         out["kind"], out["codec"] = "image", img
         try:

@@ -454,3 +454,140 @@ class TestMkvHardening:
         assert out["kind"] == "video" and out["codec"] == "vp8"
         assert (out["width"], out["height"]) == (320, 240)
         assert out["sample_rate"] is None and out["channels"] is None
+
+
+# ---------------------------------------------------------------------------
+# AVIF / HEIC (ISO 23008-12 item-property boxes; VERDICT r5 #6)
+# ---------------------------------------------------------------------------
+
+
+def _fullbox(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(fourcc, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+
+def _heif(major=b"avif", compat=(b"avif", b"mif1", b"miaf"), width=320,
+          height=200, codec_prop=b"av1C", alpha_first=True, with_ipma=True,
+          primary=1, moov_duration=None, ipma_flags=0) -> bytes:
+    """Minimal HEIF per ISO 23008-12: ftyp + meta(pitm + iprp(ipco+ipma)).
+
+    With alpha_first=True the ipco leads with the ALPHA item's 64x64 ispe —
+    the real-encoder layout that makes first-ispe heuristics report the
+    alpha plane's dims; only the pitm→ipma walk finds the primary item's."""
+    ftyp = _box(b"ftyp", major + b"\x00\x00\x00\x00" + b"".join(compat))
+    props = []
+    if alpha_first:
+        props.append(_fullbox(b"ispe", 0, 0, struct.pack(">II", 64, 64)))
+    if codec_prop is not None:
+        props.append(_box(codec_prop, b"\x81\x04\x0c\x00"))
+    props.append(_fullbox(b"ispe", 0, 0, struct.pack(">II", width, height)))
+    ipco = _box(b"ipco", b"".join(props))
+    n = len(props)
+    ispe_idx = n  # the primary item's ispe is the last property
+    codec_idx = n - 1 if codec_prop is not None else 0
+    if ipma_flags & 1:
+        assoc = struct.pack(">HB", primary, 2 if codec_idx else 1)
+        assoc += struct.pack(">H", ispe_idx)
+        if codec_idx:
+            assoc += struct.pack(">H", 0x8000 | codec_idx)  # essential
+    else:
+        assoc = struct.pack(">HB", primary, 2 if codec_idx else 1)
+        assoc += bytes([ispe_idx])
+        if codec_idx:
+            assoc += bytes([0x80 | codec_idx])  # essential bit
+    ipma = (_fullbox(b"ipma", 0, ipma_flags, struct.pack(">I", 1) + assoc)
+            if with_ipma else b"")
+    iprp = _box(b"iprp", ipco + ipma)
+    pitm = _fullbox(b"pitm", 0, 0, struct.pack(">H", primary))
+    meta = _fullbox(b"meta", 0, 0, pitm + iprp)
+    out = ftyp + meta
+    if moov_duration is not None:
+        mvhd = _fullbox(b"mvhd", 0, 0, b"\x00" * 8
+                        + struct.pack(">II", 1000, moov_duration)
+                        + b"\x00" * 80)
+        out += _box(b"moov", mvhd)
+    return out + _box(b"mdat", b"\x00" * 8)
+
+
+class TestHeif:
+    def test_sniff(self):
+        from graphrag_mrkr_2_spark.functions.mediaprobe import sniff_heif
+
+        assert sniff_heif(_heif())
+        assert sniff_heif(_heif(major=b"heic", codec_prop=b"hvcC"))
+        # generic mif1 major, avif only in compatible brands
+        assert sniff_heif(_heif(major=b"mif1", compat=(b"avif", b"miaf")))
+        assert not sniff_heif(_mp4())  # plain video MP4 is not HEIF
+        assert sniff_mp4(_heif())  # ...but HEIF sniffs as MP4: order matters
+
+    def test_primary_item_dims_not_alpha(self):
+        from graphrag_mrkr_2_spark.functions.mediaprobe import probe_heif
+
+        out = probe_heif(_heif(width=320, height=200, alpha_first=True))
+        assert out == {"kind": "image", "codec": "av1", "width": 320,
+                       "height": 200, "duration_ms": None}
+
+    def test_heic_codec(self):
+        from graphrag_mrkr_2_spark.functions.mediaprobe import probe_heif
+
+        out = probe_heif(_heif(major=b"heic", compat=(b"mif1",),
+                               codec_prop=b"hvcC", width=4032, height=3024))
+        assert out["codec"] == "hevc"
+        assert (out["width"], out["height"]) == (4032, 3024)
+
+    def test_codec_falls_back_to_brand(self):
+        from graphrag_mrkr_2_spark.functions.mediaprobe import probe_heif
+
+        out = probe_heif(_heif(codec_prop=None))
+        assert out["codec"] == "av1"
+
+    def test_no_ipma_falls_back_to_first_ispe(self):
+        from graphrag_mrkr_2_spark.functions.mediaprobe import probe_heif
+
+        out = probe_heif(_heif(with_ipma=False))
+        assert (out["width"], out["height"]) == (64, 64)  # documented fallback
+
+    def test_wide_property_indices(self):
+        from graphrag_mrkr_2_spark.functions.mediaprobe import probe_heif
+
+        out = probe_heif(_heif(ipma_flags=1, width=777, height=555))
+        assert (out["width"], out["height"]) == (777, 555)
+
+    def test_animated_avif_duration(self):
+        from graphrag_mrkr_2_spark.functions.mediaprobe import probe_heif
+
+        out = probe_heif(_heif(major=b"avis", moov_duration=2500))
+        assert out["kind"] == "image" and out["duration_ms"] == 2500
+
+    def test_malformed_ipma_quarantines_to_fallback(self):
+        from graphrag_mrkr_2_spark.functions.mediaprobe import probe_heif
+
+        data = bytearray(_heif())
+        at = bytes(data).index(b"ipma") - 4
+        # truncate the ipma payload mid-entry: size says 9 bytes of payload
+        data[at:at + 4] = struct.pack(">I", 8 + 9)
+        out = probe_heif(bytes(data))
+        assert out["kind"] == "image"  # no crash; dims from fallback or None
+
+    def test_probe_media_dispatch(self):
+        out = probe_media(_heif(width=320, height=200))
+        assert out["kind"] == "image" and out["codec"] == "av1"
+        assert (out["width"], out["height"]) == (320, 200)
+        # and plain MP4 still routes to video after the HEIF carve-out
+        assert probe_media(_mp4())["kind"] == "video"
+
+    def test_probe_media_heic(self):
+        out = probe_media(_heif(major=b"heic", codec_prop=b"hvcC"))
+        assert out["kind"] == "image" and out["codec"] == "hevc"
+
+    def test_sniff_image_classifies_heif(self):
+        from graphrag_mrkr_2_spark.functions.imagecodecs import (
+            decode_image,
+            sniff_image,
+        )
+
+        assert sniff_image(_heif()) == "avif"
+        assert sniff_image(_heif(major=b"heic", codec_prop=b"hvcC")) == "heic"
+        assert sniff_image(_heif(major=b"mif1", compat=(b"heic",))) == "heic"
+        assert sniff_image(_mp4()) is None
+        with pytest.raises(ValueError, match="decoder seam"):
+            decode_image(_heif())
