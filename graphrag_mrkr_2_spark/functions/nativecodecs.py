@@ -290,7 +290,7 @@ class NativeImageDecoder:
     handles (e.g. animated WEBP, which libwebp's one-shot API rejects).
     """
 
-    def __init__(self, formats: tuple = ("jpeg", "webp")):
+    def __init__(self, formats: tuple = ("jpeg", "webp", "avif", "heic")):
         self.formats = tuple(formats)
 
     def __call__(self, payload: bytes, fmt: str) -> Optional[np.ndarray]:
@@ -298,13 +298,32 @@ class NativeImageDecoder:
             return decode_jpeg_native(payload)
         if fmt == "webp" and "webp" in self.formats:
             return decode_webp_native(payload)
+        if fmt in ("avif", "heic") and fmt in self.formats:
+            # AVIF/HEIC have NO pure-kernel fallback (a full AV1/HEVC
+            # decoder is out of scope) — without this injection the
+            # operator quarantines them, so unlike jpeg/webp this branch
+            # WIDENS coverage rather than just accelerating it. None on
+            # missing libheif keeps the quarantine semantics.
+            from graphrag_mrkr_2_spark.functions.heifcodec import (
+                decode_heif_native,
+                heif_available,
+            )
+
+            if not heif_available(fmt):
+                return None
+            return decode_heif_native(payload)
         return None
 
     def available_formats(self) -> tuple:
         """Formats this host can actually accelerate (for logging/bench)."""
+        from graphrag_mrkr_2_spark.functions.heifcodec import heif_available
+
         out = []
         if "jpeg" in self.formats and jpeg_available():
             out.append("jpeg")
         if "webp" in self.formats and webp_available():
             out.append("webp")
+        for fmt in ("avif", "heic"):
+            if fmt in self.formats and heif_available(fmt):
+                out.append(fmt)
         return tuple(out)

@@ -217,9 +217,12 @@ def image_features(
     through the pure-stdlib kernels (functions/imagecodecs.py + jpegcodec
     + tiffcodec + webpcodec + vp8codec — r4/r5, VERDICT r3 #5 + r4 missing
     #4); the feature is a luminance histogram
-    over the actual pixels. Unrecognized payloads (AVIF — the
-    remaining codec seam): strict=True raises NotImplementedError,
-    strict=False falls back to the deterministic fake. Corrupt or
+    over the actual pixels. AVIF/HEIC classify via sniff_image but have no
+    pure kernel (a full AV1/HEVC decoder is out of scope) — they decode
+    only through an injected ``decoder`` (NativeImageDecoder routes them to
+    the system libheif, bit-exact per tests/test_heifcodec.py); without
+    one, strict=True raises and strict=False falls back to the
+    deterministic fake. Corrupt or
     unsupported-variant payloads of a RECOGNIZED container (lossless
     JPEG, truncated files) quarantine to the same fake fallback
     (or re-raise under strict) so one bad file can't fail a 100 TB job.
