@@ -127,6 +127,8 @@ def _load_heif():
             _sig(lib, "heif_encoder_set_lossless", _HeifError, [vp, i])
             _sig(lib, "heif_encoder_set_parameter_string", _HeifError,
                  [vp, ctypes.c_char_p, ctypes.c_char_p])
+            _sig(lib, "heif_encoder_set_parameter_integer", _HeifError,
+                 [vp, ctypes.c_char_p, i])
             _sig(lib, "heif_image_create", _HeifError, [i, i, i, i, p(vp)])
             _sig(lib, "heif_image_add_plane", _HeifError, [vp, i, i, i, i])
             _sig(lib, "heif_image_get_plane", u8p, [vp, i, p(i)])
@@ -252,6 +254,19 @@ def encode_heif_lossless(px: np.ndarray, fmt: str = "avif") -> bytes:
         _check(lib.heif_encoder_set_lossless(enc, 1), "set lossless")
         _check(lib.heif_encoder_set_parameter_string(
             enc, b"chroma", b"444"), "chroma=444")
+        # fastest settings: this is a fixture encoder — losslessness is a
+        # property of the quantizer config, not the speed preset, and the
+        # decode side (the thing under test) is unaffected. Measured at
+        # 16x12: aom 3.9→2.6 ms (speed 9), x265 71.7→51.8 ms (ultrafast).
+        try:
+            if comp == _COMPRESSION_AV1:
+                _check(lib.heif_encoder_set_parameter_integer(
+                    enc, b"speed", 9), "speed")
+            else:
+                _check(lib.heif_encoder_set_parameter_string(
+                    enc, b"preset", b"ultrafast"), "preset")
+        except ValueError:
+            pass  # older plugin without the tuning knob: just slower
         _check(lib.heif_image_create(
             w, h, _COLORSPACE_RGB, chroma, ctypes.byref(img)), "image")
         _check(lib.heif_image_add_plane(

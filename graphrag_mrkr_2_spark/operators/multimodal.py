@@ -478,6 +478,78 @@ def image_roundtrip_checksums(
     return df.select(F.col(id_col)).mapInPandas(_roundtrip, IMAGE_ROUNDTRIP_SCHEMA)
 
 
+HEIF_ROUNDTRIP_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("avif_checksum", StringType(), True),
+        StructField("heic_checksum", StringType(), True),
+    ]
+)
+
+
+def heif_roundtrip_checksums(
+    df: DataFrame, id_col: str = "doc_id", width: int = 16, height: int = 12
+) -> DataFrame:
+    """Driver-oracle kernel for the libheif injection (r6, VERDICT r5 #6):
+    per id, the same deterministic pixels as image_roundtrip_checksums
+    (val(r,c,ch) = (id*7 + r*31 + c*13 + ch*5) mod 256) are encoded to
+    REAL lossless AVIF (aom) and HEIC (x265) payloads and decoded back
+    through the ctypes libheif binding (dav1d/de265); each column carries
+    the position-weighted checksum of the DECODED pixels as a string.
+    DuckDB recomputes the sum straight from the formula, so a match proves
+    the full encode→YCbCr-identity→AV1/HEVC→decode chain is bit-exact
+    through the Arrow mapInPandas plumbing. Requires libheif with both
+    encoder and decoder plugins (present in this container; asserted
+    loudly rather than silently skipping, so a missing codec shows up as
+    a red driver row, not a vacuous green)."""
+    from graphrag_mrkr_2_spark.functions.heifcodec import (
+        decode_heif_native,
+        encode_heif_lossless,
+    )
+
+    weights = (
+        np.arange(height * width * 3, dtype=np.int64).reshape(height, width, 3) + 1
+    )
+    r_idx = np.arange(height, dtype=np.int64)[:, None, None]
+    c_idx = np.arange(width, dtype=np.int64)[None, :, None]
+    ch_idx = np.arange(3, dtype=np.int64)[None, None, :]
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                doc_id = int(getattr(rec, id_col))
+                px = (
+                    (doc_id * 7 + r_idx * 31 + c_idx * 13 + ch_idx * 5) % 256
+                ).astype(np.uint8)
+                sums = {}
+                for fmt in ("avif", "heic"):
+                    back = decode_heif_native(
+                        encode_heif_lossless(px, fmt=fmt)
+                    ).astype(np.int64)
+                    sums[fmt] = str(int((back * weights).sum()))
+                rows.append(
+                    {
+                        "doc_id": str(doc_id),
+                        "width": width,
+                        "height": height,
+                        "avif_checksum": sums["avif"],
+                        "heic_checksum": sums["heic"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "avif_checksum", "heic_checksum",
+                ],
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(_roundtrip, HEIF_ROUNDTRIP_SCHEMA)
+
+
 AUDIO_ROUNDTRIP_SCHEMA = StructType(
     [
         StructField("doc_id", StringType(), False),
