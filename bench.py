@@ -559,14 +559,17 @@ def main() -> None:
 
     native_dec = NativeImageDecoder()
     if native_dec.available_formats():
-        queries["image_decode_native"] = best_of_2(
+        # extras, NOT queries: the headline suite total must stay
+        # comparable round-over-round and host-independent — this section
+        # only runs where gcc/libjpeg/libwebp/libheif exist (review r6 #5)
+        extras["image_decode_native_sec"] = best_of_2(
             lambda: image_features(image_payloads, strict=True, decoder=native_dec)
             .where(F.size("feature") > 0)
             .count(),
             label="image_decode_native",
         )
         extras["decode_native_images_per_sec"] = round(
-            n_images / max(queries["image_decode_native"], 1e-9), 1
+            n_images / max(extras["image_decode_native_sec"], 1e-9), 1
         )
         extras["decode_native_formats"] = list(native_dec.available_formats())
         # 40x replication: at the suite's corpus size a jpeg-only job is

@@ -34,7 +34,6 @@ import ctypes.util
 import os
 import tempfile
 import threading
-from typing import Optional
 
 import numpy as np
 
@@ -103,7 +102,9 @@ def _load_heif():
                 break
             except OSError:
                 continue
-        if lib is not None:
+        try:
+            if lib is None:
+                raise AttributeError("libheif not loadable")
             p, vp, i = ctypes.POINTER, ctypes.c_void_p, ctypes.c_int
             u8p = p(ctypes.c_uint8)
             _sig(lib, "heif_context_alloc", vp, [])
@@ -141,6 +142,11 @@ def _load_heif():
                  [vp, ctypes.c_char_p])
             _sig(lib, "heif_encoding_options_alloc", vp, [])
             _sig(lib, "heif_encoding_options_free", None, [vp])
+        except AttributeError:
+            # a libheif too old to export every bound symbol (e.g. 1.6.x
+            # predates heif_have_decoder_for_format) is "unavailable", not
+            # a crash — callers check for None (review r6 finding #1)
+            lib = None
         _STATE["heif"] = lib
         return lib
 

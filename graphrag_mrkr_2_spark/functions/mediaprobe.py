@@ -131,11 +131,19 @@ _HEIF_CODEC_PROPS = {b"av1C": "av1", b"hvcC": "hevc", b"vvcC": "vvc"}
 
 
 def _ftyp_brands(data: bytes) -> list:
-    """Major brand + compatible brands from a leading ftyp box."""
+    """Major brand + compatible brands from a leading ftyp box.
+
+    A malformed size (< 16, incl. the 0/1 to-EOF/64-bit escapes a real
+    ftyp never uses) returns [] rather than scanning arbitrary payload
+    bytes as brands (review r6 finding #4 — an adversarial MP4 body
+    containing the bytes 'avif' must not reroute a video to the image
+    path)."""
     if len(data) < 16 or data[4:8] != b"ftyp":
         return []
     (size,) = struct.unpack_from(">I", data, 0)
-    end = min(size if size >= 16 else len(data), len(data))
+    if size < 16:
+        return []
+    end = min(size, len(data))
     return [data[pos:pos + 4] for pos in range(8, end - 3, 4)
             if pos != 12]  # skip minor_version at offset 12
 
@@ -235,10 +243,15 @@ def probe_heif(data: bytes) -> dict:
         elif brands & (_HEIF_BRANDS - {b"avif", b"avis", b"mif1", b"msf1"}):
             out["codec"] = "hevc"
     # animated AVIF / HEIF sequence: a moov track carries the timing, same
-    # convention as animated GIF/WEBP (kind stays image, duration_ms set)
-    moov = _find_box(data, 0, len(data), (b"moov",))
-    if moov is not None:
-        out["duration_ms"] = _mvhd_duration_ms(data, moov[0], moov[1])
+    # convention as animated GIF/WEBP (kind stays image, duration_ms set).
+    # Guarded: a truncated mdat (bounded-prefix reads) must not discard the
+    # dims/codec already parsed from meta (review r6 finding #2)
+    try:
+        moov = _find_box(data, 0, len(data), (b"moov",))
+        if moov is not None:
+            out["duration_ms"] = _mvhd_duration_ms(data, moov[0], moov[1])
+    except Exception:
+        pass
     return out
 
 

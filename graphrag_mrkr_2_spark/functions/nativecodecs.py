@@ -72,14 +72,9 @@ def _load_webp():
                 break
             except OSError:
                 continue
-        if lib is not None:
-            lib.WebPGetInfo.restype = ctypes.c_int
-            lib.WebPGetInfo.argtypes = [
-                ctypes.c_char_p,
-                ctypes.c_size_t,
-                ctypes.POINTER(ctypes.c_int),
-                ctypes.POINTER(ctypes.c_int),
-            ]
+        try:
+            if lib is None:
+                raise AttributeError("libwebp not loadable")
             lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
             lib.WebPDecodeRGBA.argtypes = [
                 ctypes.c_char_p,
@@ -89,6 +84,10 @@ def _load_webp():
             ]
             lib.WebPFree.restype = None
             lib.WebPFree.argtypes = [ctypes.c_void_p]
+        except AttributeError:
+            # a libwebp too old to export every bound symbol (WebPFree
+            # needs >= 0.5) is "unavailable", not a crash (review r6 #1)
+            lib = None
         _STATE["webp"] = lib
         return lib
 
@@ -196,7 +195,11 @@ def _compile_jpeg_shim(cache: str) -> Optional[str]:
     if os.path.exists(so_path):
         return so_path
     os.makedirs(cache, exist_ok=True)
-    src_path = os.path.join(cache, _SHIM_BASENAME + ".c")
+    # pid-suffix the SOURCE too: N worker processes racing here must not
+    # truncate the .c file mid-gcc of a sibling — a lost race would cache
+    # lib=None for that worker's lifetime and silently skew the
+    # native-vs-pure bench pair (review r6 finding #3)
+    src_path = os.path.join(cache, f"{_SHIM_BASENAME}.{os.getpid()}.c")
     tmp_so = so_path + f".tmp.{os.getpid()}"
     try:
         with open(src_path, "w") as fh:
@@ -215,6 +218,11 @@ def _compile_jpeg_shim(cache: str) -> Optional[str]:
         except OSError:
             pass
         return None
+    finally:
+        try:
+            os.unlink(src_path)
+        except OSError:
+            pass
 
 
 def _load_jpeg_shim():

@@ -568,6 +568,29 @@ class TestHeif:
         out = probe_heif(bytes(data))
         assert out["kind"] == "image"  # no crash; dims from fallback or None
 
+    def test_truncated_mdat_keeps_meta_dims(self):
+        # bounded-prefix read: the trailing mdat overruns, but dims/codec
+        # already parsed from meta must survive (review r6 finding #2)
+        from graphrag_mrkr_2_spark.functions.mediaprobe import probe_heif
+
+        data = _heif(width=320, height=200)
+        out = probe_heif(data[:-8])  # cut into the mdat box
+        assert (out["width"], out["height"]) == (320, 200)
+        assert out["codec"] == "av1"
+
+    def test_malformed_ftyp_size_is_not_heif(self):
+        # adversarial: ftyp size < 16 must not scan the payload body for
+        # brand bytes (review r6 finding #4)
+        from graphrag_mrkr_2_spark.functions.mediaprobe import sniff_heif
+
+        data = bytearray(_mp4())
+        data[0:4] = struct.pack(">I", 12)  # corrupt the ftyp size
+        evil = bytes(data) + b"avif" * 4  # brand bytes in the body
+        assert not sniff_heif(evil)
+        from graphrag_mrkr_2_spark.functions.imagecodecs import sniff_image
+
+        assert sniff_image(evil) is None
+
     def test_probe_media_dispatch(self):
         out = probe_media(_heif(width=320, height=200))
         assert out["kind"] == "image" and out["codec"] == "av1"
