@@ -4,7 +4,7 @@ entry(spark)    — flagship KG-construction run on a deterministic synthetic
                   pages table (BASELINE.json input_hint shape) → triples DF.
 queries()       — one entry per implemented operator family (SURVEY.md §2 +
                   the training-data suite); each callable (spark, sf_dir) →
-                  DataFrame. 59 queries, 51 with exact DuckDB oracles.
+                  DataFrame. 60 queries, 52 with exact DuckDB oracles.
 oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
                   KG-pipeline queries (chunking/extraction/canonicalization/
                   communities) are not ANSI-SQL-expressible → rows-only check
@@ -1070,6 +1070,26 @@ def q_heif_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_av1_video_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AV1-in-WebM video decode (r6) with an EXACT oracle: per doc, 3
+    deterministic formula frames are encoded to REAL lossless identity AV1
+    OBUs (libheif/aom), muxed into a REAL minimal WebM, demuxed from its
+    SimpleBlocks, and decoded through the ctypes dav1d binding (itself
+    A/B'd plane-identical against libaom's independent decoder in
+    tests/test_av1codec.py); the frame+position-weighted checksum of the
+    DECODED frames must equal the formula sum DuckDB computes directly.
+    Reference has no video ingestion at all — this is the LLM-pipeline
+    multimodal leg."""
+    from graphrag_mrkr_2_spark.operators.multimodal import av1_roundtrip_checksums
+
+    ids = _docs(spark, sf_dir).select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return av1_roundtrip_checksums(
+        ids, id_col="doc_id", n_frames=3, width=16, height=12
+    ).orderBy("doc_id")
+
+
 def q_audio_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV codec kernel (functions/audiocodecs.py, r4) with an EXACT oracle:
     per doc, deterministic formula int16 samples are encoded to REAL
@@ -1442,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_image_text": q_ocr_image_text,
         "image_decode_roundtrip": q_image_decode_roundtrip,
         "heif_decode_roundtrip": q_heif_decode_roundtrip,
+        "av1_video_roundtrip": q_av1_video_roundtrip,
         "audio_decode_roundtrip": q_audio_decode_roundtrip,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_repetition": q_doc_repetition,
@@ -2129,6 +2150,21 @@ def oracle_sql() -> dict[str, str]:
                              * ((r.r*16 + c.c)*3 + ch.ch + 1)) AS BIGINT) AS VARCHAR)
                      AS heic_checksum
             FROM documents d,
+                 generate_series(0, 11) r(r),
+                 generate_series(0, 15) c(c),
+                 generate_series(0, 2) ch(ch)
+            GROUP BY d.doc_id ORDER BY doc_id
+        """,
+        # AV1-in-WebM: DuckDB computes the frame-formula checksum directly;
+        # Spark must reproduce it through real OBU mux/demux/dav1d decode
+        "av1_video_roundtrip": """
+            SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+                   3 AS n_frames, 16 AS width, 12 AS height,
+                   CAST(CAST(SUM(((d.doc_id*7 + f.f*97 + r.r*31 + c.c*13 + ch.ch*5) % 256)
+                             * (f.f*576 + (r.r*16 + c.c)*3 + ch.ch + 1)) AS BIGINT) AS VARCHAR)
+                     AS av1_checksum
+            FROM documents d,
+                 generate_series(0, 2) f(f),
                  generate_series(0, 11) r(r),
                  generate_series(0, 15) c(c),
                  generate_series(0, 2) ch(ch)

@@ -221,7 +221,8 @@ def decode_heif_native(data: bytes) -> np.ndarray:
         lib.heif_context_free(ctx)
 
 
-def encode_heif_lossless(px: np.ndarray, fmt: str = "avif") -> bytes:
+def encode_heif_lossless(px: np.ndarray, fmt: str = "avif",
+                         chroma: str = "444") -> bytes:
     """Encode ``(h, w, 1|3|4) uint8`` pixels to a LOSSLESS AVIF/HEIC payload.
 
     Test-fixture path (conformance corpus + probe oracles), not a pipeline
@@ -233,6 +234,10 @@ def encode_heif_lossless(px: np.ndarray, fmt: str = "avif") -> bytes:
     must be set on the IMAGE (the encoding-options nclx is ignored for the
     conversion), and the encoding options must be the alloc'd defaults —
     passing NULL options silently drops the alpha plane.
+
+    ``chroma='420'`` trades the RGB bit-exactness away (subsampling) for
+    layout coverage — fixtures that exercise decoders' 4:2:0 path, the
+    layout real crawl video actually uses.
     """
     lib = _load_heif()
     if lib is None:
@@ -246,7 +251,8 @@ def encode_heif_lossless(px: np.ndarray, fmt: str = "avif") -> bytes:
     px = np.ascontiguousarray(px, dtype=np.uint8)
     h, w = px.shape[:2]
     channels = px.shape[2]
-    chroma = _CHROMA_INTERLEAVED_RGBA if channels == 4 else _CHROMA_INTERLEAVED_RGB
+    interleave = (_CHROMA_INTERLEAVED_RGBA if channels == 4
+                  else _CHROMA_INTERLEAVED_RGB)
     comp = _COMPRESSION_AV1 if fmt == "avif" else _COMPRESSION_HEVC
     ctx = lib.heif_context_alloc()
     enc = ctypes.c_void_p()
@@ -259,7 +265,7 @@ def encode_heif_lossless(px: np.ndarray, fmt: str = "avif") -> bytes:
             ctx, comp, ctypes.byref(enc)), "get encoder")
         _check(lib.heif_encoder_set_lossless(enc, 1), "set lossless")
         _check(lib.heif_encoder_set_parameter_string(
-            enc, b"chroma", b"444"), "chroma=444")
+            enc, b"chroma", chroma.encode()), "chroma")
         # fastest settings: this is a fixture encoder — losslessness is a
         # property of the quantizer config, not the speed preset, and the
         # decode side (the thing under test) is unaffected. Measured at
@@ -274,7 +280,7 @@ def encode_heif_lossless(px: np.ndarray, fmt: str = "avif") -> bytes:
         except ValueError:
             pass  # older plugin without the tuning knob: just slower
         _check(lib.heif_image_create(
-            w, h, _COLORSPACE_RGB, chroma, ctypes.byref(img)), "image")
+            w, h, _COLORSPACE_RGB, interleave, ctypes.byref(img)), "image")
         _check(lib.heif_image_add_plane(
             img, _CHANNEL_INTERLEAVED, w, h, 8), "plane")
         stride = ctypes.c_int()
@@ -282,13 +288,16 @@ def encode_heif_lossless(px: np.ndarray, fmt: str = "avif") -> bytes:
             img, _CHANNEL_INTERLEAVED, ctypes.byref(stride))
         np.ctypeslib.as_array(ptr, shape=(h, stride.value))[:, : w * channels] = \
             px.reshape(h, w * channels)
-        nclx = lib.heif_nclx_color_profile_alloc()
-        prof = _Nclx.from_address(nclx)
-        prof.color_primaries = 1  # BT.709 (cosmetic — identity ignores it)
-        prof.transfer_characteristics = 13  # sRGB
-        prof.matrix_coefficients = 0  # identity / GBR: the lossless key
-        prof.full_range_flag = 1
-        _check(lib.heif_image_set_nclx_color_profile(img, nclx), "nclx")
+        if chroma == "444":
+            nclx = lib.heif_nclx_color_profile_alloc()
+            prof = _Nclx.from_address(nclx)
+            prof.color_primaries = 1  # BT.709 (cosmetic under identity)
+            prof.transfer_characteristics = 13  # sRGB
+            prof.matrix_coefficients = 0  # identity / GBR: the lossless key
+            prof.full_range_flag = 1
+            _check(lib.heif_image_set_nclx_color_profile(img, nclx), "nclx")
+        # 420: identity (GBR) is spec-illegal with subsampling — libheif
+        # ABORTS on it; let the default BT.601 conversion apply instead
         opts = lib.heif_encoding_options_alloc()
         _check(lib.heif_context_encode_image(
             ctx, img, enc, opts, ctypes.byref(handle)), "encode")
