@@ -4,7 +4,7 @@ entry(spark)    — flagship KG-construction run on a deterministic synthetic
                   pages table (BASELINE.json input_hint shape) → triples DF.
 queries()       — one entry per implemented operator family (SURVEY.md §2 +
                   the training-data suite); each callable (spark, sf_dir) →
-                  DataFrame. 60 queries, 52 with exact DuckDB oracles.
+                  DataFrame. 61 queries, 53 with exact DuckDB oracles.
 oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
                   KG-pipeline queries (chunking/extraction/canonicalization/
                   communities) are not ANSI-SQL-expressible → rows-only check
@@ -1090,6 +1090,26 @@ def q_av1_video_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_hevc_video_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEVC-in-MP4 video decode (r6) with an EXACT oracle: per doc, 3
+    deterministic formula frames are encoded to REAL lossless identity-GBR
+    HEVC samples (libheif/x265), muxed into a REAL minimal MP4 (hvc1
+    sample entry + hvcC + stts/stsc/stsz/stco, functions/mp4mux.py),
+    demuxed back through the sample-table walk, and decoded through the
+    ctypes libde265 binding (functions/hevccodec.py); the frame+position-
+    weighted checksum of the DECODED frames must equal the formula sum
+    DuckDB computes directly. Reference has no video ingestion at all —
+    this is the LLM-pipeline multimodal leg."""
+    from graphrag_mrkr_2_spark.operators.multimodal import hevc_roundtrip_checksums
+
+    ids = _docs(spark, sf_dir).select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return hevc_roundtrip_checksums(
+        ids, id_col="doc_id", n_frames=3, width=16, height=12
+    ).orderBy("doc_id")
+
+
 def q_audio_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV codec kernel (functions/audiocodecs.py, r4) with an EXACT oracle:
     per doc, deterministic formula int16 samples are encoded to REAL
@@ -1463,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_roundtrip": q_image_decode_roundtrip,
         "heif_decode_roundtrip": q_heif_decode_roundtrip,
         "av1_video_roundtrip": q_av1_video_roundtrip,
+        "hevc_video_roundtrip": q_hevc_video_roundtrip,
         "audio_decode_roundtrip": q_audio_decode_roundtrip,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_repetition": q_doc_repetition,
@@ -2163,6 +2184,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(SUM(((d.doc_id*7 + f.f*97 + r.r*31 + c.c*13 + ch.ch*5) % 256)
                              * (f.f*576 + (r.r*16 + c.c)*3 + ch.ch + 1)) AS BIGINT) AS VARCHAR)
                      AS av1_checksum
+            FROM documents d,
+                 generate_series(0, 2) f(f),
+                 generate_series(0, 11) r(r),
+                 generate_series(0, 15) c(c),
+                 generate_series(0, 2) ch(ch)
+            GROUP BY d.doc_id ORDER BY doc_id
+        """,
+        # HEVC-in-MP4: DuckDB computes the frame-formula checksum directly;
+        # Spark must reproduce it through real x265 encode → MP4 sample
+        # tables → libde265 decode
+        "hevc_video_roundtrip": """
+            SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+                   3 AS n_frames, 16 AS width, 12 AS height,
+                   CAST(CAST(SUM(((d.doc_id*11 + f.f*89 + r.r*29 + c.c*17 + ch.ch*3) % 256)
+                             * (f.f*576 + (r.r*16 + c.c)*3 + ch.ch + 1)) AS BIGINT) AS VARCHAR)
+                     AS hevc_checksum
             FROM documents d,
                  generate_series(0, 2) f(f),
                  generate_series(0, 11) r(r),

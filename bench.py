@@ -609,6 +609,91 @@ def main() -> None:
         extras["jpeg_native_speedup"] = round(t_pure / max(t_native, 1e-9), 2)
     image_payloads.unpersist()
 
+    # --- compressed-video sample decode (late r6: HEVC + AV1) ---------------
+    # extras, NOT queries (host-dependent: needs libheif's x265/aom encoder
+    # plugins for the fixtures and libde265/libdav1d for decode). Measures
+    # the full production path a crawl MP4/WebM row rides: container
+    # sample-table demux → NAL/OBU framing → native decode → PNG frame
+    # emission, through sample_video_frames' Arrow mapInPandas plumbing.
+    try:
+        from graphrag_mrkr_2_spark.functions.av1codec import dav1d_available
+        from graphrag_mrkr_2_spark.functions.heifcodec import (
+            heif_encoder_available,
+        )
+        from graphrag_mrkr_2_spark.functions.hevccodec import de265_available
+
+        video_ok = (de265_available() and dav1d_available()
+                    and heif_encoder_available("heic")
+                    and heif_encoder_available("avif"))
+    except Exception:
+        video_ok = False
+    if video_ok:
+        from graphrag_mrkr_2_spark.operators.multimodal import (
+            sample_video_frames,
+        )
+
+        def _encode_videos(batches):
+            import numpy as np
+            import pandas as pd
+
+            from graphrag_mrkr_2_spark.functions.av1codec import (
+                avif_primary_obu,
+                mux_webm_av1,
+            )
+            from graphrag_mrkr_2_spark.functions.heifcodec import (
+                encode_heif_lossless,
+            )
+            from graphrag_mrkr_2_spark.functions.hevccodec import (
+                encode_hevc_samples,
+            )
+            from graphrag_mrkr_2_spark.functions.mp4mux import mux_mp4_video
+
+            for pdf in batches:
+                rows = []
+                for rec in pdf.itertuples(index=False):
+                    doc_id = int(rec.doc_id)
+                    rng = np.random.default_rng(doc_id)
+                    pxs = [rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+                           for _ in range(3)]
+                    if doc_id % 40 == 0:
+                        record, samples = encode_hevc_samples(pxs)
+                        payload = mux_mp4_video(samples, 32, 24, "hvc1",
+                                                record)
+                        rows.append({"media_id": f"{doc_id}_hevc_mp4",
+                                     "payload": payload})
+                    else:
+                        obus = [avif_primary_obu(
+                            encode_heif_lossless(p, fmt="avif"))
+                            for p in pxs]
+                        rows.append({"media_id": f"{doc_id}_av1_webm",
+                                     "payload": mux_webm_av1(obus, 32, 24)})
+                yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+        # 1-in-20 subsample: x265 fixture encode is ~52 ms/frame (the
+        # decode under test is ~100x cheaper) so HEVC gets the 1-in-40
+        # slice and AV1 (aom ~2.6 ms/frame) fills the rest
+        video_payloads = (
+            documents.select("doc_id")
+            .where(F.col("doc_id") % 20 == 0)
+            .repartition(cpus * 4)
+            .mapInPandas(_encode_videos, "media_id string, payload binary")
+            .withColumn("kind", F.lit("video"))
+            .withColumn("meta", F.create_map().cast("map<string,string>"))
+            .persist()
+        )
+        n_videos = video_payloads.count()
+        extras["video_decode_sec"] = best_of_2(
+            lambda: sample_video_frames(video_payloads, every_ms=30,
+                                        strict=True).count(),
+            label="video_decode",
+        )
+        extras["decode_videos"] = n_videos
+        extras["decode_video_frames"] = n_videos * 3
+        extras["decode_videos_per_sec"] = round(
+            n_videos / max(extras["video_decode_sec"], 1e-9), 1
+        )
+        video_payloads.unpersist()
+
     # --- corpus hygiene (round 3: textclean) --------------------------------
     from graphrag_mrkr_2_spark.operators.textclean import redact_pii, repetition_stats
 

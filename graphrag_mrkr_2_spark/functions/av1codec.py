@@ -457,6 +457,18 @@ def mux_webm_av1(frames, width: int, height: int,
     EBML header (DocType webm), Segment{Info, Tracks[V_AV1], one Cluster
     of SimpleBlocks (no lacing, keyframe flag set)}. Fixture/oracle path —
     the demuxer and probe_mkv both read it back."""
+    return mux_mkv_video(frames, width, height, codec_id=b"V_AV1",
+                         frame_duration_ms=frame_duration_ms)
+
+
+def mux_mkv_video(frames, width: int, height: int,
+                  codec_id: bytes = b"V_AV1", codec_private: bytes = None,
+                  frame_duration_ms: int = 40) -> bytes:
+    """Generalized single-video-track Matroska/WebM muxer. ``codec_id`` is
+    the Matroska CodecID (V_AV1, V_MPEGH/ISO/HEVC, V_VP8, …);
+    ``codec_private`` becomes the CodecPrivate element (hvcC record for
+    HEVC — samples stay length-prefixed exactly as in MP4). DocType stays
+    ``webm`` (every demuxer accepts it; probe_mkv doesn't gate on it)."""
     frames = list(frames)
     ebml = _el(0x1A45DFA3, b"".join([
         _el(0x4286, _uint_payload(1)),       # EBMLVersion
@@ -471,16 +483,20 @@ def mux_webm_av1(frames, width: int, height: int,
         _el(0x2AD7B1, _uint_payload(1_000_000)),  # TimestampScale: 1 ms
         _el(0x4489, struct.pack(">d", float(len(frames) * frame_duration_ms))),
     ]))
-    tracks = _el(0x1654AE6B, _el(0xAE, b"".join([
+    track_fields = [
         _el(0xD7, _uint_payload(1)),          # TrackNumber
         _el(0x73C5, _uint_payload(1)),        # TrackUID
         _el(0x83, _uint_payload(1)),          # TrackType: video
-        _el(0x86, b"V_AV1"),                  # CodecID
+        _el(0x86, bytes(codec_id)),           # CodecID
+    ]
+    if codec_private:
+        track_fields.append(_el(0x63A2, bytes(codec_private)))
+    track_fields.append(
         _el(0xE0, b"".join([                  # Video
             _el(0xB0, _uint_payload(width)),
             _el(0xBA, _uint_payload(height)),
-        ])),
-    ])))
+        ])))
+    tracks = _el(0x1654AE6B, _el(0xAE, b"".join(track_fields)))
     blocks = []
     for idx, obu in enumerate(frames):
         ts = idx * frame_duration_ms
@@ -572,3 +588,38 @@ def mkv_video_samples(data: bytes, limit: int = 10_000) -> list:
                         if len(samples) >= limit:
                             return samples
     return samples
+
+
+def mkv_video_codec_private(data: bytes) -> bytes:
+    """CodecPrivate bytes of the FIRST video track of a Matroska/WebM file
+    (hvcC record for V_MPEGH/ISO/HEVC tracks), or None when absent —
+    the decode-side complement of ``mux_mkv_video``'s codec_private."""
+    from graphrag_mrkr_2_spark.functions.mediaprobe import (
+        _MKV_TRACKENTRY,
+        _MKV_TRACKS,
+        _MKV_TRACKTYPE,
+        _ebml_uint,
+        _walk_ebml,
+        sniff_mkv,
+    )
+
+    if not sniff_mkv(data):
+        raise ValueError("not a Matroska/WebM file")
+    for eid, ps, pe in _walk_ebml(data, 0, len(data)):
+        if eid != 0x18538067:  # Segment
+            continue
+        for seid, sps, spe in _walk_ebml(data, ps, pe):
+            if seid != _MKV_TRACKS:
+                continue
+            for teid, tps, tpe in _walk_ebml(data, sps, spe):
+                if teid != _MKV_TRACKENTRY:
+                    continue
+                ttype, private = None, None
+                for feid, fps, fpe in _walk_ebml(data, tps, tpe):
+                    if feid == _MKV_TRACKTYPE:
+                        ttype = _ebml_uint(data, fps, fpe)
+                    elif feid == 0x63A2:  # CodecPrivate
+                        private = data[fps:fpe]
+                if ttype == 1:
+                    return private
+    return None

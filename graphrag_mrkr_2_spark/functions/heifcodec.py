@@ -49,6 +49,7 @@ _HEIF_CANDIDATES = (
 # public enums (libheif.h, stable since 1.0)
 _COLORSPACE_YCBCR = 0
 _COLORSPACE_RGB = 1
+_CHROMA_UNDEFINED = 99  # keep the stream's native subsampling on decode
 _CHROMA_444 = 3
 _CHROMA_INTERLEAVED_RGB = 10
 _CHROMA_INTERLEAVED_RGBA = 11
@@ -118,6 +119,8 @@ def _load_heif():
             _sig(lib, "heif_image_handle_has_alpha_channel", i, [vp])
             _sig(lib, "heif_decode_image", _HeifError, [vp, p(vp), i, i, vp])
             _sig(lib, "heif_image_get_plane_readonly", u8p, [vp, i, p(i)])
+            _sig(lib, "heif_image_get_width", i, [vp, i])
+            _sig(lib, "heif_image_get_height", i, [vp, i])
             _sig(lib, "heif_image_release", None, [vp])
             _sig(lib, "heif_image_handle_release", None, [vp])
             _sig(lib, "heif_have_decoder_for_format", i, [i])
@@ -213,6 +216,66 @@ def decode_heif_native(data: bytes) -> np.ndarray:
             raise ValueError("libheif returned no interleaved plane")
         rows = np.ctypeslib.as_array(ptr, shape=(h, stride.value))
         return rows[:, : w * channels].reshape(h, w, channels).copy()
+    finally:
+        if img:
+            lib.heif_image_release(img)
+        if handle:
+            lib.heif_image_handle_release(handle)
+        lib.heif_context_free(ctx)
+
+
+def decode_heif_native_yuv(data: bytes, chroma: str = "420") -> tuple:
+    """Decode an AVIF/HEIC payload to raw ``(y, cb, cr)`` uint8 planes (no
+    RGB conversion; cb/cr keep their subsampled dims, None when absent).
+    This is the plane-level A/B surface: a direct codec binding
+    (``hevccodec``/``av1codec``) must reproduce these planes bit-exactly
+    on the same payload, with no color conversion policy in the
+    comparison.
+
+    ``chroma`` must STATE the stream's native subsampling ('420'/'422'/
+    '444'): libheif only passes planes through untouched when the
+    requested chroma equals the coded one — requesting
+    heif_chroma_undefined makes 1.15 CONVERT (measured: a 4:2:0 stream
+    came back 4:4:4 with ±1 luma wobble from the resampling round-trip),
+    which would poison the A/B."""
+    lib = _load_heif()
+    if lib is None:
+        raise ValueError("libheif is not available on this host")
+    ctx = lib.heif_context_alloc()
+    if not ctx:
+        raise ValueError("libheif context allocation failed")
+    handle = ctypes.c_void_p()
+    img = ctypes.c_void_p()
+    buf = ctypes.create_string_buffer(data, len(data))
+    try:
+        _check(lib.heif_context_read_from_memory_without_copy(
+            ctx, buf, len(data), None), "read")
+        _check(lib.heif_context_get_primary_image_handle(
+            ctx, ctypes.byref(handle)), "primary handle")
+        chroma_enum = {"420": 1, "422": 2, "444": _CHROMA_444}.get(chroma)
+        if chroma_enum is None:
+            raise ValueError(f"unsupported chroma {chroma!r}")
+        _check(lib.heif_decode_image(
+            handle, ctypes.byref(img), _COLORSPACE_YCBCR,
+            chroma_enum, None), "decode")
+
+        def _read(channel):
+            w = lib.heif_image_get_width(img, channel)
+            h = lib.heif_image_get_height(img, channel)
+            if w <= 0 or h <= 0:
+                return None
+            stride = ctypes.c_int()
+            ptr = lib.heif_image_get_plane_readonly(
+                img, channel, ctypes.byref(stride))
+            if not ptr:
+                return None
+            rows = np.ctypeslib.as_array(ptr, shape=(h, stride.value))
+            return rows[:, :w].copy()
+
+        y = _read(_CHANNEL_Y)
+        if y is None:
+            raise ValueError("libheif returned no luma plane")
+        return y, _read(_CHANNEL_CB), _read(_CHANNEL_CR)
     finally:
         if img:
             lib.heif_image_release(img)

@@ -646,4 +646,8 @@ def _mkv_codec_name(raw: bytes) -> str:
     name = raw.decode("ascii", "replace")
     if len(name) > 2 and name[1] == "_" and name[0] in "VAS":
         name = name[2:]
-    return name.lower()
+    name = name.lower()
+    # the MPEG family IDs carry a path-ish suffix; collapse to the short
+    # names the MP4/HEIF probes use so routing can compare one string
+    return {"mpegh/iso/hevc": "hevc", "mpeg4/iso/avc": "h264",
+            "mpegi/iso/vvc": "vvc"}.get(name, name)

@@ -1,0 +1,333 @@
+"""Minimal MP4 (ISO BMFF) video mux/demux for sample-level decode.
+
+``mediaprobe.probe_mp4`` reads header metadata only; this module adds the
+sample-table layer so ``sample_video_frames`` can pull REAL coded video
+samples out of MP4 files and hand them to the in-container decoders
+(hvc1/hev1 → libde265 via ``hevccodec``, av01 → libdav1d via
+``av1codec``). The muxer is the fixture/oracle path (like
+``av1codec.mux_webm_av1``): it writes a single-track video file whose
+boxes the demuxer, ``probe_mp4``, and any standards-conforming player all
+read back.
+
+Demux walks moov → trak(vide) → stbl and expands the four interlocking
+sample tables (ISO 14496-12 §8.5–8.7): stts (decode timestamps), stsc
+(sample→chunk runs), stsz (sizes), stco/co64 (chunk file offsets), with
+stss (sync samples) optional — absent means every sample is a keyframe.
+All offsets/counts are bounds-checked so a malformed crawl file raises
+ValueError (callers quarantine per payload) instead of mis-slicing.
+
+The reference repo has no video ingestion (images only,
+``ingestion/loaders/image_loader.py``); this is part of the LLM-pipeline
+brief's multimodal leg.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_VIDEO_CONFIG_BOXES = {
+    b"hvc1": b"hvcC",
+    b"hev1": b"hvcC",
+    b"av01": b"av1C",
+    b"avc1": b"avcC",
+    b"vp09": b"vpcC",
+}
+
+# size(4) + type(4) + VisualSampleEntry fixed fields (ISO 14496-12 §12.1.3):
+# 6 reserved + 2 data_ref_index + 16 pre_defined/reserved + 2 width +
+# 2 height + 4 hres + 4 vres + 4 reserved + 2 frame_count +
+# 32 compressorname + 2 depth + 2 pre_defined
+_VISUAL_ENTRY_HEADER = 8 + 78
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full_box(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def mux_mp4_video(samples, width: int, height: int, codec: str,
+                  config_record: bytes, frame_duration_ms: int = 40,
+                  samples_per_chunk: int = 2) -> bytes:
+    """Write coded video samples into a minimal-but-valid MP4.
+
+    ``samples``: list of coded sample byte strings (length-prefixed NALs
+    for hvc1, low-overhead OBUs for av01). ``codec``: sample-entry fourcc
+    ('hvc1'/'av01'). ``config_record``: the codec config box payload
+    (hvcC/av1C record bytes). Chunking at ``samples_per_chunk`` exercises
+    real stsc/stco interleaving rather than the degenerate one-chunk case.
+    Timescale is 1000 (1 ms units) in both mvhd and mdhd."""
+    samples = [bytes(s) for s in samples]
+    if not samples:
+        raise ValueError("mux_mp4_video: no samples")
+    fourcc = codec.encode("ascii")
+    if fourcc not in _VIDEO_CONFIG_BOXES:
+        raise ValueError(f"unsupported MP4 video codec {codec!r}")
+    n = len(samples)
+    duration = n * frame_duration_ms
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) +
+                b"isom" + b"iso2" + b"mp41")
+    mdat_payload = b"".join(samples)
+    # chunk layout: fixed-size runs of samples_per_chunk (last chunk ragged)
+    spc = max(1, int(samples_per_chunk))
+    chunk_sizes = []
+    for i in range(0, n, spc):
+        chunk_sizes.append(sum(len(s) for s in samples[i:i + spc]))
+    mdat_start = len(ftyp) + 8  # absolute offset of mdat payload
+    offsets, acc = [], mdat_start
+    for csz in chunk_sizes:
+        offsets.append(acc)
+        acc += csz
+
+    config_box = _box(_VIDEO_CONFIG_BOXES[fourcc], bytes(config_record))
+    entry = _box(fourcc, b"".join([
+        b"\x00" * 6, struct.pack(">H", 1),         # reserved + data_ref_index
+        b"\x00" * 16,
+        struct.pack(">HH", width, height),
+        struct.pack(">II", 0x00480000, 0x00480000),  # 72 dpi
+        b"\x00" * 4,
+        struct.pack(">H", 1),                      # frame_count
+        b"\x00" * 32,                              # compressorname
+        struct.pack(">Hh", 24, -1),                # depth, pre_defined
+        config_box,
+    ]))
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _full_box(b"stts", 0, 0,
+                     struct.pack(">III", 1, n, frame_duration_ms))
+    # all-intra fixtures: stss omitted == every sample is sync
+    last_run = n - (len(chunk_sizes) - 1) * spc
+    stsc_entries = [(1, spc, 1)]
+    if last_run != spc and len(chunk_sizes) > 1:
+        stsc_entries.append((len(chunk_sizes), last_run, 1))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">I", len(stsc_entries)) +
+                     b"".join(struct.pack(">III", *e) for e in stsc_entries))
+    stsz = _full_box(b"stsz", 0, 0, struct.pack(">II", 0, n) +
+                     b"".join(struct.pack(">I", len(s)) for s in samples))
+    stco = _full_box(b"stco", 0, 0, struct.pack(">I", len(offsets)) +
+                     b"".join(struct.pack(">I", o) for o in offsets))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dinf = _box(b"dinf", _full_box(b"dref", 0, 0, struct.pack(">I", 1) +
+                                   _full_box(b"url ", 0, 1, b"")))
+    vmhd = _full_box(b"vmhd", 0, 1, b"\x00" * 8)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdhd = _full_box(b"mdhd", 0, 0,
+                     struct.pack(">IIII", 0, 0, 1000, duration) +
+                     struct.pack(">HH", 0x55C4, 0))  # language 'und'
+    hdlr = _full_box(b"hdlr", 0, 0,
+                     b"\x00" * 4 + b"vide" + b"\x00" * 12 +
+                     b"VideoHandler\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full_box(b"tkhd", 0, 3,
+                     struct.pack(">IIIII", 0, 0, 1, 0, duration) +
+                     b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) +
+                     struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
+                                 0, 0, 0x40000000) +
+                     struct.pack(">II", width << 16, height << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full_box(b"mvhd", 0, 0,
+                     struct.pack(">IIII", 0, 0, 1000, duration) +
+                     struct.pack(">I", 0x00010000) +      # rate 1.0
+                     struct.pack(">H", 0x0100) +          # volume
+                     b"\x00" * 10 +
+                     struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
+                                 0, 0, 0x40000000) +
+                     b"\x00" * 24 +
+                     struct.pack(">I", 2))                # next_track_ID
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+def _read_full_box_header(data: bytes, ps: int):
+    if ps + 4 > len(data):
+        raise ValueError("truncated FullBox header")
+    vf = struct.unpack_from(">I", data, ps)[0]
+    return vf >> 24, vf & 0xFFFFFF, ps + 4
+
+
+def mp4_video_track_info(data: bytes) -> dict:
+    """Sample-level info for the FIRST video track of an MP4:
+    ``{codec, config, width, height, timescale, samples}`` where
+    ``samples`` is ``[(ts_ms, keyframe, payload_bytes), ...]`` in decode
+    order and ``config`` is the codec config record payload (hvcC/av1C/…)
+    or None. Raises ValueError on files without a readable video track —
+    callers quarantine."""
+    from graphrag_mrkr_2_spark.functions.mediaprobe import (
+        _find_box,
+        _walk_boxes,
+        sniff_mp4,
+    )
+
+    if not sniff_mp4(data):
+        raise ValueError("not an MP4 (no ftyp box)")
+    moov = _find_box(data, 0, len(data), (b"moov",))
+    if moov is None:
+        raise ValueError("MP4: no moov box (fragmented/streaming layout)")
+    for btype, ts, te in _walk_boxes(data, moov[0], moov[1]):
+        if btype != b"trak":
+            continue
+        hdlr = _find_box(data, ts, te, (b"mdia", b"hdlr"))
+        if hdlr is None or data[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        return _parse_video_trak(data, ts, te)
+    raise ValueError("MP4: no video track")
+
+
+def _parse_video_trak(data: bytes, ts: int, te: int) -> dict:
+    from graphrag_mrkr_2_spark.functions.mediaprobe import _find_box, _walk_boxes
+
+    mdhd = _find_box(data, ts, te, (b"mdia", b"mdhd"))
+    timescale = 1000
+    if mdhd is not None:
+        version, _, pos = _read_full_box_header(data, mdhd[0])
+        timescale = struct.unpack_from(
+            ">I", data, pos + (16 if version == 1 else 8))[0] or 1000
+    stbl = _find_box(data, ts, te, (b"mdia", b"minf", b"stbl"))
+    if stbl is None:
+        raise ValueError("MP4: video trak without stbl")
+    ss, se = stbl
+    boxes = {bt: (bs, be) for bt, bs, be in _walk_boxes(data, ss, se)}
+
+    codec, config, width, height = None, None, None, None
+    if b"stsd" in boxes:
+        ps, pe = boxes[b"stsd"]
+        _, _, pos = _read_full_box_header(data, ps)
+        n_entries = struct.unpack_from(">I", data, pos)[0]
+        pos += 4
+        if n_entries >= 1 and pos + 8 <= pe:
+            entry_size = struct.unpack_from(">I", data, pos)[0]
+            codec = data[pos + 4:pos + 8].decode("ascii", "replace")
+            entry_end = min(pe, pos + max(entry_size, 8))
+            width, height = struct.unpack_from(">HH", data, pos + 32)
+            cfg_type = _VIDEO_CONFIG_BOXES.get(codec.encode("ascii", "replace"))
+            body = pos + _VISUAL_ENTRY_HEADER
+            if cfg_type and body < entry_end:
+                for cbt, cbs, cbe in _walk_boxes(data, body, entry_end):
+                    if cbt == cfg_type:
+                        config = data[cbs:cbe]
+                        break
+
+    def _table(name: bytes):
+        if name not in boxes:
+            return None
+        ps, pe = boxes[name]
+        _, _, pos = _read_full_box_header(data, ps)
+        return ps, pe, pos
+
+    # stsz: sizes
+    t = _table(b"stsz")
+    if t is None:
+        raise ValueError("MP4: no stsz box")
+    _, sz_end, pos = t
+    fixed_size, n_samples = struct.unpack_from(">II", data, pos)
+    pos += 8
+    if n_samples > 4_000_000:
+        raise ValueError(f"MP4: implausible sample count {n_samples}")
+    if fixed_size:
+        sizes = [fixed_size] * n_samples
+    else:
+        if pos + 4 * n_samples > sz_end:
+            raise ValueError("MP4: stsz truncated")
+        sizes = list(struct.unpack_from(f">{n_samples}I", data, pos))
+
+    # stts: decode timestamps
+    t = _table(b"stts")
+    if t is None:
+        raise ValueError("MP4: no stts box")
+    _, st_end, pos = t
+    (n_runs,) = struct.unpack_from(">I", data, pos)
+    pos += 4
+    timestamps, tcur = [], 0
+    for _ in range(n_runs):
+        if pos + 8 > st_end:
+            raise ValueError("MP4: stts truncated")
+        count, delta = struct.unpack_from(">II", data, pos)
+        pos += 8
+        for _ in range(min(count, n_samples - len(timestamps))):
+            timestamps.append(tcur)
+            tcur += delta
+    if len(timestamps) < n_samples:
+        raise ValueError("MP4: stts covers fewer samples than stsz")
+
+    # stss: sync table (absent == all sync)
+    sync = None
+    t = _table(b"stss")
+    if t is not None:
+        _, sy_end, pos = t
+        (n_sync,) = struct.unpack_from(">I", data, pos)
+        pos += 4
+        if pos + 4 * n_sync > sy_end:
+            raise ValueError("MP4: stss truncated")
+        sync = set(struct.unpack_from(f">{n_sync}I", data, pos))
+
+    # stsc: sample->chunk runs
+    t = _table(b"stsc")
+    if t is None:
+        raise ValueError("MP4: no stsc box")
+    _, sc_end, pos = t
+    (n_sc,) = struct.unpack_from(">I", data, pos)
+    pos += 4
+    sc_runs = []
+    for _ in range(n_sc):
+        if pos + 12 > sc_end:
+            raise ValueError("MP4: stsc truncated")
+        sc_runs.append(struct.unpack_from(">III", data, pos)[:2])
+        pos += 12
+
+    # stco/co64: chunk offsets
+    offsets = None
+    t = _table(b"stco")
+    if t is not None:
+        _, co_end, pos = t
+        (n_chunks,) = struct.unpack_from(">I", data, pos)
+        pos += 4
+        if pos + 4 * n_chunks > co_end:
+            raise ValueError("MP4: stco truncated")
+        offsets = list(struct.unpack_from(f">{n_chunks}I", data, pos))
+    else:
+        t = _table(b"co64")
+        if t is None:
+            raise ValueError("MP4: no stco/co64 box")
+        _, co_end, pos = t
+        (n_chunks,) = struct.unpack_from(">I", data, pos)
+        pos += 4
+        if pos + 8 * n_chunks > co_end:
+            raise ValueError("MP4: co64 truncated")
+        offsets = list(struct.unpack_from(f">{n_chunks}Q", data, pos))
+
+    # expand stsc runs into per-chunk sample counts
+    per_chunk = []
+    for i, (first_chunk, spc) in enumerate(sc_runs):
+        last = (sc_runs[i + 1][0] - 1) if i + 1 < len(sc_runs) else len(offsets)
+        if first_chunk < 1 or last < first_chunk - 1:
+            raise ValueError("MP4: stsc chunk runs out of order")
+        per_chunk.extend([spc] * (last - first_chunk + 1))
+    if len(per_chunk) < len(offsets):
+        per_chunk.extend([sc_runs[-1][1]] * (len(offsets) - len(per_chunk)))
+
+    samples, si = [], 0
+    for ci, base in enumerate(offsets):
+        off = base
+        for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+            if si >= n_samples:
+                break
+            sz = sizes[si]
+            if off + sz > len(data):
+                raise ValueError("MP4: sample extends past end of file")
+            key = sync is None or (si + 1) in sync
+            samples.append(
+                (timestamps[si] * 1000 // timescale, key, data[off:off + sz]))
+            off += sz
+            si += 1
+    if si < n_samples:
+        raise ValueError("MP4: chunk tables cover fewer samples than stsz")
+    return {"codec": codec, "config": config, "width": width,
+            "height": height, "timescale": timescale, "samples": samples}
+
+
+def mp4_video_samples(data: bytes, limit: int = 10_000) -> list:
+    """``[(ts_ms, keyframe, payload), ...]`` for the first video track —
+    the same shape ``av1codec.mkv_video_samples`` returns for WebM."""
+    return mp4_video_track_info(data)["samples"][:limit]

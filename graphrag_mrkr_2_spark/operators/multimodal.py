@@ -624,6 +624,92 @@ def av1_roundtrip_checksums(
     return df.select(F.col(id_col)).mapInPandas(_roundtrip, AV1_ROUNDTRIP_SCHEMA)
 
 
+HEVC_ROUNDTRIP_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("hevc_checksum", StringType(), True),
+    ]
+)
+
+
+def hevc_roundtrip_checksums(
+    df: DataFrame, id_col: str = "doc_id", n_frames: int = 3,
+    width: int = 16, height: int = 12
+) -> DataFrame:
+    """Driver-oracle kernel for HEVC-in-MP4 video decode (r6): per id,
+    ``n_frames`` deterministic frames val(f,r,c,ch) = (id*11 + f*89 + r*29
+    + c*17 + ch*3) mod 256 are encoded to REAL lossless identity-GBR HEVC
+    samples (libheif/x265, functions/hevccodec.encode_hevc_samples), muxed
+    into a REAL MP4 (functions/mp4mux.mux_mp4_video: hvc1 sample entry +
+    hvcC + stts/stsc/stsz/stco tables), demuxed back through the
+    sample-table walk, and decoded through the ctypes libde265 binding;
+    the column carries the frame+position-weighted checksum
+    sum(val * (f*h*w*3 + (r*w + c)*3 + ch + 1)) of the DECODED frames as
+    a string. DuckDB recomputes the sum from the formula, so a match
+    proves the whole encode→mux→demux→decode chain bit-exact through
+    Arrow mapInPandas. Reference has no video ingestion at all — this is
+    the LLM-pipeline multimodal leg."""
+    from graphrag_mrkr_2_spark.functions.hevccodec import (
+        decode_hevc_frames,
+        encode_hevc_samples,
+        parse_hvcc,
+        split_length_prefixed,
+    )
+    from graphrag_mrkr_2_spark.functions.mp4mux import (
+        mp4_video_track_info,
+        mux_mp4_video,
+    )
+
+    f_idx = np.arange(n_frames, dtype=np.int64)[:, None, None, None]
+    r_idx = np.arange(height, dtype=np.int64)[None, :, None, None]
+    c_idx = np.arange(width, dtype=np.int64)[None, None, :, None]
+    ch_idx = np.arange(3, dtype=np.int64)[None, None, None, :]
+    weights = (
+        np.arange(n_frames * height * width * 3, dtype=np.int64)
+        .reshape(n_frames, height, width, 3) + 1
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                doc_id = int(getattr(rec, id_col))
+                px = (
+                    (doc_id * 11 + f_idx * 89 + r_idx * 29 + c_idx * 17
+                     + ch_idx * 3) % 256
+                ).astype(np.uint8)
+                record, samples = encode_hevc_samples(
+                    [px[f] for f in range(n_frames)])
+                mp4 = mux_mp4_video(samples, width, height, "hvc1", record)
+                info = mp4_video_track_info(mp4)
+                cfg = parse_hvcc(info["config"])
+                nals = list(cfg["param_nals"])
+                for _, _, p in info["samples"]:
+                    nals += split_length_prefixed(p, cfg["nal_length_size"])
+                decoded = decode_hevc_frames(
+                    nals, width=info["width"], height=info["height"])
+                back = np.stack(decoded).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": str(doc_id),
+                        "n_frames": n_frames,
+                        "width": width,
+                        "height": height,
+                        "hevc_checksum": str(int((back * weights).sum())),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "width", "height",
+                         "hevc_checksum"],
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(_roundtrip, HEVC_ROUNDTRIP_SCHEMA)
+
+
 AUDIO_ROUNDTRIP_SCHEMA = StructType(
     [
         StructField("doc_id", StringType(), False),
@@ -688,17 +774,23 @@ def sample_video_frames(
     strict: bool = False,
 ) -> DataFrame:
     """Frame sampling via row-multiplying mapInPandas (REAL for MJPEG
-    AVI, animated GIF — r4 — and animated WEBP — r5). RIFF/AVI payloads
-    are container-walked (functions/avicodec.py) and their MJPEG frames
+    AVI, animated GIF — r4 — animated WEBP — r5 — and coded video in
+    WebM/MKV and MP4 containers — r6). RIFF/AVI payloads are
+    container-walked (functions/avicodec.py) and their MJPEG frames
     sampled every ``every_ms`` by the container's own fps — each emitted
     ``frame`` is the frame's raw JPEG bytes. Animated GIFs/WEBPs are
     composited per their disposal/blend models (imagecodecs.gif_frames /
     webpcodec.webp_frames) and sampled by their own per-frame delays —
-    emitted as PNG bytes. Either way image_features decodes the emitted
-    frames directly (real video → pixels with zero native libraries).
-    Other codecs (H.264/VP9 — the ffmpeg seam): strict=True raises,
-    strict=False emits deterministic fake frames; corrupt containers
-    quarantine to the fake path."""
+    emitted as PNG bytes. WebM/MKV and MP4 video tracks are demuxed at the
+    sample level (av1codec.mkv_video_samples / mp4mux.mp4_video_samples)
+    and decoded for real for every codec this container has a decoder
+    for: AV1 via the dav1d ctypes binding (A/B'd against libaom), HEVC
+    (hvc1/hev1/V_MPEGH) via the libde265 ctypes binding, VP8 via the
+    pure-Python RFC 6386 decoder (bit-identical to libwebp). Either way
+    image_features decodes the emitted frames directly. Codecs with no
+    in-container decoder (H.264/VP9 — the ffmpeg seam): strict=True
+    raises, strict=False emits deterministic fake frames; corrupt
+    containers quarantine to the fake path."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from graphrag_mrkr_2_spark.functions.avicodec import extract_frames, sniff_video
@@ -764,45 +856,106 @@ def sample_video_frames(
                     from graphrag_mrkr_2_spark.functions.mediaprobe import (
                         probe_mkv,
                         sniff_mkv,
+                        sniff_mp4,
                     )
 
+                    def _delays(ts: list) -> list:
+                        return [
+                            max(10, ts[i + 1] - ts[i])
+                            if i + 1 < len(ts) else every_ms
+                            for i in range(len(ts))
+                        ]
+
+                    def _decode_samples(codec, samples, private, w, h):
+                        # decode-all-then-sample: inter frames need their
+                        # references anyway; the 600-sample cap bounds one
+                        # row's fan-out like the synthetic path below.
+                        # Real decoders for every codec this container has
+                        # a decoder for: AV1 (dav1d ctypes, A/B'd vs aom),
+                        # HEVC (libde265 ctypes), VP8 (the pure-Python
+                        # RFC 6386 decoder, bit-identical to libwebp).
+                        # VP9/H.264 stay seams — no decoder library exists
+                        # in this container (SCALE.md).
+                        payloads = [p for _, _, p in samples]
+                        if codec == "av1":
+                            from graphrag_mrkr_2_spark.functions.av1codec import (
+                                dav1d_available,
+                                decode_av1_frames,
+                            )
+
+                            if not dav1d_available():
+                                raise NotImplementedError(
+                                    "AV1 decode needs libdav1d on this host")
+                            return decode_av1_frames(payloads)
+                        if codec == "hevc":
+                            from graphrag_mrkr_2_spark.functions.hevccodec import (
+                                de265_available,
+                                decode_hevc_frames,
+                                parse_hvcc,
+                                split_length_prefixed,
+                            )
+
+                            if not de265_available():
+                                raise NotImplementedError(
+                                    "HEVC decode needs libde265 on this host")
+                            if not private:
+                                raise ValueError(
+                                    "HEVC track without hvcC config")
+                            cfg = parse_hvcc(bytes(private))
+                            nals = list(cfg["param_nals"])
+                            for p in payloads:
+                                nals += split_length_prefixed(
+                                    p, cfg["nal_length_size"])
+                            return decode_hevc_frames(nals, width=w, height=h)
+                        if codec == "vp8":
+                            from graphrag_mrkr_2_spark.functions.vp8codec import (
+                                decode_vp8,
+                            )
+
+                            return [decode_vp8(p) for p in payloads]
+                        raise NotImplementedError(
+                            f"no decoder for {codec!r} in this container")
+
                     if sniff_mkv(payload):
-                        # AV1-in-WebM (r6): REAL sample decode via the
-                        # system dav1d (functions/av1codec.py; dav1d≡aom
-                        # plane A/B + lossless-identity oracles). Other MKV
-                        # codecs (VP9/H.264/HEVC) stay seams — no decoder
-                        # library exists in this container (SCALE.md).
                         from graphrag_mrkr_2_spark.functions.av1codec import (
-                            dav1d_available,
-                            decode_av1_frames,
+                            mkv_video_codec_private,
                             mkv_video_samples,
                         )
 
                         try:
-                            if not dav1d_available():
-                                raise NotImplementedError(
-                                    "AV1 decode needs libdav1d on this host")
-                            if probe_mkv(payload).get("codec") != "av1":
-                                raise NotImplementedError(
-                                    "MKV codecs beyond AV1 remain seams")
-                            # decode-all-then-sample: AV1 inter frames need
-                            # their references anyway; the cap bounds one
-                            # row's fan-out like the synthetic path below
+                            meta_mkv = probe_mkv(payload)
                             samples = mkv_video_samples(payload, limit=600)
-                            ts = [t for t, _, _ in samples]
-                            delays = [
-                                max(10, ts[i + 1] - ts[i])
-                                if i + 1 < len(ts) else every_ms
-                                for i in range(len(ts))
-                            ]
-                            px_frames = decode_av1_frames(
-                                [p for _, _, p in samples])
-                            sampled = _sample_animation(
-                                list(zip(delays, px_frames)))
+                            px_frames = _decode_samples(
+                                meta_mkv.get("codec"), samples,
+                                mkv_video_codec_private(payload),
+                                meta_mkv.get("width"), meta_mkv.get("height"))
+                            sampled = _sample_animation(list(zip(
+                                _delays([t for t, _, _ in samples]),
+                                px_frames)))
                         except Exception:
                             if strict:
                                 raise
-                            sampled = None  # corrupt/non-AV1 -> fallback
+                            sampled = None  # corrupt/undecodable -> fallback
+                    elif sniff_mp4(payload) and sniff_image(payload) is None:
+                        from graphrag_mrkr_2_spark.functions.mp4mux import (
+                            mp4_video_track_info,
+                        )
+
+                        try:
+                            info = mp4_video_track_info(payload)
+                            samples = info["samples"][:600]
+                            codec = {"hvc1": "hevc", "hev1": "hevc",
+                                     "av01": "av1"}.get(info["codec"])
+                            px_frames = _decode_samples(
+                                codec, samples, info["config"],
+                                info["width"], info["height"])
+                            sampled = _sample_animation(list(zip(
+                                _delays([t for t, _, _ in samples]),
+                                px_frames)))
+                        except Exception:
+                            if strict:
+                                raise
+                            sampled = None  # corrupt/undecodable -> fallback
                 if sampled is not None:
                     for i, jpeg in sampled:
                         rows.append(
@@ -811,9 +964,9 @@ def sample_video_frames(
                     continue
                 if strict:
                     raise NotImplementedError(
-                        "video decode beyond MJPEG-AVI and AV1-in-WebM "
-                        "requires codec libraries not present in this "
-                        "environment"
+                        "video decode beyond MJPEG-AVI, animated GIF/WEBP, "
+                        "AV1/HEVC/VP8-in-WebM and AV1/HEVC-in-MP4 requires "
+                        "codec libraries not present in this environment"
                     )
                 meta = rec.meta if isinstance(rec.meta, dict) else (rec.meta.asDict() if rec.meta else {})
                 duration = int(meta.get("duration_ms") or 0)
