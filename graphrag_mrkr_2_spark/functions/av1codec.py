@@ -463,11 +463,14 @@ def mux_webm_av1(frames, width: int, height: int,
 
 def mux_mkv_video(frames, width: int, height: int,
                   codec_id: bytes = b"V_AV1", codec_private: bytes = None,
-                  frame_duration_ms: int = 40) -> bytes:
+                  frame_duration_ms: int = 40, keyframes=None) -> bytes:
     """Generalized single-video-track Matroska/WebM muxer. ``codec_id`` is
     the Matroska CodecID (V_AV1, V_MPEGH/ISO/HEVC, V_VP8, …);
     ``codec_private`` becomes the CodecPrivate element (hvcC record for
-    HEVC — samples stay length-prefixed exactly as in MP4). DocType stays
+    HEVC — samples stay length-prefixed exactly as in MP4). ``keyframes``
+    optionally flags each SimpleBlock (default: all key — what the
+    all-intra fixture paths emit); real VP8/HEVC WebM marks interframes
+    non-key and the decode side routes on that flag. DocType stays
     ``webm`` (every demuxer accepts it; probe_mkv doesn't gate on it)."""
     frames = list(frames)
     ebml = _el(0x1A45DFA3, b"".join([
@@ -500,10 +503,12 @@ def mux_mkv_video(frames, width: int, height: int,
     blocks = []
     for idx, obu in enumerate(frames):
         ts = idx * frame_duration_ms
+        key = keyframes[idx] if keyframes is not None else True
         # SimpleBlock: track vint (0x81 = track 1), s16 relative timestamp,
-        # flags 0x80 (keyframe), then the frame payload (no lacing)
+        # flags (0x80 = keyframe), then the frame payload (no lacing)
         blocks.append(_el(_MKV_SIMPLEBLOCK,
-                          b"\x81" + struct.pack(">hB", ts, 0x80) + bytes(obu)))
+                          b"\x81" + struct.pack(">hB", ts, 0x80 if key else 0)
+                          + bytes(obu)))
     cluster = _el(_MKV_CLUSTER,
                   _el(_MKV_CLUSTER_TS, _uint_payload(0)) + b"".join(blocks))
     segment = _el(0x18538067, info + tracks + cluster)

@@ -49,7 +49,6 @@ _HEIF_CANDIDATES = (
 # public enums (libheif.h, stable since 1.0)
 _COLORSPACE_YCBCR = 0
 _COLORSPACE_RGB = 1
-_CHROMA_UNDEFINED = 99  # keep the stream's native subsampling on decode
 _CHROMA_444 = 3
 _CHROMA_INTERLEAVED_RGB = 10
 _CHROMA_INTERLEAVED_RGBA = 11

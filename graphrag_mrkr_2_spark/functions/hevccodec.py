@@ -72,8 +72,8 @@ def _load_de265():
             lib.de265_flush_data.restype = i
             lib.de265_decode.argtypes = [vp, ctypes.POINTER(i)]
             lib.de265_decode.restype = i
-            lib.de265_get_next_picture.argtypes = [vp]
-            lib.de265_get_next_picture.restype = vp
+            lib.de265_peek_next_picture.argtypes = [vp]
+            lib.de265_peek_next_picture.restype = vp
             lib.de265_release_next_picture.argtypes = [vp]
             lib.de265_release_next_picture.restype = None
             lib.de265_get_image_width.argtypes = [vp, i]
@@ -290,35 +290,45 @@ def decode_hevc_frames_yuv(nals) -> list:
                 # after flush_data the only non-OK outcomes are real
                 # bitstream errors; surface them (callers quarantine)
                 raise ValueError(f"de265_decode failed: {_err_text(lib, err)}")
-            img = lib.de265_get_next_picture(ctx)
-            if not img:
-                continue
-            try:
-                layout = lib.de265_get_chroma_format(img)
-                if lib.de265_get_bits_per_pixel(img, 0) != 8:
-                    raise ValueError("unsupported HEVC bit depth (not 8)")
-                w = lib.de265_get_image_width(img, 0)
-                h = lib.de265_get_image_height(img, 0)
-                if w <= 0 or h <= 0 or w * h > 100_000_000:
-                    raise ValueError(f"implausible HEVC dims {w}x{h}")
-                stride = ctypes.c_int()
-                y = _plane(lib.de265_get_image_plane(
-                    img, 0, ctypes.byref(stride)), h, stride.value, w)
-                if layout == _LAYOUT_I400:
-                    u = v = None
-                else:
-                    cw = lib.de265_get_image_width(img, 1)
-                    ch = lib.de265_get_image_height(img, 1)
-                    cstride = ctypes.c_int()
-                    u = _plane(lib.de265_get_image_plane(
-                        img, 1, ctypes.byref(cstride)), ch, cstride.value, cw)
-                    v = _plane(lib.de265_get_image_plane(
-                        img, 2, ctypes.byref(cstride)), ch, cstride.value, cw)
-                mtrx = lib.de265_get_image_matrix_coefficients(img)
-                full_range = lib.de265_get_image_full_range_flag(img)
-                frames.append((y, u, v, layout, mtrx, full_range))
-            finally:
-                lib.de265_release_next_picture(ctx)
+            # peek/release, NOT de265_get_next_picture: get = peek + pop
+            # (de265.cc), so a release after get would silently discard a
+            # SECOND queued picture whenever one decode call outputs ≥2
+            # frames (DPB flush on B-frame streams; the output queue holds
+            # up to 5 pictures). Drain the WHOLE queue after every decode
+            # call — the loop exits on more==0 and any picture left queued
+            # then would be lost.
+            while True:
+                img = lib.de265_peek_next_picture(ctx)
+                if not img:
+                    break
+                try:
+                    layout = lib.de265_get_chroma_format(img)
+                    if lib.de265_get_bits_per_pixel(img, 0) != 8:
+                        raise ValueError("unsupported HEVC bit depth (not 8)")
+                    w = lib.de265_get_image_width(img, 0)
+                    h = lib.de265_get_image_height(img, 0)
+                    if w <= 0 or h <= 0 or w * h > 100_000_000:
+                        raise ValueError(f"implausible HEVC dims {w}x{h}")
+                    stride = ctypes.c_int()
+                    y = _plane(lib.de265_get_image_plane(
+                        img, 0, ctypes.byref(stride)), h, stride.value, w)
+                    if layout == _LAYOUT_I400:
+                        u = v = None
+                    else:
+                        cw = lib.de265_get_image_width(img, 1)
+                        ch = lib.de265_get_image_height(img, 1)
+                        cstride = ctypes.c_int()
+                        u = _plane(lib.de265_get_image_plane(
+                            img, 1, ctypes.byref(cstride)),
+                            ch, cstride.value, cw)
+                        v = _plane(lib.de265_get_image_plane(
+                            img, 2, ctypes.byref(cstride)),
+                            ch, cstride.value, cw)
+                    mtrx = lib.de265_get_image_matrix_coefficients(img)
+                    full_range = lib.de265_get_image_full_range_flag(img)
+                    frames.append((y, u, v, layout, mtrx, full_range))
+                finally:
+                    lib.de265_release_next_picture(ctx)
         if not frames and any(nals):
             # de265 silently skips NALs it can't type (reserved/garbage);
             # zero pictures out of nonempty input is a corrupt payload —

@@ -99,9 +99,15 @@ def mux_mp4_video(samples, width: int, height: int, codec: str,
                      struct.pack(">III", 1, n, frame_duration_ms))
     # all-intra fixtures: stss omitted == every sample is sync
     last_run = n - (len(chunk_sizes) - 1) * spc
-    stsc_entries = [(1, spc, 1)]
-    if last_run != spc and len(chunk_sizes) > 1:
-        stsc_entries.append((len(chunk_sizes), last_run, 1))
+    if len(chunk_sizes) == 1:
+        # a single (possibly ragged) chunk must declare its REAL sample
+        # count — claiming spc when stsz says n < spc makes conforming
+        # readers walk past the mdat payload (ISO 14496-12 §8.7.4)
+        stsc_entries = [(1, n, 1)]
+    else:
+        stsc_entries = [(1, spc, 1)]
+        if last_run != spc:
+            stsc_entries.append((len(chunk_sizes), last_run, 1))
     stsc = _full_box(b"stsc", 0, 0, struct.pack(">I", len(stsc_entries)) +
                      b"".join(struct.pack(">III", *e) for e in stsc_entries))
     stsz = _full_box(b"stsz", 0, 0, struct.pack(">II", 0, n) +
@@ -147,6 +153,15 @@ def _read_full_box_header(data: bytes, ps: int):
     return vf >> 24, vf & 0xFFFFFF, ps + 4
 
 
+def _u32(data: bytes, pos: int, end: int, what: str) -> int:
+    """Bounds-checked big-endian u32 read: a fixed field that would read
+    past its box (adjacent-box bytes or EOF) is a malformed file →
+    ValueError, never garbage-as-real or struct.error."""
+    if pos + 4 > end:
+        raise ValueError(f"MP4: {what} truncated")
+    return struct.unpack_from(">I", data, pos)[0]
+
+
 def mp4_video_track_info(data: bytes) -> dict:
     """Sample-level info for the FIRST video track of an MP4:
     ``{codec, config, width, height, timescale, samples}`` where
@@ -182,8 +197,8 @@ def _parse_video_trak(data: bytes, ts: int, te: int) -> dict:
     timescale = 1000
     if mdhd is not None:
         version, _, pos = _read_full_box_header(data, mdhd[0])
-        timescale = struct.unpack_from(
-            ">I", data, pos + (16 if version == 1 else 8))[0] or 1000
+        timescale = _u32(data, pos + (16 if version == 1 else 8),
+                         mdhd[1], "mdhd") or 1000
     stbl = _find_box(data, ts, te, (b"mdia", b"minf", b"stbl"))
     if stbl is None:
         raise ValueError("MP4: video trak without stbl")
@@ -194,12 +209,14 @@ def _parse_video_trak(data: bytes, ts: int, te: int) -> dict:
     if b"stsd" in boxes:
         ps, pe = boxes[b"stsd"]
         _, _, pos = _read_full_box_header(data, ps)
-        n_entries = struct.unpack_from(">I", data, pos)[0]
+        n_entries = _u32(data, pos, pe, "stsd entry count")
         pos += 4
         if n_entries >= 1 and pos + 8 <= pe:
             entry_size = struct.unpack_from(">I", data, pos)[0]
             codec = data[pos + 4:pos + 8].decode("ascii", "replace")
             entry_end = min(pe, pos + max(entry_size, 8))
+            if pos + 36 > pe:
+                raise ValueError("MP4: stsd sample entry truncated")
             width, height = struct.unpack_from(">HH", data, pos + 32)
             cfg_type = _VIDEO_CONFIG_BOXES.get(codec.encode("ascii", "replace"))
             body = pos + _VISUAL_ENTRY_HEADER
@@ -221,7 +238,8 @@ def _parse_video_trak(data: bytes, ts: int, te: int) -> dict:
     if t is None:
         raise ValueError("MP4: no stsz box")
     _, sz_end, pos = t
-    fixed_size, n_samples = struct.unpack_from(">II", data, pos)
+    fixed_size = _u32(data, pos, sz_end, "stsz fixed size")
+    n_samples = _u32(data, pos + 4, sz_end, "stsz sample count")
     pos += 8
     if n_samples > 4_000_000:
         raise ValueError(f"MP4: implausible sample count {n_samples}")
@@ -237,7 +255,7 @@ def _parse_video_trak(data: bytes, ts: int, te: int) -> dict:
     if t is None:
         raise ValueError("MP4: no stts box")
     _, st_end, pos = t
-    (n_runs,) = struct.unpack_from(">I", data, pos)
+    n_runs = _u32(data, pos, st_end, "stts run count")
     pos += 4
     timestamps, tcur = [], 0
     for _ in range(n_runs):
@@ -256,7 +274,7 @@ def _parse_video_trak(data: bytes, ts: int, te: int) -> dict:
     t = _table(b"stss")
     if t is not None:
         _, sy_end, pos = t
-        (n_sync,) = struct.unpack_from(">I", data, pos)
+        n_sync = _u32(data, pos, sy_end, "stss sync count")
         pos += 4
         if pos + 4 * n_sync > sy_end:
             raise ValueError("MP4: stss truncated")
@@ -267,7 +285,7 @@ def _parse_video_trak(data: bytes, ts: int, te: int) -> dict:
     if t is None:
         raise ValueError("MP4: no stsc box")
     _, sc_end, pos = t
-    (n_sc,) = struct.unpack_from(">I", data, pos)
+    n_sc = _u32(data, pos, sc_end, "stsc run count")
     pos += 4
     sc_runs = []
     for _ in range(n_sc):
@@ -281,7 +299,7 @@ def _parse_video_trak(data: bytes, ts: int, te: int) -> dict:
     t = _table(b"stco")
     if t is not None:
         _, co_end, pos = t
-        (n_chunks,) = struct.unpack_from(">I", data, pos)
+        n_chunks = _u32(data, pos, co_end, "stco chunk count")
         pos += 4
         if pos + 4 * n_chunks > co_end:
             raise ValueError("MP4: stco truncated")
@@ -291,13 +309,15 @@ def _parse_video_trak(data: bytes, ts: int, te: int) -> dict:
         if t is None:
             raise ValueError("MP4: no stco/co64 box")
         _, co_end, pos = t
-        (n_chunks,) = struct.unpack_from(">I", data, pos)
+        n_chunks = _u32(data, pos, co_end, "co64 chunk count")
         pos += 4
         if pos + 8 * n_chunks > co_end:
             raise ValueError("MP4: co64 truncated")
         offsets = list(struct.unpack_from(f">{n_chunks}Q", data, pos))
 
     # expand stsc runs into per-chunk sample counts
+    if not sc_runs and offsets:
+        raise ValueError("MP4: empty stsc with non-empty stco")
     per_chunk = []
     for i, (first_chunk, spc) in enumerate(sc_runs):
         last = (sc_runs[i + 1][0] - 1) if i + 1 < len(sc_runs) else len(offsets)

@@ -786,7 +786,10 @@ def sample_video_frames(
     and decoded for real for every codec this container has a decoder
     for: AV1 via the dav1d ctypes binding (A/B'd against libaom), HEVC
     (hvc1/hev1/V_MPEGH) via the libde265 ctypes binding, VP8 via the
-    pure-Python RFC 6386 decoder (bit-identical to libwebp). Either way
+    pure-Python RFC 6386 decoder (bit-identical to libwebp; keyframe
+    samples only — the container's keyframe flags route interframes out
+    of the decode, so a real VP8 WebM yields honest I-frame sampling
+    rather than a wholesale failure). Either way
     image_features decodes the emitted frames directly. Codecs with no
     in-container decoder (H.264/VP9 — the ffmpeg seam): strict=True
     raises, strict=False emits deterministic fake frames; corrupt
@@ -875,7 +878,11 @@ def sample_video_frames(
                         # HEVC (libde265 ctypes), VP8 (the pure-Python
                         # RFC 6386 decoder, bit-identical to libwebp).
                         # VP9/H.264 stay seams — no decoder library exists
-                        # in this container (SCALE.md).
+                        # in this container (SCALE.md). Returns
+                        # (timestamps, frames) — timestamps of the DECODED
+                        # samples so delays stay aligned, and the count
+                        # must match or we raise (a silent zip-truncation
+                        # would misalign every surviving frame).
                         payloads = [p for _, _, p in samples]
                         if codec == "av1":
                             from graphrag_mrkr_2_spark.functions.av1codec import (
@@ -886,8 +893,8 @@ def sample_video_frames(
                             if not dav1d_available():
                                 raise NotImplementedError(
                                     "AV1 decode needs libdav1d on this host")
-                            return decode_av1_frames(payloads)
-                        if codec == "hevc":
+                            frames = decode_av1_frames(payloads)
+                        elif codec == "hevc":
                             from graphrag_mrkr_2_spark.functions.hevccodec import (
                                 de265_available,
                                 decode_hevc_frames,
@@ -906,15 +913,31 @@ def sample_video_frames(
                             for p in payloads:
                                 nals += split_length_prefixed(
                                     p, cfg["nal_length_size"])
-                            return decode_hevc_frames(nals, width=w, height=h)
-                        if codec == "vp8":
+                            frames = decode_hevc_frames(
+                                nals, width=w, height=h)
+                        elif codec == "vp8":
+                            # the pure decoder is keyframe-scope (RFC 6386
+                            # intra path); sample the keyframes the
+                            # container flags and skip interframes — their
+                            # timestamps drop out of the delay chain too
                             from graphrag_mrkr_2_spark.functions.vp8codec import (
                                 decode_vp8,
                             )
 
-                            return [decode_vp8(p) for p in payloads]
-                        raise NotImplementedError(
-                            f"no decoder for {codec!r} in this container")
+                            kept = [(t, p) for t, key, p in samples if key]
+                            if not kept:
+                                raise ValueError(
+                                    "VP8 track with no keyframe samples")
+                            return ([t for t, _ in kept],
+                                    [decode_vp8(p) for _, p in kept])
+                        else:
+                            raise NotImplementedError(
+                                f"no decoder for {codec!r} in this container")
+                        if len(frames) != len(samples):
+                            raise ValueError(
+                                f"decoded {len(frames)} frames from "
+                                f"{len(samples)} {codec} samples")
+                        return [t for t, _, _ in samples], frames
 
                     if sniff_mkv(payload):
                         from graphrag_mrkr_2_spark.functions.av1codec import (
@@ -925,18 +948,20 @@ def sample_video_frames(
                         try:
                             meta_mkv = probe_mkv(payload)
                             samples = mkv_video_samples(payload, limit=600)
-                            px_frames = _decode_samples(
+                            ts, px_frames = _decode_samples(
                                 meta_mkv.get("codec"), samples,
                                 mkv_video_codec_private(payload),
                                 meta_mkv.get("width"), meta_mkv.get("height"))
-                            sampled = _sample_animation(list(zip(
-                                _delays([t for t, _, _ in samples]),
-                                px_frames)))
+                            sampled = _sample_animation(
+                                list(zip(_delays(ts), px_frames)))
                         except Exception:
                             if strict:
                                 raise
                             sampled = None  # corrupt/undecodable -> fallback
-                    elif sniff_mp4(payload) and sniff_image(payload) is None:
+                    elif sniff_mp4(payload) and img is None:
+                        # img: the walrus binding from the elif chain above
+                        # (None = not a recognized raster, so not a HEIF
+                        # still that would trip the no-video-track path)
                         from graphrag_mrkr_2_spark.functions.mp4mux import (
                             mp4_video_track_info,
                         )
@@ -946,12 +971,11 @@ def sample_video_frames(
                             samples = info["samples"][:600]
                             codec = {"hvc1": "hevc", "hev1": "hevc",
                                      "av01": "av1"}.get(info["codec"])
-                            px_frames = _decode_samples(
+                            ts, px_frames = _decode_samples(
                                 codec, samples, info["config"],
                                 info["width"], info["height"])
-                            sampled = _sample_animation(list(zip(
-                                _delays([t for t, _, _ in samples]),
-                                px_frames)))
+                            sampled = _sample_animation(
+                                list(zip(_delays(ts), px_frames)))
                         except Exception:
                             if strict:
                                 raise

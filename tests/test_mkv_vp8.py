@@ -104,6 +104,32 @@ class TestVp8InMkv:
             assert key
             assert np.array_equal(decode_vp8(payload), decode_webp(webp))
 
+    def test_interframes_skipped_keyframes_decoded(self, spark, webp_lib):
+        """A VP8 WebM with non-key blocks must still decode its keyframes
+        (honest I-frame sampling) instead of failing wholesale — the
+        pure decoder is keyframe-scope and the container flag routes."""
+        from graphrag_mrkr_2_spark.functions.imagecodecs import decode_png
+        from graphrag_mrkr_2_spark.operators.multimodal import (
+            sample_video_frames,
+        )
+
+        webps = [_encode_webp(webp_lib, _smooth(48, 64, seed=i))
+                 for i in range(3)]
+        payloads = [_walk_chunks(w)[b"VP8 "] for w in webps]
+        mkv = mux_mkv_video(payloads, 64, 48, codec_id=b"V_VP8",
+                            frame_duration_ms=40,
+                            keyframes=[True, False, True])
+        df = spark.createDataFrame(
+            [("vid0", "video", mkv, {})],
+            "media_id string, kind string, payload binary, "
+            "meta map<string,string>",
+        )
+        rows = sample_video_frames(df, every_ms=10, strict=True).collect()
+        assert len(rows) == 2  # keyframes 0 and 2; the interframe skipped
+        decoded = [decode_png(bytes(r["frame"])) for r in rows]
+        assert np.array_equal(decoded[0], decode_webp(webps[0]))
+        assert np.array_equal(decoded[1], decode_webp(webps[2]))
+
     def test_sample_video_frames_end_to_end(self, spark, webp_lib):
         from graphrag_mrkr_2_spark.functions.imagecodecs import decode_png
         from graphrag_mrkr_2_spark.operators.multimodal import (

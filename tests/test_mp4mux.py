@@ -92,6 +92,48 @@ class TestMuxDemux:
         with pytest.raises(ValueError):
             mp4_video_samples(b"RIFF....AVI LIST")
 
+    def test_single_ragged_chunk_stsc_conforms(self):
+        """One sample with samples_per_chunk=2: stsc must declare the REAL
+        count (1), not the nominal run size — sum over stsc chunks must
+        equal stsz's sample count or conforming readers walk past mdat."""
+        mp4 = mux_mp4_video([b"z" * 9], 8, 8, "hvc1", b"\x01" * 23,
+                            samples_per_chunk=2)
+        import struct
+
+        stsc = mp4.find(b"stsc")
+        n_entries = struct.unpack_from(">I", mp4, stsc + 8)[0]
+        total = sum(
+            struct.unpack_from(">III", mp4, stsc + 12 + 12 * i)[1]
+            for i in range(n_entries)
+        )
+        assert total == 1
+        got = mp4_video_samples(mp4)
+        assert [p for _, _, p in got] == [b"z" * 9]
+
+    def test_empty_stsc_raises_value_error(self):
+        """stsc entry_count=0 with chunks present is malformed — must be
+        ValueError (the quarantine contract), not IndexError."""
+        import struct
+
+        mp4 = mux_mp4_video([b"q" * 12] * 3, 8, 8, "hvc1", b"\x01" * 23)
+        stsc = mp4.find(b"stsc")
+        broken = mp4[:stsc + 8] + struct.pack(">I", 0) + mp4[stsc + 12:]
+        with pytest.raises(ValueError):
+            mp4_video_samples(broken)
+
+    def test_truncated_table_headers_raise_value_error(self):
+        """Fixed header fields shortened below their box end must raise
+        ValueError, not read adjacent-box bytes or struct.error."""
+        import struct
+
+        mp4 = mux_mp4_video([b"w" * 7] * 2, 8, 8, "hvc1", b"\x01" * 23)
+        stsz = mp4.find(b"stsz") - 4
+        # shrink the stsz box to header+fullbox only (size 12): its
+        # fixed-size/sample-count fields now lie outside the box
+        broken = mp4[:stsz] + struct.pack(">I", 12) + mp4[stsz + 4:]
+        with pytest.raises(ValueError):
+            mp4_video_samples(broken)
+
     def test_sample_past_eof_raises(self):
         samples = [b"y" * 50] * 3
         mp4 = mux_mp4_video(samples, 8, 8, "hvc1", b"\x01" * 23)
