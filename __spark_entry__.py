@@ -4,7 +4,7 @@ entry(spark)    — flagship KG-construction run on a deterministic synthetic
                   pages table (BASELINE.json input_hint shape) → triples DF.
 queries()       — one entry per implemented operator family (SURVEY.md §2 +
                   the training-data suite); each callable (spark, sf_dir) →
-                  DataFrame. 61 queries, 53 with exact DuckDB oracles.
+                  DataFrame. 66 queries, 58 with exact DuckDB oracles.
 oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
                   KG-pipeline queries (chunking/extraction/canonicalization/
                   communities) are not ANSI-SQL-expressible → rows-only check
@@ -485,6 +485,132 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)
+    )
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order counts per priority for orders with at least
+    one late-shipped item — the LEFT SEMI join shape (existence probe, no
+    row multiplication; Catalyst plans it as a semi hash join with the
+    date filter pushed to both scans)."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    late = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem["l_orderkey"] == orders["o_orderkey"],
+    ).where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+    return (
+        orders.join(
+            late.select("l_orderkey").distinct(),
+            orders["o_orderkey"] == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many orders they
+    placed — LEFT OUTER join (zero-order customers must survive) into a
+    double aggregation (per-customer count, then histogram)."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = (
+        customer.join(
+            orders.select("o_custkey", "o_orderkey"),
+            customer["c_custkey"] == orders["o_custkey"],
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers who never ordered — a
+    broadcast scalar aggregate (average positive balance) gating an ANTI
+    join against the orders fact (both sides' filters pushed down; no
+    row from orders survives to the output, only its absence). At driver
+    scale every real customer has orders, so order-less customers are
+    planted in-query (every 13th, re-keyed past the custkey range) on
+    BOTH the Spark and oracle sides — the de-vacuizing pattern from
+    dedup_exact."""
+    base = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = base.unionByName(
+        base.where(F.col("c_custkey") % 13 == 0).withColumn(
+            "c_custkey", F.col("c_custkey") + F.lit(10_000_000)
+        )
+    )
+    avg_bal = customer.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.select("o_custkey"),
+            customer["c_custkey"] == orders["o_custkey"],
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under OR'd compound brand/size/quantity
+    bands — the disjunctive-predicate shape (one scan, one broadcast
+    join, the whole disjunction evaluated in whole-stage codegen rather
+    than three unioned scans)."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    joined = lineitem.join(
+        F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"]
+    )
+    band = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35))
+           & (F.col("l_quantity").between(20, 30)))
+    )
+    return joined.where(band).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp substituted by the lineitem link — the
+    testdata has no partsupp table): distinct suppliers per (brand, type,
+    size) excluding one brand — the COUNT DISTINCT rollup shape (Spark
+    plans a two-phase partial/final distinct aggregate)."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        lineitem.join(
+            F.broadcast(part.where(F.col("p_brand") != "Brand#1")),
+            lineitem["l_partkey"] == part["p_partkey"],
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(50)
     )
 
 
@@ -1501,6 +1627,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_name_clusters": q_er_name_clusters,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
+        # TPC-H join-shape extensions (r6): semi/anti/outer/disjunctive/
+        # count-distinct shapes. Tail placement is deliberate — the driver
+        # window is already spoken for by never-yet-snapshotted entries;
+        # these are exercised by scripts/check_oracles.py's full sweep.
+        "order_priority_check": q_order_priority_check,
+        "customer_order_distribution": q_customer_order_distribution,
+        "idle_customers": q_idle_customers,
+        "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
+        "supplier_part_counts": q_supplier_part_counts,
     }
 
 
@@ -2717,5 +2852,71 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        # TPC-H Q4 shape: EXISTS == Spark's left-semi join
+        "order_priority_check": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            )
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        # TPC-H Q13 shape: left outer join + double aggregation
+        "customer_order_distribution": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (
+              SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey
+            ) AS per_cust
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """,
+        # TPC-H Q22 shape: scalar subquery gate + NOT EXISTS (anti join);
+        # order-less customers planted in-query (see q_idle_customers)
+        "idle_customers": """
+            WITH cust AS (
+              SELECT * FROM customer
+              UNION ALL
+              SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
+                     c_acctbal, c_mktsegment
+              FROM customer WHERE c_custkey % 13 = 0
+            )
+            SELECT c_mktsegment, COUNT(*) AS numcust,
+                   ROUND(SUM(c_acctbal), 4) AS totacctbal
+            FROM cust c
+            WHERE c_acctbal > (
+                    SELECT AVG(c_acctbal) FROM cust WHERE c_acctbal > 0.0
+                  )
+              AND NOT EXISTS (
+                    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  )
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        # TPC-H Q19 shape: disjunctive compound predicate bands
+        "disjunctive_brand_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4)
+                     AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        # TPC-H Q16 shape: count-distinct rollup (partsupp substituted by
+        # the lineitem part-supplier link; the testdata has no partsupp)
+        "supplier_part_counts": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50
         """,
     }
