@@ -167,8 +167,11 @@ def mp4_video_track_info(data: bytes) -> dict:
     ``{codec, config, width, height, timescale, samples}`` where
     ``samples`` is ``[(ts_ms, keyframe, payload_bytes), ...]`` in decode
     order and ``config`` is the codec config record payload (hvcC/av1C/…)
-    or None. Raises ValueError on files without a readable video track —
-    callers quarantine."""
+    or None. Handles both layouts real crawls ship: classic stco-indexed
+    files AND self-initializing fragmented MP4 (DASH/CMAF: moov with
+    empty sample tables + mvex/trex defaults, samples in moof/traf/trun
+    fragments). Raises ValueError on files without a readable video
+    track — callers quarantine."""
     from graphrag_mrkr_2_spark.functions.mediaprobe import (
         _find_box,
         _walk_boxes,
@@ -179,18 +182,47 @@ def mp4_video_track_info(data: bytes) -> dict:
         raise ValueError("not an MP4 (no ftyp box)")
     moov = _find_box(data, 0, len(data), (b"moov",))
     if moov is None:
-        raise ValueError("MP4: no moov box (fragmented/streaming layout)")
+        raise ValueError("MP4: no moov box (streaming layout without init)")
     for btype, ts, te in _walk_boxes(data, moov[0], moov[1]):
         if btype != b"trak":
             continue
         hdlr = _find_box(data, ts, te, (b"mdia", b"hdlr"))
         if hdlr is None or data[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
             continue
-        return _parse_video_trak(data, ts, te)
+        return _parse_video_trak(data, ts, te, moov)
     raise ValueError("MP4: no video track")
 
 
-def _parse_video_trak(data: bytes, ts: int, te: int) -> dict:
+def _tkhd_track_id(data: bytes, ts: int, te: int):
+    from graphrag_mrkr_2_spark.functions.mediaprobe import _find_box
+
+    tkhd = _find_box(data, ts, te, (b"tkhd",))
+    if tkhd is None:
+        return None
+    version, _, pos = _read_full_box_header(data, tkhd[0])
+    return _u32(data, pos + (16 if version == 1 else 8), tkhd[1], "tkhd")
+
+
+def _trex_defaults(data: bytes, moov, track_id: int):
+    """mvex/trex per-track defaults (ISO 14496-12 §8.8.3):
+    (default_sample_duration, default_sample_size, default_sample_flags);
+    zeros when absent."""
+    from graphrag_mrkr_2_spark.functions.mediaprobe import _find_box, _walk_boxes
+
+    mvex = _find_box(data, moov[0], moov[1], (b"mvex",))
+    if mvex is not None:
+        for bt, bs, be in _walk_boxes(data, mvex[0], mvex[1]):
+            if bt != b"trex":
+                continue
+            _, _, pos = _read_full_box_header(data, bs)
+            if _u32(data, pos, be, "trex") == track_id:
+                return (_u32(data, pos + 8, be, "trex duration"),
+                        _u32(data, pos + 12, be, "trex size"),
+                        _u32(data, pos + 16, be, "trex flags"))
+    return 0, 0, 0
+
+
+def _parse_video_trak(data: bytes, ts: int, te: int, moov) -> dict:
     from graphrag_mrkr_2_spark.functions.mediaprobe import _find_box, _walk_boxes
 
     mdhd = _find_box(data, ts, te, (b"mdia", b"mdhd"))
@@ -233,7 +265,9 @@ def _parse_video_trak(data: bytes, ts: int, te: int) -> dict:
         _, _, pos = _read_full_box_header(data, ps)
         return ps, pe, pos
 
-    # stsz: sizes
+    # stsz: sizes. A present-but-empty stsz is the fragmented-MP4 init
+    # signature (DASH/CMAF): samples live in moof/traf/trun fragments
+    # after the moov, with mvex/trex carrying the per-track defaults.
     t = _table(b"stsz")
     if t is None:
         raise ValueError("MP4: no stsz box")
@@ -241,6 +275,18 @@ def _parse_video_trak(data: bytes, ts: int, te: int) -> dict:
     fixed_size = _u32(data, pos, sz_end, "stsz fixed size")
     n_samples = _u32(data, pos + 4, sz_end, "stsz sample count")
     pos += 8
+    if n_samples == 0:
+        track_id = _tkhd_track_id(data, ts, te)
+        if track_id is None:
+            raise ValueError("MP4: fragmented track without tkhd")
+        samples = _parse_fragments(
+            data, track_id, timescale,
+            _trex_defaults(data, moov, track_id))
+        if not samples:
+            raise ValueError("MP4: empty sample tables and no fragments")
+        return {"codec": codec, "config": config, "width": width,
+                "height": height, "timescale": timescale,
+                "samples": samples}
     if n_samples > 4_000_000:
         raise ValueError(f"MP4: implausible sample count {n_samples}")
     if fixed_size:
@@ -345,6 +391,227 @@ def _parse_video_trak(data: bytes, ts: int, te: int) -> dict:
         raise ValueError("MP4: chunk tables cover fewer samples than stsz")
     return {"codec": codec, "config": config, "width": width,
             "height": height, "timescale": timescale, "samples": samples}
+
+
+def _parse_fragments(data: bytes, track_id: int, timescale: int,
+                     trex) -> list:
+    """Walk moof/traf/trun fragments (ISO 14496-12 §8.8) for one track →
+    ``[(ts_ms, keyframe, payload), ...]``. Honors tfhd base-data-offset /
+    default-base-is-moof, tfdt decode times, per-sample trun fields with
+    tfhd/trex default fallbacks, and the sample_is_non_sync_sample flag
+    bit for keyframes. Bounds-checked throughout (ValueError on malformed
+    fragments — the quarantine contract)."""
+    from graphrag_mrkr_2_spark.functions.mediaprobe import _walk_boxes
+
+    trex_dur, trex_size, trex_flags = trex
+    samples = []
+    implicit_time = 0  # running decode time when tfdt is absent
+    for btype, ms, me in _walk_boxes(data, 0, len(data)):
+        if btype != b"moof":
+            continue
+        moof_start = ms - 8  # box header included in offset math
+        for tbt, tbs, tbe in _walk_boxes(data, ms, me):
+            if tbt != b"traf":
+                continue
+            tfhd = trun_list = None
+            tfdt_time = None
+            for fbt, fbs, fbe in _walk_boxes(data, tbs, tbe):
+                if fbt == b"tfhd":
+                    tfhd = (fbs, fbe)
+                elif fbt == b"tfdt":
+                    version, _, pos = _read_full_box_header(data, fbs)
+                    if version == 1:
+                        if pos + 8 > fbe:
+                            raise ValueError("MP4: tfdt truncated")
+                        tfdt_time = struct.unpack_from(">Q", data, pos)[0]
+                    else:
+                        tfdt_time = _u32(data, pos, fbe, "tfdt")
+                elif fbt == b"trun":
+                    trun_list = (trun_list or []) + [(fbs, fbe)]
+            if tfhd is None or not trun_list:
+                continue
+            _, tf_flags, pos = _read_full_box_header(data, tfhd[0])
+            if _u32(data, pos, tfhd[1], "tfhd track id") != track_id:
+                continue
+            pos += 4
+            base = moof_start if tf_flags & 0x020000 else None
+            if tf_flags & 0x000001:  # base-data-offset present
+                if pos + 8 > tfhd[1]:
+                    raise ValueError("MP4: tfhd base offset truncated")
+                base = struct.unpack_from(">Q", data, pos)[0]
+                pos += 8
+            if tf_flags & 0x000002:  # sample-description-index
+                pos += 4
+            def_dur = trex_dur
+            if tf_flags & 0x000008:
+                def_dur = _u32(data, pos, tfhd[1], "tfhd duration")
+                pos += 4
+            def_size = trex_size
+            if tf_flags & 0x000010:
+                def_size = _u32(data, pos, tfhd[1], "tfhd size")
+                pos += 4
+            def_flags = trex_flags
+            if tf_flags & 0x000020:
+                def_flags = _u32(data, pos, tfhd[1], "tfhd flags")
+                pos += 4
+            if base is None:
+                base = moof_start  # spec default for the first trun chain
+            tcur = tfdt_time if tfdt_time is not None else implicit_time
+            for rs, re_ in trun_list:
+                _, tr_flags, pos = _read_full_box_header(data, rs)
+                count = _u32(data, pos, re_, "trun sample count")
+                pos += 4
+                if count > 4_000_000:
+                    raise ValueError(
+                        f"MP4: implausible trun sample count {count}")
+                off = base
+                if tr_flags & 0x000001:  # data-offset present (signed)
+                    if pos + 4 > re_:
+                        raise ValueError("MP4: trun data offset truncated")
+                    off = base + struct.unpack_from(">i", data, pos)[0]
+                    pos += 4
+                first_flags = None
+                if tr_flags & 0x000004:
+                    first_flags = _u32(data, pos, re_, "trun first flags")
+                    pos += 4
+                for i in range(count):
+                    dur, size, flags = def_dur, def_size, def_flags
+                    if tr_flags & 0x000100:
+                        dur = _u32(data, pos, re_, "trun duration")
+                        pos += 4
+                    if tr_flags & 0x000200:
+                        size = _u32(data, pos, re_, "trun size")
+                        pos += 4
+                    if tr_flags & 0x000400:
+                        flags = _u32(data, pos, re_, "trun flags")
+                        pos += 4
+                    if tr_flags & 0x000800:  # cts offset (presentation)
+                        pos += 4
+                    if i == 0 and first_flags is not None:
+                        flags = first_flags
+                    if size == 0:
+                        raise ValueError("MP4: fragment sample with no size")
+                    if off + size > len(data):
+                        raise ValueError(
+                            "MP4: fragment sample extends past end of file")
+                    key = not (flags & 0x00010000)  # sample_is_non_sync
+                    samples.append(
+                        (tcur * 1000 // timescale, key,
+                         data[off:off + size]))
+                    off += size
+                    tcur += dur
+            implicit_time = tcur
+    return samples
+
+
+def mux_fmp4_video(samples, width: int, height: int, codec: str,
+                   config_record: bytes, frame_duration_ms: int = 40,
+                   samples_per_fragment: int = 2, keyframes=None) -> bytes:
+    """Fragmented-MP4 twin of ``mux_mp4_video`` (fixture path for the
+    DASH/CMAF demux leg): init segment (ftyp + moov with EMPTY sample
+    tables + mvex/trex) followed by one moof+mdat pair per
+    ``samples_per_fragment`` samples — tfhd default-base-is-moof, tfdt
+    decode times, trun with data-offset + per-sample sizes.
+    ``keyframes`` (default all-key) additionally writes per-sample trun
+    flags with sample_is_non_sync_sample set on interframes — the field
+    real DASH video uses to mark its GOP structure."""
+    samples = [bytes(s) for s in samples]
+    if not samples:
+        raise ValueError("mux_fmp4_video: no samples")
+    fourcc = codec.encode("ascii")
+    if fourcc not in _VIDEO_CONFIG_BOXES:
+        raise ValueError(f"unsupported MP4 video codec {codec!r}")
+
+    config_box = _box(_VIDEO_CONFIG_BOXES[fourcc], bytes(config_record))
+    entry = _box(fourcc, b"".join([
+        b"\x00" * 6, struct.pack(">H", 1),
+        b"\x00" * 16,
+        struct.pack(">HH", width, height),
+        struct.pack(">II", 0x00480000, 0x00480000),
+        b"\x00" * 4,
+        struct.pack(">H", 1),
+        b"\x00" * 32,
+        struct.pack(">Hh", 24, -1),
+        config_box,
+    ]))
+    stbl = _box(b"stbl", b"".join([
+        _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + entry),
+        _full_box(b"stts", 0, 0, struct.pack(">I", 0)),
+        _full_box(b"stsc", 0, 0, struct.pack(">I", 0)),
+        _full_box(b"stsz", 0, 0, struct.pack(">II", 0, 0)),
+        _full_box(b"stco", 0, 0, struct.pack(">I", 0)),
+    ]))
+    dinf = _box(b"dinf", _full_box(b"dref", 0, 0, struct.pack(">I", 1) +
+                                   _full_box(b"url ", 0, 1, b"")))
+    minf = _box(b"minf", _full_box(b"vmhd", 0, 1, b"\x00" * 8) + dinf + stbl)
+    mdhd = _full_box(b"mdhd", 0, 0,
+                     struct.pack(">IIII", 0, 0, 1000, 0) +
+                     struct.pack(">HH", 0x55C4, 0))
+    hdlr = _full_box(b"hdlr", 0, 0,
+                     b"\x00" * 4 + b"vide" + b"\x00" * 12 +
+                     b"VideoHandler\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full_box(b"tkhd", 0, 3,
+                     struct.pack(">IIIII", 0, 0, 1, 0, 0) +
+                     b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) +
+                     struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
+                                 0, 0, 0x40000000) +
+                     struct.pack(">II", width << 16, height << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    mvex = _box(b"mvex", _full_box(b"trex", 0, 0, struct.pack(
+        ">IIIII", 1, 1, frame_duration_ms, 0, 0)))
+    mvhd = _full_box(b"mvhd", 0, 0,
+                     struct.pack(">IIII", 0, 0, 1000, 0) +
+                     struct.pack(">I", 0x00010000) +
+                     struct.pack(">H", 0x0100) +
+                     b"\x00" * 10 +
+                     struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
+                                 0, 0, 0x40000000) +
+                     b"\x00" * 24 +
+                     struct.pack(">I", 2))
+    out = [_box(b"ftyp", b"iso5" + struct.pack(">I", 512) +
+                b"iso5" + b"iso6" + b"mp41"),
+           _box(b"moov", mvhd + trak + mvex)]
+
+    spf = max(1, int(samples_per_fragment))
+    seq = 0
+    tcur = 0
+    for i in range(0, len(samples), spf):
+        frag = samples[i:i + spf]
+        seq += 1
+        mfhd = _full_box(b"mfhd", 0, 0, struct.pack(">I", seq))
+        # tfhd: default-base-is-moof (0x020000); trun carries sizes
+        tfhd = _full_box(b"tfhd", 0, 0x020000, struct.pack(">I", 1))
+        tfdt = _full_box(b"tfdt", 1, 0, struct.pack(">Q", tcur))
+        # trun flags: data-offset (0x1) + sample-size (0x200), plus
+        # per-sample flags (0x400) when a keyframe pattern was given
+        frag_keys = (keyframes[i:i + spf] if keyframes is not None
+                     else [True] * len(frag))
+        tr_flags = 0x000201 | (0x000400 if keyframes is not None else 0)
+        fields = b"".join(
+            struct.pack(">I", len(s)) +
+            (struct.pack(">I", 0 if k else 0x00010000)
+             if keyframes is not None else b"")
+            for s, k in zip(frag, frag_keys))
+        # data offset = moof size + mdat header (8), relative to moof
+        # start (default-base-is-moof); moof size is fixed once the
+        # sample count is known: box sizes are hdr(8) + verflags(4) +
+        # payload for each FullBox below
+        trun_total = 8 + 4 + 4 + 4 + len(fields)
+        traf_total = 8 + 16 + 20 + trun_total  # hdr + tfhd + tfdt + trun
+        moof_len = 8 + 16 + traf_total         # hdr + mfhd + traf
+        trun = _full_box(b"trun", 0, tr_flags,
+                         struct.pack(">Ii", len(frag), moof_len + 8) +
+                         fields)
+        traf = _box(b"traf", tfhd + tfdt + trun)
+        moof = _box(b"moof", mfhd + traf)
+        if len(moof) != moof_len:
+            raise AssertionError(
+                f"fMP4 muxer offset math drifted: {len(moof)} != {moof_len}")
+        out.append(moof)
+        out.append(_box(b"mdat", b"".join(frag)))
+        tcur += len(frag) * frame_duration_ms
+    return b"".join(out)
 
 
 def mp4_video_samples(data: bytes, limit: int = 10_000) -> list:

@@ -17,6 +17,7 @@ import pytest
 from graphrag_mrkr_2_spark.functions.mp4mux import (
     mp4_video_samples,
     mp4_video_track_info,
+    mux_fmp4_video,
     mux_mp4_video,
 )
 
@@ -154,6 +155,79 @@ class TestMuxDemux:
         heic = encode_heif_lossless(_corpus(n=1)[0], fmt="heic")
         with pytest.raises(ValueError):
             mp4_video_track_info(heic)
+
+
+class TestFragmentedMp4:
+    """DASH/CMAF layout: moov with empty sample tables + mvex/trex,
+    samples in moof/traf/trun fragments — what segment-based crawl video
+    actually ships."""
+
+    def test_roundtrip_payloads_timestamps(self):
+        samples = [bytes([i]) * (10 + 3 * i) for i in range(5)]
+        fmp4 = mux_fmp4_video(samples, 16, 12, "hvc1", b"\x01" * 23,
+                              frame_duration_ms=40, samples_per_fragment=2)
+        got = mp4_video_samples(fmp4)
+        assert [p for _, _, p in got] == samples
+        assert [t for t, _, _ in got] == [0, 40, 80, 120, 160]
+        assert all(k for _, k, _ in got)
+
+    def test_keyframe_flags_roundtrip(self):
+        samples = [b"x" * 9] * 4
+        fmp4 = mux_fmp4_video(samples, 8, 8, "av01", b"\x81\x05\x0c\x00",
+                              keyframes=[True, False, False, True])
+        got = mp4_video_samples(fmp4)
+        assert [k for _, k, _ in got] == [True, False, False, True]
+
+    def test_init_only_raises(self):
+        fmp4 = mux_fmp4_video([b"x"], 8, 8, "hvc1", b"\x01" * 23)
+        moof = fmp4.find(b"moof") - 4
+        with pytest.raises(ValueError):
+            mp4_video_samples(fmp4[:moof])
+
+    def test_hevc_decode_through_fragments(self):
+        _require_hevc()
+        from graphrag_mrkr_2_spark.functions.hevccodec import (
+            decode_hevc_frames,
+            parse_hvcc,
+            split_length_prefixed,
+        )
+
+        pxs = _corpus(n=5)
+        record, samples = _hevc_fixture(pxs)
+        fmp4 = mux_fmp4_video(samples, 16, 12, "hvc1", record,
+                              samples_per_fragment=2)
+        info = mp4_video_track_info(fmp4)
+        cfg = parse_hvcc(info["config"])
+        nals = list(cfg["param_nals"])
+        for _, _, p in info["samples"]:
+            nals += split_length_prefixed(p, cfg["nal_length_size"])
+        frames = decode_hevc_frames(nals, width=info["width"],
+                                    height=info["height"])
+        assert len(frames) == 5
+        for f, p in zip(frames, pxs):
+            assert np.array_equal(f, p)
+
+    def test_sample_video_frames_end_to_end(self, spark):
+        _require_hevc()
+        from graphrag_mrkr_2_spark.functions.imagecodecs import decode_png
+        from graphrag_mrkr_2_spark.operators.multimodal import (
+            sample_video_frames,
+        )
+
+        pxs = _corpus(n=5)
+        record, samples = _hevc_fixture(pxs)
+        fmp4 = mux_fmp4_video(samples, 16, 12, "hvc1", record,
+                              frame_duration_ms=500)
+        df = spark.createDataFrame(
+            [("vid0", "video", fmp4, {})],
+            "media_id string, kind string, payload binary, "
+            "meta map<string,string>",
+        )
+        rows = sample_video_frames(df, every_ms=1000, strict=True).collect()
+        assert [r["frame_index"] for r in rows] == [0, 2, 4]
+        for r in rows:
+            assert np.array_equal(decode_png(bytes(r["frame"])),
+                                  pxs[r["frame_index"]])
 
 
 class TestHevcInMp4:

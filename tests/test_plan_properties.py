@@ -141,3 +141,62 @@ def test_contamination_probe_no_corpus_shuffle_of_text(spark):
     )
     plan = _plan(contamination_overlap(docs, bench, n=8))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+@pytest.mark.spark
+def test_order_priority_check_plans_semi_join(spark):
+    """Q4 shape: the EXISTS probe must plan as a semi join (no row
+    multiplication from lineitem into the priority rollup)."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.q_order_priority_check(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.spark
+def test_idle_customers_plans_anti_join_and_broadcast_scalar(spark):
+    """Q22 shape: NOT EXISTS must plan as an anti join and the scalar
+    average must broadcast (no shuffle of customer against a 1-row
+    aggregate)."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.q_idle_customers(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
+
+
+@pytest.mark.spark
+def test_customer_order_distribution_preserves_outer_join(spark):
+    """Q13 shape: the left OUTER join must survive planning (an inner
+    join would silently drop zero-order customers and the histogram's
+    c_count=0 bucket)."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.q_customer_order_distribution(spark, SF_DIR))
+    assert "LeftOuter" in plan
+
+
+@pytest.mark.spark
+def test_disjunctive_bands_single_scan_no_union(spark):
+    """Q19 shape: the OR'd bands must evaluate in ONE scan + one
+    broadcast join — not three unioned subplans re-reading lineitem."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.q_disjunctive_brand_revenue(spark, SF_DIR))
+    assert "Union" not in plan
+    # formatted mode prints each node twice (tree + details): 4 hits =
+    # exactly 2 physical scans, lineitem + part once each
+    assert plan.count("Scan parquet") == 4
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.spark
+def test_supplier_part_counts_two_phase_distinct(spark):
+    """Q16 shape: COUNT DISTINCT must plan as the two-phase
+    partial/final aggregate (4 HashAggregate nodes for distinct rollups),
+    not a single-node distinct collapse."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.q_supplier_part_counts(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4
