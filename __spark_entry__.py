@@ -495,13 +495,21 @@ def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     date filter pushed to both scans)."""
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # INTERVAL arithmetic, not date_add: date_add would truncate the
+    # TIMESTAMP column to DATE while the DuckDB oracle's "+ INTERVAL 60
+    # DAY" keeps time-of-day — identical today (midnight data) but a
+    # latent divergence if the generator ever emits intraday timestamps.
+    # No .distinct() before the semi join: semi-join semantics already
+    # ignore duplicate matches; the dedup would only add a shuffle.
     late = lineitem.join(
         orders.select("o_orderkey", "o_orderdate"),
         lineitem["l_orderkey"] == orders["o_orderkey"],
-    ).where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+    ).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
     return (
         orders.join(
-            late.select("l_orderkey").distinct(),
+            late.select("l_orderkey"),
             orders["o_orderkey"] == F.col("l_orderkey"),
             "left_semi",
         )

@@ -48,6 +48,59 @@ def _full_box(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
     return _box(btype, struct.pack(">I", (version << 24) | flags) + payload)
 
 
+def _sample_entry(fourcc: bytes, width: int, height: int,
+                  config_record: bytes) -> bytes:
+    """VisualSampleEntry (ISO 14496-12 §12.1.3) + the codec config box —
+    shared by the classic and fragmented muxers."""
+    config_box = _box(_VIDEO_CONFIG_BOXES[fourcc], bytes(config_record))
+    return _box(fourcc, b"".join([
+        b"\x00" * 6, struct.pack(">H", 1),         # reserved + data_ref_index
+        b"\x00" * 16,
+        struct.pack(">HH", width, height),
+        struct.pack(">II", 0x00480000, 0x00480000),  # 72 dpi
+        b"\x00" * 4,
+        struct.pack(">H", 1),                      # frame_count
+        b"\x00" * 32,                              # compressorname
+        struct.pack(">Hh", 24, -1),                # depth, pre_defined
+        config_box,
+    ]))
+
+
+def _build_moov(width: int, height: int, stbl: bytes, duration: int,
+                mvex: bytes = b"") -> bytes:
+    """moov scaffolding (mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/dinf) shared
+    by both muxers; only the stbl contents, duration, and the optional
+    mvex differ between the classic and fragmented layouts."""
+    dinf = _box(b"dinf", _full_box(b"dref", 0, 0, struct.pack(">I", 1) +
+                                   _full_box(b"url ", 0, 1, b"")))
+    vmhd = _full_box(b"vmhd", 0, 1, b"\x00" * 8)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdhd = _full_box(b"mdhd", 0, 0,
+                     struct.pack(">IIII", 0, 0, 1000, duration) +
+                     struct.pack(">HH", 0x55C4, 0))  # language 'und'
+    hdlr = _full_box(b"hdlr", 0, 0,
+                     b"\x00" * 4 + b"vide" + b"\x00" * 12 +
+                     b"VideoHandler\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full_box(b"tkhd", 0, 3,
+                     struct.pack(">IIIII", 0, 0, 1, 0, duration) +
+                     b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) +
+                     struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
+                                 0, 0, 0x40000000) +
+                     struct.pack(">II", width << 16, height << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full_box(b"mvhd", 0, 0,
+                     struct.pack(">IIII", 0, 0, 1000, duration) +
+                     struct.pack(">I", 0x00010000) +      # rate 1.0
+                     struct.pack(">H", 0x0100) +          # volume
+                     b"\x00" * 10 +
+                     struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
+                                 0, 0, 0x40000000) +
+                     b"\x00" * 24 +
+                     struct.pack(">I", 2))                # next_track_ID
+    return _box(b"moov", mvhd + trak + mvex)
+
+
 def mux_mp4_video(samples, width: int, height: int, codec: str,
                   config_record: bytes, frame_duration_ms: int = 40,
                   samples_per_chunk: int = 2) -> bytes:
@@ -82,18 +135,7 @@ def mux_mp4_video(samples, width: int, height: int, codec: str,
         offsets.append(acc)
         acc += csz
 
-    config_box = _box(_VIDEO_CONFIG_BOXES[fourcc], bytes(config_record))
-    entry = _box(fourcc, b"".join([
-        b"\x00" * 6, struct.pack(">H", 1),         # reserved + data_ref_index
-        b"\x00" * 16,
-        struct.pack(">HH", width, height),
-        struct.pack(">II", 0x00480000, 0x00480000),  # 72 dpi
-        b"\x00" * 4,
-        struct.pack(">H", 1),                      # frame_count
-        b"\x00" * 32,                              # compressorname
-        struct.pack(">Hh", 24, -1),                # depth, pre_defined
-        config_box,
-    ]))
+    entry = _sample_entry(fourcc, width, height, config_record)
     stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
     stts = _full_box(b"stts", 0, 0,
                      struct.pack(">III", 1, n, frame_duration_ms))
@@ -115,34 +157,7 @@ def mux_mp4_video(samples, width: int, height: int, codec: str,
     stco = _full_box(b"stco", 0, 0, struct.pack(">I", len(offsets)) +
                      b"".join(struct.pack(">I", o) for o in offsets))
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
-    dinf = _box(b"dinf", _full_box(b"dref", 0, 0, struct.pack(">I", 1) +
-                                   _full_box(b"url ", 0, 1, b"")))
-    vmhd = _full_box(b"vmhd", 0, 1, b"\x00" * 8)
-    minf = _box(b"minf", vmhd + dinf + stbl)
-    mdhd = _full_box(b"mdhd", 0, 0,
-                     struct.pack(">IIII", 0, 0, 1000, duration) +
-                     struct.pack(">HH", 0x55C4, 0))  # language 'und'
-    hdlr = _full_box(b"hdlr", 0, 0,
-                     b"\x00" * 4 + b"vide" + b"\x00" * 12 +
-                     b"VideoHandler\x00")
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    tkhd = _full_box(b"tkhd", 0, 3,
-                     struct.pack(">IIIII", 0, 0, 1, 0, duration) +
-                     b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) +
-                     struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
-                                 0, 0, 0x40000000) +
-                     struct.pack(">II", width << 16, height << 16))
-    trak = _box(b"trak", tkhd + mdia)
-    mvhd = _full_box(b"mvhd", 0, 0,
-                     struct.pack(">IIII", 0, 0, 1000, duration) +
-                     struct.pack(">I", 0x00010000) +      # rate 1.0
-                     struct.pack(">H", 0x0100) +          # volume
-                     b"\x00" * 10 +
-                     struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
-                                 0, 0, 0x40000000) +
-                     b"\x00" * 24 +
-                     struct.pack(">I", 2))                # next_track_ID
-    moov = _box(b"moov", mvhd + trak)
+    moov = _build_moov(width, height, stbl, duration)
     return ftyp + _box(b"mdat", mdat_payload) + moov
 
 
@@ -409,7 +424,15 @@ def _parse_fragments(data: bytes, track_id: int, timescale: int,
     for btype, ms, me in _walk_boxes(data, 0, len(data)):
         if btype != b"moof":
             continue
-        moof_start = ms - 8  # box header included in offset math
+        # default-base-is-moof math needs the BOX start, not the payload
+        # start — and _walk_boxes yields payload offsets for both 8-byte
+        # and 16-byte (size==1 largesize) headers, so detect which
+        if ms >= 8 and data[ms - 4:ms] == b"moof":
+            moof_start = ms - 8
+        elif ms >= 16 and data[ms - 12:ms - 8] == b"moof":
+            moof_start = ms - 16  # largesize header
+        else:
+            raise ValueError("MP4: cannot locate moof box header")
         for tbt, tbs, tbe in _walk_boxes(data, ms, me):
             if tbt != b"traf":
                 continue
@@ -457,6 +480,7 @@ def _parse_fragments(data: bytes, track_id: int, timescale: int,
             if base is None:
                 base = moof_start  # spec default for the first trun chain
             tcur = tfdt_time if tfdt_time is not None else implicit_time
+            prev_end = None  # end of the previous trun's data (§8.8.8)
             for rs, re_ in trun_list:
                 _, tr_flags, pos = _read_full_box_header(data, rs)
                 count = _u32(data, pos, re_, "trun sample count")
@@ -464,12 +488,20 @@ def _parse_fragments(data: bytes, track_id: int, timescale: int,
                 if count > 4_000_000:
                     raise ValueError(
                         f"MP4: implausible trun sample count {count}")
-                off = base
                 if tr_flags & 0x000001:  # data-offset present (signed)
                     if pos + 4 > re_:
                         raise ValueError("MP4: trun data offset truncated")
                     off = base + struct.unpack_from(">i", data, pos)[0]
                     pos += 4
+                elif prev_end is not None:
+                    # §8.8.8: a trun without a data-offset continues
+                    # immediately after the previous trun's data —
+                    # resetting to base would silently re-read it
+                    off = prev_end
+                else:
+                    off = base
+                if off < 0:
+                    raise ValueError("MP4: negative fragment data offset")
                 first_flags = None
                 if tr_flags & 0x000004:
                     first_flags = _u32(data, pos, re_, "trun first flags")
@@ -500,6 +532,7 @@ def _parse_fragments(data: bytes, track_id: int, timescale: int,
                          data[off:off + size]))
                     off += size
                     tcur += dur
+                prev_end = off
             implicit_time = tcur
     return samples
 
@@ -518,22 +551,15 @@ def mux_fmp4_video(samples, width: int, height: int, codec: str,
     samples = [bytes(s) for s in samples]
     if not samples:
         raise ValueError("mux_fmp4_video: no samples")
+    if keyframes is not None and len(keyframes) != len(samples):
+        raise ValueError(
+            f"mux_fmp4_video: {len(keyframes)} keyframe flags for "
+            f"{len(samples)} samples")
     fourcc = codec.encode("ascii")
     if fourcc not in _VIDEO_CONFIG_BOXES:
         raise ValueError(f"unsupported MP4 video codec {codec!r}")
 
-    config_box = _box(_VIDEO_CONFIG_BOXES[fourcc], bytes(config_record))
-    entry = _box(fourcc, b"".join([
-        b"\x00" * 6, struct.pack(">H", 1),
-        b"\x00" * 16,
-        struct.pack(">HH", width, height),
-        struct.pack(">II", 0x00480000, 0x00480000),
-        b"\x00" * 4,
-        struct.pack(">H", 1),
-        b"\x00" * 32,
-        struct.pack(">Hh", 24, -1),
-        config_box,
-    ]))
+    entry = _sample_entry(fourcc, width, height, config_record)
     stbl = _box(b"stbl", b"".join([
         _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + entry),
         _full_box(b"stts", 0, 0, struct.pack(">I", 0)),
@@ -541,37 +567,11 @@ def mux_fmp4_video(samples, width: int, height: int, codec: str,
         _full_box(b"stsz", 0, 0, struct.pack(">II", 0, 0)),
         _full_box(b"stco", 0, 0, struct.pack(">I", 0)),
     ]))
-    dinf = _box(b"dinf", _full_box(b"dref", 0, 0, struct.pack(">I", 1) +
-                                   _full_box(b"url ", 0, 1, b"")))
-    minf = _box(b"minf", _full_box(b"vmhd", 0, 1, b"\x00" * 8) + dinf + stbl)
-    mdhd = _full_box(b"mdhd", 0, 0,
-                     struct.pack(">IIII", 0, 0, 1000, 0) +
-                     struct.pack(">HH", 0x55C4, 0))
-    hdlr = _full_box(b"hdlr", 0, 0,
-                     b"\x00" * 4 + b"vide" + b"\x00" * 12 +
-                     b"VideoHandler\x00")
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    tkhd = _full_box(b"tkhd", 0, 3,
-                     struct.pack(">IIIII", 0, 0, 1, 0, 0) +
-                     b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) +
-                     struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
-                                 0, 0, 0x40000000) +
-                     struct.pack(">II", width << 16, height << 16))
-    trak = _box(b"trak", tkhd + mdia)
     mvex = _box(b"mvex", _full_box(b"trex", 0, 0, struct.pack(
         ">IIIII", 1, 1, frame_duration_ms, 0, 0)))
-    mvhd = _full_box(b"mvhd", 0, 0,
-                     struct.pack(">IIII", 0, 0, 1000, 0) +
-                     struct.pack(">I", 0x00010000) +
-                     struct.pack(">H", 0x0100) +
-                     b"\x00" * 10 +
-                     struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
-                                 0, 0, 0x40000000) +
-                     b"\x00" * 24 +
-                     struct.pack(">I", 2))
     out = [_box(b"ftyp", b"iso5" + struct.pack(">I", 512) +
                 b"iso5" + b"iso6" + b"mp41"),
-           _box(b"moov", mvhd + trak + mvex)]
+           _build_moov(width, height, stbl, 0, mvex)]
 
     spf = max(1, int(samples_per_fragment))
     seq = 0

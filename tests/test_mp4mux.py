@@ -184,6 +184,82 @@ class TestFragmentedMp4:
         with pytest.raises(ValueError):
             mp4_video_samples(fmp4[:moof])
 
+    @staticmethod
+    def _init_segment():
+        full = mux_fmp4_video([b"x"], 8, 8, "hvc1", b"\x01" * 23)
+        return full[:full.find(b"moof") - 4]
+
+    def _hand_fragment(self, trun_builder, payload, largesize=False):
+        """Assemble one moof+mdat by hand: trun_builder(moof_len) returns
+        the trun boxes (so data offsets can reference the final moof
+        size); two passes fix the length."""
+        import struct as st
+
+        from graphrag_mrkr_2_spark.functions.mp4mux import _box, _full_box
+
+        def build(moof_len):
+            tfhd = _full_box(b"tfhd", 0,
+                             0x020000 | 0x8 | 0x10,  # base-is-moof + dur + size
+                             st.pack(">III", 1, 40, 4))
+            tfdt = _full_box(b"tfdt", 1, 0, st.pack(">Q", 0))
+            traf = _box(b"traf", tfhd + tfdt + trun_builder(moof_len))
+            body = _full_box(b"mfhd", 0, 0, st.pack(">I", 1)) + traf
+            if largesize:
+                return (st.pack(">I", 1) + b"moof" +
+                        st.pack(">Q", 16 + len(body)) + body)
+            return _box(b"moof", body)
+
+        moof = build(0)
+        moof = build(len(moof))  # second pass with the real size
+        return self._init_segment() + moof + _box(b"mdat", payload)
+
+    def test_second_trun_without_offset_continues(self):
+        """§8.8.8: a trun with no data-offset starts where the previous
+        trun's data ended — NOT back at the base offset."""
+        import struct as st
+
+        from graphrag_mrkr_2_spark.functions.mp4mux import _full_box
+
+        def truns(moof_len):
+            return (_full_box(b"trun", 0, 0x1,
+                              st.pack(">Ii", 1, moof_len + 8)) +
+                    _full_box(b"trun", 0, 0, st.pack(">I", 1)))
+
+        data = self._hand_fragment(truns, b"AAAABBBB")
+        got = [p for _, _, p in mp4_video_samples(data)]
+        assert got == [b"AAAA", b"BBBB"]
+
+    def test_negative_data_offset_raises(self):
+        import struct as st
+
+        from graphrag_mrkr_2_spark.functions.mp4mux import _full_box
+
+        def truns(_moof_len):
+            return _full_box(b"trun", 0, 0x1, st.pack(">Ii", 1, -1000000))
+
+        with pytest.raises(ValueError):
+            mp4_video_samples(self._hand_fragment(truns, b"AAAA"))
+
+    def test_largesize_moof_header(self):
+        """A size==1/largesize moof (16-byte header) must still anchor
+        default-base-is-moof offsets at the BOX start, not payload-8."""
+        import struct as st
+
+        from graphrag_mrkr_2_spark.functions.mp4mux import _full_box
+
+        def truns(moof_len):
+            return _full_box(b"trun", 0, 0x1,
+                             st.pack(">Ii", 1, moof_len + 8))
+
+        data = self._hand_fragment(truns, b"AAAA", largesize=True)
+        got = [p for _, _, p in mp4_video_samples(data)]
+        assert got == [b"AAAA"]
+
+    def test_keyframes_length_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            mux_fmp4_video([b"a", b"b", b"c"], 8, 8, "hvc1", b"\x01" * 23,
+                           keyframes=[True])
+
     def test_hevc_decode_through_fragments(self):
         _require_hevc()
         from graphrag_mrkr_2_spark.functions.hevccodec import (
