@@ -4,7 +4,7 @@ entry(spark)    — flagship KG-construction run on a deterministic synthetic
                   pages table (BASELINE.json input_hint shape) → triples DF.
 queries()       — one entry per implemented operator family (SURVEY.md §2 +
                   the training-data suite); each callable (spark, sf_dir) →
-                  DataFrame. 66 queries, 58 with exact DuckDB oracles.
+                  DataFrame. 67 queries, 59 with exact DuckDB oracles.
 oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
                   KG-pipeline queries (chunking/extraction/canonicalization/
                   communities) are not ANSI-SQL-expressible → rows-only check
@@ -1244,6 +1244,72 @@ def q_hevc_video_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_subtitle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle text extraction (r6) with an EXACT oracle: per doc, 4
+    deterministic cues are written as a REAL subtitle payload — SRT,
+    WebVTT, or a Matroska file with an S_TEXT/UTF8 track, rotating by
+    doc_id so all three container paths are exercised — then parsed back
+    through operators/multimodal.extract_subtitle_text (the cue-text leg
+    of the multimodal brief; functions/subtitles.py). DuckDB reconstructs
+    the identical cue rows straight from the formula, so a match proves
+    format → parse round-trip fidelity for every path. Reference has no
+    media text ingestion at all."""
+    from graphrag_mrkr_2_spark.operators.multimodal import extract_subtitle_text
+
+    def _make(batches):
+        import pandas as pd
+
+        from graphrag_mrkr_2_spark.functions.subtitles import (
+            format_srt,
+            mux_mkv_subtitles,
+        )
+
+        def _vtt_ts(ms):
+            h, rem = divmod(ms, 3_600_000)
+            m, rem = divmod(rem, 60_000)
+            s, frac = divmod(rem, 1000)
+            return f"{h:02d}:{m:02d}:{s:02d}.{frac:03d}"
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                doc_id = int(rec.doc_id)
+                cues = []
+                for i in range(4):
+                    start = i * 2000 + (doc_id % 7) * 10
+                    cues.append((start, start + 1500,
+                                 f"Cue {i} of document {doc_id}."))
+                mode = doc_id % 3
+                if mode == 0:
+                    payload = format_srt(cues).encode()
+                elif mode == 1:
+                    payload = ("WEBVTT\n\n" + "\n".join(
+                        f"{_vtt_ts(s)} --> {_vtt_ts(e)}\n{t}\n"
+                        for s, e, t in cues)).encode()
+                else:
+                    payload = mux_mkv_subtitles(cues)
+                rows.append({"media_id": str(doc_id), "payload": payload})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_make, "media_id string, payload binary")
+    )
+    return (
+        extract_subtitle_text(media, strict=True)
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "cue_index",
+            "start_ms",
+            "end_ms",
+            "text",
+        )
+        .orderBy(F.col("doc_id").cast("long"), "cue_index")
+    )
+
+
 def q_audio_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV codec kernel (functions/audiocodecs.py, r4) with an EXACT oracle:
     per doc, deterministic formula int16 samples are encoded to REAL
@@ -1644,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_customers": q_idle_customers,
         "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
         "supplier_part_counts": q_supplier_part_counts,
+        "subtitle_extract": q_subtitle_extract,
     }
 
 
@@ -2860,6 +2927,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        # Subtitle extraction: DuckDB reconstructs the cue rows straight
+        # from the formula; Spark must reproduce them through real
+        # SRT/WebVTT/Matroska payload round-trips
+        "subtitle_extract": """
+            SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+                   CAST(i.i AS INTEGER) AS cue_index,
+                   CAST(i.i * 2000 + (d.doc_id % 7) * 10 AS BIGINT)
+                     AS start_ms,
+                   CAST(i.i * 2000 + (d.doc_id % 7) * 10 + 1500 AS BIGINT)
+                     AS end_ms,
+                   'Cue ' || i.i || ' of document ' || d.doc_id || '.'
+                     AS text
+            FROM documents d, generate_series(0, 3) i(i)
+            ORDER BY CAST(doc_id AS BIGINT), cue_index
         """,
         # TPC-H Q4 shape: EXISTS == Spark's left-semi join
         "order_priority_check": """

@@ -1,0 +1,303 @@
+"""Subtitle/caption text extraction: SRT, WebVTT, and MKV subtitle tracks.
+
+Subtitles are prime training text hiding inside crawl video — an
+LLM-data pipeline that drops them throws away exactly the
+human-transcribed speech it wants. The reference repo has no media text
+path at all (its loaders are documents and OCR'd images only:
+``ingestion/loaders/``); this backs the LLM-pipeline brief's multimodal
+leg on the TEXT side the way hevccodec/av1codec back it on pixels.
+
+Pure-stdlib parsers (the formats are line-oriented text), hardened for
+crawl reality: BOM/CRLF tolerance, out-of-order or overlapping cues kept
+as-is (downstream dedups), malformed cue blocks skipped rather than
+fatal, a cue cap against adversarial megafiles. The MKV leg walks
+S_TEXT/UTF8 and S_TEXT/WEBVTT subtitle tracks (TrackType 0x11) —
+timestamps come from the container blocks, durations from BlockGroup
+BlockDuration.
+"""
+
+from __future__ import annotations
+
+import re
+
+MAX_CUES = 100_000  # one row's fan-out bound (same spirit as frame caps)
+
+_TS_SRT = re.compile(
+    r"(\d{1,2}):(\d{2}):(\d{2})[,.](\d{1,3})\s*-->\s*"
+    r"(\d{1,2}):(\d{2}):(\d{2})[,.](\d{1,3})")
+# WebVTT allows MM:SS.mmm (hours optional)
+_TS_VTT = re.compile(
+    r"(?:(\d{1,4}):)?(\d{1,2}):(\d{2})\.(\d{3})\s*-->\s*"
+    r"(?:(\d{1,4}):)?(\d{1,2}):(\d{2})\.(\d{3})")
+_VTT_TAG = re.compile(r"</?[^>\n]{0,100}>")  # <v Name>, <i>, <c.cls>, …
+
+
+def _srt_ms(h, m, s, frac) -> int:
+    return ((int(h) * 60 + int(m)) * 60 + int(s)) * 1000 + int(frac.ljust(3, "0"))
+
+
+def _vtt_ms(h, m, s, frac) -> int:
+    return ((int(h or 0) * 60 + int(m)) * 60 + int(s)) * 1000 + int(frac)
+
+
+def sniff_subtitle(payload: bytes):
+    """'webvtt' / 'srt' / None from the leading bytes (crawl routing)."""
+    head = payload[:4096].lstrip(b"\xef\xbb\xbf \r\n")
+    if head.startswith(b"WEBVTT"):
+        return "webvtt"
+    try:
+        text = head.decode("utf-8", "replace")
+    except Exception:
+        return None
+    # SRT: an index line then a timing line within the first few lines
+    lines = [ln.strip() for ln in text.splitlines()[:8]]
+    for i, ln in enumerate(lines[:-1]):
+        if ln.isdigit() and _TS_SRT.match(lines[i + 1]):
+            return "srt"
+        if _TS_SRT.match(ln):
+            return "srt"  # index-less SRT variants exist in crawls
+    return None
+
+
+def parse_srt(text: str) -> list:
+    """SRT → ``[(start_ms, end_ms, cue_text), ...]`` in file order.
+
+    Tolerates missing/non-numeric index lines, CRLF, BOM, and blank-line
+    run variations; a block without a parseable timing line is skipped
+    (malformed crawl cue), never fatal."""
+    cues = []
+    block: list = []
+    for raw in text.lstrip("﻿").splitlines() + [""]:
+        line = raw.rstrip("\r")
+        if line.strip():
+            block.append(line)
+            continue
+        if block:
+            _emit_srt_block(block, cues)
+            block = []
+        if len(cues) >= MAX_CUES:
+            break
+    return cues[:MAX_CUES]
+
+
+def _emit_srt_block(block: list, cues: list) -> None:
+    ts_idx = None
+    for i, line in enumerate(block[:3]):
+        if _TS_SRT.match(line.strip()):
+            ts_idx = i
+            break
+    if ts_idx is None:
+        return
+    m = _TS_SRT.match(block[ts_idx].strip())
+    start = _srt_ms(m.group(1), m.group(2), m.group(3), m.group(4))
+    end = _srt_ms(m.group(5), m.group(6), m.group(7), m.group(8))
+    body = "\n".join(block[ts_idx + 1:]).strip()
+    if body:
+        cues.append((start, end, body))
+
+
+def parse_webvtt(text: str, strip_tags: bool = True) -> list:
+    """WebVTT → ``[(start_ms, end_ms, cue_text), ...]``.
+
+    Handles the WEBVTT header line (with optional trailing metadata),
+    NOTE/STYLE/REGION blocks (skipped), optional cue identifiers, cue
+    settings after the timing line, and voice/class markup
+    (``<v Name>``, ``<i>``, ``<c.x>``) stripped by default — the text is
+    the training payload, the styling is not."""
+    lines = text.lstrip("﻿").splitlines()
+    if not lines or not lines[0].strip().startswith("WEBVTT"):
+        raise ValueError("not a WebVTT file (missing WEBVTT header)")
+    cues = []
+    i = 1
+    n = len(lines)
+    while i < n and len(cues) < MAX_CUES:
+        line = lines[i].rstrip("\r")
+        stripped = line.strip()
+        if not stripped:
+            i += 1
+            continue
+        if stripped.startswith(("NOTE", "STYLE", "REGION")):
+            i += 1
+            while i < n and lines[i].strip():
+                i += 1
+            continue
+        # optional cue id line (anything without -->) before the timing
+        m = _TS_VTT.match(stripped)
+        if m is None and "-->" not in stripped:
+            i += 1
+            if i >= n:
+                break
+            stripped = lines[i].strip()
+            m = _TS_VTT.match(stripped)
+        if m is None:
+            i += 1  # malformed cue header: skip the line, keep scanning
+            continue
+        start = _vtt_ms(m.group(1), m.group(2), m.group(3), m.group(4))
+        end = _vtt_ms(m.group(5), m.group(6), m.group(7), m.group(8))
+        i += 1
+        body_lines = []
+        while i < n and lines[i].strip():
+            body_lines.append(lines[i].rstrip("\r"))
+            i += 1
+        body = "\n".join(body_lines).strip()
+        if strip_tags:
+            body = _VTT_TAG.sub("", body)
+        if body:
+            cues.append((start, end, body))
+    return cues
+
+
+def mkv_subtitle_cues(data: bytes, limit: int = MAX_CUES) -> list:
+    """Cues from the FIRST subtitle track (TrackType 0x11, CodecID
+    S_TEXT/UTF8 or S_TEXT/WEBVTT) of a Matroska/WebM file:
+    ``[(start_ms, end_ms, text), ...]``. Timestamps come from the
+    container (cluster base + block relative, TimestampScale-scaled);
+    durations from BlockGroup BlockDuration (0 when a SimpleBlock
+    carries no duration). S_TEXT/UTF8 payloads are the bare cue text;
+    S_TEXT/WEBVTT payloads are cue bodies (styling stripped)."""
+    from graphrag_mrkr_2_spark.functions.mediaprobe import (
+        _MKV_TRACKENTRY,
+        _MKV_TRACKS,
+        _MKV_TRACKTYPE,
+        _ebml_uint,
+        _ebml_vint,
+        _walk_ebml,
+        sniff_mkv,
+    )
+
+    MKV_CLUSTER, MKV_CLUSTER_TS = 0x1F43B675, 0xE7
+    MKV_SIMPLEBLOCK, MKV_BLOCKGROUP, MKV_BLOCK = 0xA3, 0xA0, 0xA1
+    MKV_BLOCKDURATION, MKV_CODECID = 0x9B, 0x86
+
+    if not sniff_mkv(data):
+        raise ValueError("not a Matroska/WebM file")
+    import struct
+
+    cues = []
+    sub_track = None
+    timescale_ns = 1_000_000
+    for eid, ps, pe in _walk_ebml(data, 0, len(data)):
+        if eid != 0x18538067:  # Segment
+            continue
+        for seid, sps, spe in _walk_ebml(data, ps, pe):
+            if seid == 0x1549A966:  # Info
+                for ieid, ips, ipe in _walk_ebml(data, sps, spe):
+                    if ieid == 0x2AD7B1:
+                        timescale_ns = _ebml_uint(data, ips, ipe) or timescale_ns
+            elif seid == _MKV_TRACKS and sub_track is None:
+                for teid, tps, tpe in _walk_ebml(data, sps, spe):
+                    if teid != _MKV_TRACKENTRY:
+                        continue
+                    num = ttype = None
+                    codec = b""
+                    for feid, fps, fpe in _walk_ebml(data, tps, tpe):
+                        if feid == 0xD7:
+                            num = _ebml_uint(data, fps, fpe)
+                        elif feid == _MKV_TRACKTYPE:
+                            ttype = _ebml_uint(data, fps, fpe)
+                        elif feid == MKV_CODECID:
+                            codec = data[fps:fpe]
+                    if ttype == 0x11 and num is not None and codec in (
+                            b"S_TEXT/UTF8", b"S_TEXT/WEBVTT", b"S_TEXT/ASCII"):
+                        sub_track = (num, codec)
+                        break
+            elif seid == MKV_CLUSTER and sub_track is not None:
+                cluster_ts = 0
+                for ceid, cps, cpe in _walk_ebml(data, sps, spe):
+                    if ceid == MKV_CLUSTER_TS:
+                        cluster_ts = _ebml_uint(data, cps, cpe)
+                    elif ceid in (MKV_SIMPLEBLOCK, MKV_BLOCKGROUP):
+                        bps, bpe = cps, cpe
+                        duration = 0
+                        if ceid == MKV_BLOCKGROUP:
+                            blk = None
+                            for geid, gps, gpe in _walk_ebml(data, cps, cpe):
+                                if geid == MKV_BLOCK:
+                                    blk = (gps, gpe)
+                                elif geid == MKV_BLOCKDURATION:
+                                    duration = _ebml_uint(data, gps, gpe) or 0
+                            if blk is None:
+                                continue
+                            bps, bpe = blk
+                        track, pos = _ebml_vint(data, bps, keep_marker=False)
+                        if pos + 3 > bpe or track != sub_track[0]:
+                            continue
+                        rel_ts = struct.unpack_from(">h", data, pos)[0]
+                        flags = data[pos + 2]
+                        if flags & 0x06:
+                            raise ValueError(
+                                "MKV: laced subtitle blocks unsupported")
+                        start = (cluster_ts + rel_ts) * timescale_ns \
+                            // 1_000_000
+                        end = (cluster_ts + rel_ts + duration) \
+                            * timescale_ns // 1_000_000
+                        text = data[pos + 3:bpe].decode("utf-8", "replace")
+                        if sub_track[1] == b"S_TEXT/WEBVTT":
+                            text = _VTT_TAG.sub("", text)
+                        text = text.strip()
+                        if text:
+                            cues.append((int(start), int(end), text))
+                        if len(cues) >= limit:
+                            return cues
+    if sub_track is None:
+        raise ValueError("MKV: no text subtitle track")
+    return cues
+
+
+def format_srt(cues) -> str:
+    """Cues → SRT text (fixture/oracle path — parse_srt reads it back)."""
+
+    def _ts(ms: int) -> str:
+        h, rem = divmod(ms, 3_600_000)
+        m, rem = divmod(rem, 60_000)
+        s, frac = divmod(rem, 1000)
+        return f"{h:02d}:{m:02d}:{s:02d},{frac:03d}"
+
+    blocks = []
+    for i, (start, end, text) in enumerate(cues, 1):
+        blocks.append(f"{i}\n{_ts(start)} --> {_ts(end)}\n{text}\n")
+    return "\n".join(blocks)
+
+
+def mux_mkv_subtitles(cues, codec: bytes = b"S_TEXT/UTF8") -> bytes:
+    """Wrap cues into a minimal Matroska file with one subtitle track
+    (fixture/oracle path — ``mkv_subtitle_cues`` reads it back): each cue
+    a BlockGroup{Block, BlockDuration} so durations round-trip, cluster
+    timestamp 0, 1 ms TimestampScale."""
+    import struct
+
+    from graphrag_mrkr_2_spark.functions.av1codec import (
+        _el,
+        _uint_payload,
+    )
+
+    ebml = _el(0x1A45DFA3, b"".join([
+        _el(0x4286, _uint_payload(1)),
+        _el(0x42F7, _uint_payload(1)),
+        _el(0x42F2, _uint_payload(4)),
+        _el(0x42F3, _uint_payload(8)),
+        _el(0x4282, b"matroska"),
+        _el(0x4287, _uint_payload(2)),
+        _el(0x4285, _uint_payload(2)),
+    ]))
+    total = max((end for _, end, _ in cues), default=0)
+    info = _el(0x1549A966, b"".join([
+        _el(0x2AD7B1, _uint_payload(1_000_000)),
+        _el(0x4489, struct.pack(">d", float(total))),
+    ]))
+    tracks = _el(0x1654AE6B, _el(0xAE, b"".join([
+        _el(0xD7, _uint_payload(1)),
+        _el(0x73C5, _uint_payload(1)),
+        _el(0x83, _uint_payload(0x11)),       # TrackType: subtitle
+        _el(0x86, bytes(codec)),
+    ])))
+    groups = []
+    for start, end, text in cues:
+        block = b"\x81" + struct.pack(">h", start) + b"\x00" \
+            + text.encode("utf-8")
+        groups.append(_el(0xA0, b"".join([    # BlockGroup
+            _el(0xA1, block),                 # Block
+            _el(0x9B, _uint_payload(max(0, end - start))),  # BlockDuration
+        ])))
+    cluster = _el(0x1F43B675, _el(0xE7, _uint_payload(0)) + b"".join(groups))
+    return ebml + _el(0x18538067, info + tracks + cluster)

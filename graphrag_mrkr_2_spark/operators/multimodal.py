@@ -66,6 +66,7 @@ from pyspark.sql.types import (
     BinaryType,
     FloatType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -1337,3 +1338,75 @@ def extract_image_text(
     return media.select(
         F.col(id_col), F.col(payload_col), *[F.col(c) for c in extra]
     ).mapInPandas(_extract, out_schema)
+
+
+SUBTITLE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("cue_index", IntegerType(), False),
+        StructField("start_ms", LongType(), False),
+        StructField("end_ms", LongType(), False),
+        StructField("text", StringType(), False),
+    ]
+)
+
+
+def extract_subtitle_text(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Cue rows from subtitle payloads — the TEXT leg of the multimodal
+    brief: standalone SRT and WebVTT files (crawls are full of them) and
+    Matroska/WebM subtitle tracks (S_TEXT/UTF8 / S_TEXT/WEBVTT), all
+    parsed by ``functions/subtitles.py``. One row per cue
+    ``(media_id, cue_index, start_ms, end_ms, text)`` — the text column
+    feeds the same hygiene/dedup/quality operators as any document text.
+    Row-multiplying mapInPandas like sample_video_frames; cue counts are
+    capped (subtitles.MAX_CUES) so one adversarial payload cannot fan
+    out unboundedly. strict=True raises on undecodable payloads,
+    strict=False quarantines them (zero rows for that id)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from graphrag_mrkr_2_spark.functions.mediaprobe import sniff_mkv
+        from graphrag_mrkr_2_spark.functions.subtitles import (
+            mkv_subtitle_cues,
+            parse_srt,
+            parse_webvtt,
+            sniff_subtitle,
+        )
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(rec.payload) if rec.payload is not None else b""
+                try:
+                    kind = sniff_subtitle(payload)
+                    if kind == "srt":
+                        cues = parse_srt(payload.decode("utf-8", "replace"))
+                    elif kind == "webvtt":
+                        cues = parse_webvtt(
+                            payload.decode("utf-8", "replace"))
+                    elif sniff_mkv(payload):
+                        cues = mkv_subtitle_cues(payload)
+                    else:
+                        raise ValueError("no subtitle content detected")
+                except Exception:
+                    if strict:
+                        raise
+                    continue  # quarantine: malformed payload, zero rows
+                for i, (start, end, text) in enumerate(cues):
+                    rows.append(
+                        {
+                            "media_id": str(rec.media_id),
+                            "cue_index": i,
+                            "start_ms": int(start),
+                            "end_ms": int(end),
+                            "text": text,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "cue_index", "start_ms", "end_ms",
+                         "text"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _extract, SUBTITLE_SCHEMA
+    )
