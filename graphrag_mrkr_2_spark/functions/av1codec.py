@@ -519,79 +519,21 @@ def mkv_video_samples(data: bytes, limit: int = 10_000) -> list:
     """Video-track block payloads from a Matroska/WebM file:
     ``[(timestamp_ms, keyframe, payload), ...]`` in stream order.
 
-    Walks Segment → Cluster → SimpleBlock/BlockGroup(Block) for the FIRST
-    video track; assumes no lacing (flags & 0x06 == 0 — what every AV1
-    WebM muxer emits; laced blocks raise). Timestamps are cluster base +
-    block relative, in TimestampScale units scaled to ms (1 ms scale
-    assumed when Info is absent, matching probe_mkv)."""
-    from graphrag_mrkr_2_spark.functions.mediaprobe import (
-        _MKV_TRACKENTRY,
-        _MKV_TRACKS,
-        _MKV_TRACKTYPE,
-        _ebml_uint,
-        _ebml_vint,
-        _walk_ebml,
-        sniff_mkv,
-    )
+    Rides the shared two-pass walker (mediaprobe.mkv_track_blocks) for
+    the FIRST video track — handles the legal Tracks-after-Cluster
+    ordering and all-ones track-number vints; laced blocks raise
+    (no AV1/HEVC/VP8 WebM muxer laces video, and a silently skipped
+    frame would break inter prediction downstream anyway)."""
+    from graphrag_mrkr_2_spark.functions.mediaprobe import mkv_track_blocks
 
-    if not sniff_mkv(data):
-        raise ValueError("not a Matroska/WebM file")
+    track, blocks = mkv_track_blocks(data, want_type=1, on_laced="raise")
+    if track is None:
+        return []
     samples = []
-    video_track = None
-    timescale_ns = 1_000_000
-    for eid, ps, pe in _walk_ebml(data, 0, len(data)):
-        if eid != 0x18538067:  # Segment
-            continue
-        for seid, sps, spe in _walk_ebml(data, ps, pe):
-            if seid == 0x1549A966:  # Info
-                for ieid, ips, ipe in _walk_ebml(data, sps, spe):
-                    if ieid == 0x2AD7B1:
-                        timescale_ns = _ebml_uint(data, ips, ipe) or timescale_ns
-            elif seid == _MKV_TRACKS and video_track is None:
-                for teid, tps, tpe in _walk_ebml(data, sps, spe):
-                    if teid != _MKV_TRACKENTRY:
-                        continue
-                    num = ttype = None
-                    for feid, fps, fpe in _walk_ebml(data, tps, tpe):
-                        if feid == 0xD7:
-                            num = _ebml_uint(data, fps, fpe)
-                        elif feid == _MKV_TRACKTYPE:
-                            ttype = _ebml_uint(data, fps, fpe)
-                    if ttype == 1 and num is not None:
-                        video_track = num
-                        break
-            elif seid == _MKV_CLUSTER:
-                cluster_ts = 0
-                for ceid, cps, cpe in _walk_ebml(data, sps, spe):
-                    if ceid == _MKV_CLUSTER_TS:
-                        cluster_ts = _ebml_uint(data, cps, cpe)
-                    elif ceid in (_MKV_SIMPLEBLOCK, _MKV_BLOCKGROUP):
-                        bps, bpe = cps, cpe
-                        keyframe_default = ceid == _MKV_BLOCKGROUP
-                        if ceid == _MKV_BLOCKGROUP:
-                            blk = None
-                            for geid, gps, gpe in _walk_ebml(data, cps, cpe):
-                                if geid == _MKV_BLOCK:
-                                    blk = (gps, gpe)
-                                    break
-                            if blk is None:
-                                continue
-                            bps, bpe = blk
-                        track, pos = _ebml_vint(data, bps, keep_marker=False)
-                        if pos + 3 > bpe:
-                            continue
-                        rel_ts = struct.unpack_from(">h", data, pos)[0]
-                        flags = data[pos + 2]
-                        if flags & 0x06:
-                            raise ValueError("MKV: laced blocks unsupported")
-                        if track != video_track:
-                            continue
-                        ts_ms = (cluster_ts + rel_ts) * timescale_ns // 1_000_000
-                        keyframe = keyframe_default or bool(flags & 0x80)
-                        samples.append((int(ts_ms), keyframe,
-                                        data[pos + 3:bpe]))
-                        if len(samples) >= limit:
-                            return samples
+    for ts_ms, keyframe, _dur, payload in blocks:
+        samples.append((ts_ms, keyframe, payload))
+        if len(samples) >= limit:
+            break
     return samples
 
 
@@ -599,32 +541,7 @@ def mkv_video_codec_private(data: bytes) -> bytes:
     """CodecPrivate bytes of the FIRST video track of a Matroska/WebM file
     (hvcC record for V_MPEGH/ISO/HEVC tracks), or None when absent —
     the decode-side complement of ``mux_mkv_video``'s codec_private."""
-    from graphrag_mrkr_2_spark.functions.mediaprobe import (
-        _MKV_TRACKENTRY,
-        _MKV_TRACKS,
-        _MKV_TRACKTYPE,
-        _ebml_uint,
-        _walk_ebml,
-        sniff_mkv,
-    )
+    from graphrag_mrkr_2_spark.functions.mediaprobe import mkv_track_blocks
 
-    if not sniff_mkv(data):
-        raise ValueError("not a Matroska/WebM file")
-    for eid, ps, pe in _walk_ebml(data, 0, len(data)):
-        if eid != 0x18538067:  # Segment
-            continue
-        for seid, sps, spe in _walk_ebml(data, ps, pe):
-            if seid != _MKV_TRACKS:
-                continue
-            for teid, tps, tpe in _walk_ebml(data, sps, spe):
-                if teid != _MKV_TRACKENTRY:
-                    continue
-                ttype, private = None, None
-                for feid, fps, fpe in _walk_ebml(data, tps, tpe):
-                    if feid == _MKV_TRACKTYPE:
-                        ttype = _ebml_uint(data, fps, fpe)
-                    elif feid == 0x63A2:  # CodecPrivate
-                        private = data[fps:fpe]
-                if ttype == 1:
-                    return private
-    return None
+    track, _blocks = mkv_track_blocks(data, want_type=1)
+    return track["codec_private"] if track else None

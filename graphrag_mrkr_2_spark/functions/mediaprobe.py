@@ -651,3 +651,133 @@ def _mkv_codec_name(raw: bytes) -> str:
     # names the MP4/HEIF probes use so routing can compare one string
     return {"mpegh/iso/hevc": "hevc", "mpeg4/iso/avc": "h264",
             "mpegi/iso/vvc": "vvc"}.get(name, name)
+
+
+def _mkv_num_vint(data: bytes, pos: int, end: int):
+    """EBML vint as a plain NUMBER (track numbers): unlike element SIZES,
+    an all-ones pattern here is a valid value (0xFF = track 127), not the
+    'unknown size' sentinel — mapping it to None silently drops every
+    block of tracks numbered 127, 16383, … Returns (value, next_pos) or
+    (None, pos) on malformed/truncated input."""
+    if pos >= end:
+        return None, pos
+    b0 = data[pos]
+    if b0 == 0:
+        return None, pos
+    length, mask = 1, 0x80
+    while not (b0 & mask):
+        length += 1
+        mask >>= 1
+    if pos + length > end:
+        return None, pos
+    val = b0 & (mask - 1)
+    for i in range(1, length):
+        val = (val << 8) | data[pos + i]
+    return val, pos + length
+
+
+def mkv_track_blocks(data: bytes, want_type: int, codec_filter=None,
+                     on_laced: str = "raise"):
+    """Shared Matroska/WebM block walk for the video demuxer
+    (av1codec.mkv_video_samples) and subtitle extraction
+    (subtitles.mkv_subtitle_cues) — one implementation of track
+    selection, TimestampScale handling, cluster-base + s16-relative
+    timestamps, and SimpleBlock/BlockGroup framing.
+
+    Returns ``(track, blocks)``: ``track`` is ``{"num", "codec",
+    "codec_private"}`` for the FIRST track of ``want_type`` (1=video,
+    0x11=subtitle; ``codec_filter(codec_id_bytes)`` optionally narrows),
+    or None when absent; ``blocks`` is a generator of ``(ts_ms,
+    keyframe, duration_ms, payload)`` in stream order.
+
+    Robustness pinned by review r6: a two-pass Segment walk reads
+    Info+Tracks BEFORE any Cluster, so the legal Tracks-after-Cluster
+    ordering some remuxers emit yields cues instead of silently nothing;
+    block track numbers parse via ``_mkv_num_vint`` so all-ones vints
+    (track 127…) aren't dropped as 'unknown size'. ``on_laced``:
+    'raise' (video — a skipped frame breaks inter prediction anyway) or
+    'skip' (subtitles — cues are independent; one laced block must not
+    void a file of good cues).
+    """
+    if not sniff_mkv(data):
+        raise ValueError("not a Matroska/WebM file")
+    seg = None
+    for eid, ps, pe in _walk_ebml(data, 0, len(data)):
+        if eid == _MKV_SEGMENT:
+            seg = (ps, pe)
+            break
+    if seg is None:
+        return None, iter(())
+
+    timescale_ns = 1_000_000
+    track = None
+    for seid, sps, spe in _walk_ebml(data, seg[0], seg[1]):
+        if seid == _MKV_INFO:
+            for ieid, ips, ipe in _walk_ebml(data, sps, spe):
+                if ieid == _MKV_TIMESCALE:
+                    timescale_ns = _ebml_uint(data, ips, ipe) or timescale_ns
+        elif seid == _MKV_TRACKS and track is None:
+            for teid, tps, tpe in _walk_ebml(data, sps, spe):
+                if teid != _MKV_TRACKENTRY:
+                    continue
+                num = ttype = None
+                codec, private = b"", None
+                for feid, fps, fpe in _walk_ebml(data, tps, tpe):
+                    if feid == 0xD7:
+                        num = _ebml_uint(data, fps, fpe)
+                    elif feid == _MKV_TRACKTYPE:
+                        ttype = _ebml_uint(data, fps, fpe)
+                    elif feid == _MKV_CODECID:
+                        codec = data[fps:fpe]
+                    elif feid == 0x63A2:  # CodecPrivate
+                        private = data[fps:fpe]
+                if (ttype == want_type and num is not None
+                        and (codec_filter is None or codec_filter(codec))):
+                    track = {"num": num, "codec": codec,
+                             "codec_private": private}
+                    break
+    if track is None:
+        return None, iter(())
+
+    import struct as _st
+
+    def _blocks():
+        for seid, sps, spe in _walk_ebml(data, seg[0], seg[1]):
+            if seid != 0x1F43B675:  # Cluster
+                continue
+            cluster_ts = 0
+            for ceid, cps, cpe in _walk_ebml(data, sps, spe):
+                if ceid == 0xE7:  # Cluster Timestamp
+                    cluster_ts = _ebml_uint(data, cps, cpe) or 0
+                elif ceid in (0xA3, 0xA0):  # SimpleBlock | BlockGroup
+                    bps, bpe = cps, cpe
+                    duration = 0
+                    keyframe_default = ceid == 0xA0
+                    if ceid == 0xA0:
+                        blk = None
+                        for geid, gps, gpe in _walk_ebml(data, cps, cpe):
+                            if geid == 0xA1:  # Block
+                                blk = (gps, gpe)
+                            elif geid == 0x9B:  # BlockDuration
+                                duration = _ebml_uint(data, gps, gpe) or 0
+                        if blk is None:
+                            continue
+                        bps, bpe = blk
+                    tnum, pos = _mkv_num_vint(data, bps, bpe)
+                    if tnum is None or pos + 3 > bpe:
+                        continue
+                    if tnum != track["num"]:
+                        continue
+                    rel_ts = _st.unpack_from(">h", data, pos)[0]
+                    flags = data[pos + 2]
+                    if flags & 0x06:
+                        if on_laced == "raise":
+                            raise ValueError("MKV: laced blocks unsupported")
+                        continue  # skip: one laced block, not the file
+                    ts_ms = (cluster_ts + rel_ts) * timescale_ns // 1_000_000
+                    dur_ms = duration * timescale_ns // 1_000_000
+                    keyframe = keyframe_default or bool(flags & 0x80)
+                    yield (int(ts_ms), keyframe, int(dur_ms),
+                           data[pos + 3:bpe])
+
+    return track, _blocks()

@@ -23,13 +23,15 @@ import re
 MAX_CUES = 100_000  # one row's fan-out bound (same spirit as frame caps)
 
 _TS_SRT = re.compile(
-    r"(\d{1,2}):(\d{2}):(\d{2})[,.](\d{1,3})\s*-->\s*"
-    r"(\d{1,2}):(\d{2}):(\d{2})[,.](\d{1,3})")
+    r"(\d{1,4}):(\d{2}):(\d{2})[,.](\d{1,3})\s*-->\s*"
+    r"(\d{1,4}):(\d{2}):(\d{2})[,.](\d{1,3})")
 # WebVTT allows MM:SS.mmm (hours optional)
 _TS_VTT = re.compile(
     r"(?:(\d{1,4}):)?(\d{1,2}):(\d{2})\.(\d{3})\s*-->\s*"
     r"(?:(\d{1,4}):)?(\d{1,2}):(\d{2})\.(\d{3})")
-_VTT_TAG = re.compile(r"</?[^>\n]{0,100}>")  # <v Name>, <i>, <c.cls>, …
+_VTT_TAG = re.compile(  # ONLY real cue markup: named tags + <hh:mm:…>
+    r"</?(?:v|i|b|u|c|ruby|rt|lang)(?:[.\t ][^>\n]{0,200})?>"
+    r"|<\d{1,4}:\d{2}[^>\n]{0,30}>")
 
 
 def _srt_ms(h, m, s, frac) -> int:
@@ -105,10 +107,13 @@ def parse_webvtt(text: str, strip_tags: bool = True) -> list:
     (``<v Name>``, ``<i>``, ``<c.x>``) stripped by default — the text is
     the training payload, the styling is not."""
     lines = text.lstrip("﻿").splitlines()
-    if not lines or not lines[0].strip().startswith("WEBVTT"):
+    hdr = 0  # sniff_subtitle tolerates leading blank lines; match it here
+    while hdr < len(lines) and not lines[hdr].strip():
+        hdr += 1
+    if hdr >= len(lines) or not lines[hdr].strip().startswith("WEBVTT"):
         raise ValueError("not a WebVTT file (missing WEBVTT header)")
     cues = []
-    i = 1
+    i = hdr + 1
     n = len(lines)
     while i < n and len(cues) < MAX_CUES:
         line = lines[i].rstrip("\r")
@@ -116,7 +121,9 @@ def parse_webvtt(text: str, strip_tags: bool = True) -> list:
         if not stripped:
             i += 1
             continue
-        if stripped.startswith(("NOTE", "STYLE", "REGION")):
+        if any(stripped == kw or stripped.startswith(kw + " ")
+               or stripped.startswith(kw + "\t")
+               for kw in ("NOTE", "STYLE", "REGION")):
             i += 1
             while i < n and lines[i].strip():
                 i += 1
@@ -149,98 +156,32 @@ def parse_webvtt(text: str, strip_tags: bool = True) -> list:
 
 def mkv_subtitle_cues(data: bytes, limit: int = MAX_CUES) -> list:
     """Cues from the FIRST subtitle track (TrackType 0x11, CodecID
-    S_TEXT/UTF8 or S_TEXT/WEBVTT) of a Matroska/WebM file:
-    ``[(start_ms, end_ms, text), ...]``. Timestamps come from the
-    container (cluster base + block relative, TimestampScale-scaled);
-    durations from BlockGroup BlockDuration (0 when a SimpleBlock
-    carries no duration). S_TEXT/UTF8 payloads are the bare cue text;
-    S_TEXT/WEBVTT payloads are cue bodies (styling stripped)."""
-    from graphrag_mrkr_2_spark.functions.mediaprobe import (
-        _MKV_TRACKENTRY,
-        _MKV_TRACKS,
-        _MKV_TRACKTYPE,
-        _ebml_uint,
-        _ebml_vint,
-        _walk_ebml,
-        sniff_mkv,
-    )
+    S_TEXT/UTF8, S_TEXT/WEBVTT or S_TEXT/ASCII) of a Matroska/WebM file:
+    ``[(start_ms, end_ms, text), ...]``. Rides the shared two-pass walker
+    (mediaprobe.mkv_track_blocks), so the legal Tracks-after-Cluster
+    ordering and all-ones track numbers both work; laced blocks are
+    SKIPPED (cues are independent — one malformed block must not void a
+    file of good cues). Timestamps come from the container; durations
+    from BlockGroup BlockDuration (0 for bare SimpleBlocks)."""
+    from graphrag_mrkr_2_spark.functions.mediaprobe import mkv_track_blocks
 
-    MKV_CLUSTER, MKV_CLUSTER_TS = 0x1F43B675, 0xE7
-    MKV_SIMPLEBLOCK, MKV_BLOCKGROUP, MKV_BLOCK = 0xA3, 0xA0, 0xA1
-    MKV_BLOCKDURATION, MKV_CODECID = 0x9B, 0x86
-
-    if not sniff_mkv(data):
-        raise ValueError("not a Matroska/WebM file")
-    import struct
-
-    cues = []
-    sub_track = None
-    timescale_ns = 1_000_000
-    for eid, ps, pe in _walk_ebml(data, 0, len(data)):
-        if eid != 0x18538067:  # Segment
-            continue
-        for seid, sps, spe in _walk_ebml(data, ps, pe):
-            if seid == 0x1549A966:  # Info
-                for ieid, ips, ipe in _walk_ebml(data, sps, spe):
-                    if ieid == 0x2AD7B1:
-                        timescale_ns = _ebml_uint(data, ips, ipe) or timescale_ns
-            elif seid == _MKV_TRACKS and sub_track is None:
-                for teid, tps, tpe in _walk_ebml(data, sps, spe):
-                    if teid != _MKV_TRACKENTRY:
-                        continue
-                    num = ttype = None
-                    codec = b""
-                    for feid, fps, fpe in _walk_ebml(data, tps, tpe):
-                        if feid == 0xD7:
-                            num = _ebml_uint(data, fps, fpe)
-                        elif feid == _MKV_TRACKTYPE:
-                            ttype = _ebml_uint(data, fps, fpe)
-                        elif feid == MKV_CODECID:
-                            codec = data[fps:fpe]
-                    if ttype == 0x11 and num is not None and codec in (
-                            b"S_TEXT/UTF8", b"S_TEXT/WEBVTT", b"S_TEXT/ASCII"):
-                        sub_track = (num, codec)
-                        break
-            elif seid == MKV_CLUSTER and sub_track is not None:
-                cluster_ts = 0
-                for ceid, cps, cpe in _walk_ebml(data, sps, spe):
-                    if ceid == MKV_CLUSTER_TS:
-                        cluster_ts = _ebml_uint(data, cps, cpe)
-                    elif ceid in (MKV_SIMPLEBLOCK, MKV_BLOCKGROUP):
-                        bps, bpe = cps, cpe
-                        duration = 0
-                        if ceid == MKV_BLOCKGROUP:
-                            blk = None
-                            for geid, gps, gpe in _walk_ebml(data, cps, cpe):
-                                if geid == MKV_BLOCK:
-                                    blk = (gps, gpe)
-                                elif geid == MKV_BLOCKDURATION:
-                                    duration = _ebml_uint(data, gps, gpe) or 0
-                            if blk is None:
-                                continue
-                            bps, bpe = blk
-                        track, pos = _ebml_vint(data, bps, keep_marker=False)
-                        if pos + 3 > bpe or track != sub_track[0]:
-                            continue
-                        rel_ts = struct.unpack_from(">h", data, pos)[0]
-                        flags = data[pos + 2]
-                        if flags & 0x06:
-                            raise ValueError(
-                                "MKV: laced subtitle blocks unsupported")
-                        start = (cluster_ts + rel_ts) * timescale_ns \
-                            // 1_000_000
-                        end = (cluster_ts + rel_ts + duration) \
-                            * timescale_ns // 1_000_000
-                        text = data[pos + 3:bpe].decode("utf-8", "replace")
-                        if sub_track[1] == b"S_TEXT/WEBVTT":
-                            text = _VTT_TAG.sub("", text)
-                        text = text.strip()
-                        if text:
-                            cues.append((int(start), int(end), text))
-                        if len(cues) >= limit:
-                            return cues
-    if sub_track is None:
+    track, blocks = mkv_track_blocks(
+        data, want_type=0x11,
+        codec_filter=lambda c: c in (b"S_TEXT/UTF8", b"S_TEXT/WEBVTT",
+                                     b"S_TEXT/ASCII"),
+        on_laced="skip")
+    if track is None:
         raise ValueError("MKV: no text subtitle track")
+    cues = []
+    for start, _key, dur, payload in blocks:
+        text = payload.decode("utf-8", "replace")
+        if track["codec"] == b"S_TEXT/WEBVTT":
+            text = _VTT_TAG.sub("", text)
+        text = text.strip()
+        if text:
+            cues.append((int(start), int(start + dur), text))
+        if len(cues) >= limit:
+            break
     return cues
 
 
@@ -259,11 +200,16 @@ def format_srt(cues) -> str:
     return "\n".join(blocks)
 
 
-def mux_mkv_subtitles(cues, codec: bytes = b"S_TEXT/UTF8") -> bytes:
+def mux_mkv_subtitles(cues, codec: bytes = b"S_TEXT/UTF8",
+                      track_num: int = 1) -> bytes:
     """Wrap cues into a minimal Matroska file with one subtitle track
     (fixture/oracle path — ``mkv_subtitle_cues`` reads it back): each cue
-    a BlockGroup{Block, BlockDuration} so durations round-trip, cluster
-    timestamp 0, 1 ms TimestampScale."""
+    a BlockGroup{Block, BlockDuration} so durations round-trip, one
+    cluster per cue (absolute time in the cluster base — in-block
+    relative timestamps are signed 16-bit), 1 ms TimestampScale.
+    ``track_num`` up to 127 exercises the all-ones vint edge (0xFF)."""
+    if not 1 <= int(track_num) <= 127:
+        raise ValueError("track_num must fit a 1-byte vint (1..127)")
     import struct
 
     from graphrag_mrkr_2_spark.functions.av1codec import (
@@ -286,18 +232,25 @@ def mux_mkv_subtitles(cues, codec: bytes = b"S_TEXT/UTF8") -> bytes:
         _el(0x4489, struct.pack(">d", float(total))),
     ]))
     tracks = _el(0x1654AE6B, _el(0xAE, b"".join([
-        _el(0xD7, _uint_payload(1)),
+        _el(0xD7, _uint_payload(int(track_num))),
         _el(0x73C5, _uint_payload(1)),
         _el(0x83, _uint_payload(0x11)),       # TrackType: subtitle
         _el(0x86, bytes(codec)),
     ])))
-    groups = []
+    # one Cluster PER CUE with the cluster base carrying the absolute
+    # time: the in-block relative timestamp is a SIGNED 16-bit int, so a
+    # single cluster at base 0 overflows for any cue past 32.767 s —
+    # and real subtitles start minutes into the video
+    clusters = []
     for start, end, text in cues:
-        block = b"\x81" + struct.pack(">h", start) + b"\x00" \
-            + text.encode("utf-8")
-        groups.append(_el(0xA0, b"".join([    # BlockGroup
+        if start < 0:
+            raise ValueError("negative cue start")
+        block = bytes([0x80 | int(track_num)]) + struct.pack(">h", 0) \
+            + b"\x00" + text.encode("utf-8")
+        group = _el(0xA0, b"".join([          # BlockGroup
             _el(0xA1, block),                 # Block
             _el(0x9B, _uint_payload(max(0, end - start))),  # BlockDuration
-        ])))
-    cluster = _el(0x1F43B675, _el(0xE7, _uint_payload(0)) + b"".join(groups))
-    return ebml + _el(0x18538067, info + tracks + cluster)
+        ]))
+        clusters.append(
+            _el(0x1F43B675, _el(0xE7, _uint_payload(start)) + group))
+    return ebml + _el(0x18538067, info + tracks + b"".join(clusters))
