@@ -4,7 +4,7 @@ entry(spark)    — flagship KG-construction run on a deterministic synthetic
                   pages table (BASELINE.json input_hint shape) → triples DF.
 queries()       — one entry per implemented operator family (SURVEY.md §2 +
                   the training-data suite); each callable (spark, sf_dir) →
-                  DataFrame. 67 queries, 59 with exact DuckDB oracles.
+                  DataFrame. 68 queries, 60 with exact DuckDB oracles.
 oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
                   KG-pipeline queries (chunking/extraction/canonicalization/
                   communities) are not ANSI-SQL-expressible → rows-only check
@@ -1310,6 +1310,69 @@ def q_subtitle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_tags_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media text-metadata extraction (r6) with an EXACT oracle: per doc,
+    deterministic title/artist/album/comment/lyrics strings are written
+    into a REAL tag-bearing container — ID3v2.4, ID3v2.3, FLAC
+    VORBIS_COMMENT, Ogg-Opus OpusTags, or MP4 ilst, rotating by doc_id so
+    all five builder/parser paths are exercised
+    (functions/mediatags.py) — then parsed back through
+    operators/multimodal.extract_media_tags_table. DuckDB reconstructs
+    the rows straight from the formula. Reference has no audio/video
+    ingestion at all — this is the companion of subtitle_extract on the
+    audio side."""
+    from graphrag_mrkr_2_spark.operators.multimodal import (
+        extract_media_tags_table,
+    )
+
+    def _make(batches):
+        import pandas as pd
+
+        from graphrag_mrkr_2_spark.functions.mediatags import (
+            build_flac_with_tags,
+            build_id3v2,
+            build_mp4_with_tags,
+            build_ogg_opus_with_tags,
+        )
+
+        builders = [
+            lambda t: build_id3v2(t, 4),
+            lambda t: build_id3v2(t, 3),
+            build_flac_with_tags,
+            build_ogg_opus_with_tags,
+            build_mp4_with_tags,
+        ]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                doc_id = int(rec.doc_id)
+                tags = {
+                    "title": f"Title {doc_id}",
+                    "artist": f"Artist {doc_id % 13}",
+                    "album": f"Album {doc_id % 5}",
+                    "comment": f"Comment for {doc_id}",
+                    "lyrics": f"Line one of {doc_id}. Line two.",
+                }
+                rows.append({"media_id": str(doc_id),
+                             "payload": builders[doc_id % 5](tags)})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_make, "media_id string, payload binary")
+    )
+    return (
+        extract_media_tags_table(media, strict=True)
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "fmt", "title", "artist", "album", "comment", "lyrics",
+        )
+        .orderBy(F.col("doc_id").cast("long"))
+    )
+
+
 def q_audio_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV codec kernel (functions/audiocodecs.py, r4) with an EXACT oracle:
     per doc, deterministic formula int16 samples are encoded to REAL
@@ -1711,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
         "supplier_part_counts": q_supplier_part_counts,
         "subtitle_extract": q_subtitle_extract,
+        "media_tags_extract": q_media_tags_extract,
     }
 
 
@@ -2942,6 +3006,22 @@ def oracle_sql() -> dict[str, str]:
                      AS text
             FROM documents d, generate_series(0, 3) i(i)
             ORDER BY CAST(doc_id AS BIGINT), cue_index
+        """,
+        # Media tag extraction: DuckDB reconstructs the normalized rows
+        # from the formula; Spark reproduces them through real ID3v2 /
+        # FLAC / OpusTags / MP4-ilst container round-trips. fmt rotates
+        # with the builder (id3 covers both v2.4 and v2.3).
+        "media_tags_extract": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE doc_id % 5 WHEN 0 THEN 'id3' WHEN 1 THEN 'id3'
+                        WHEN 2 THEN 'flac' WHEN 3 THEN 'ogg'
+                        ELSE 'mp4' END AS fmt,
+                   'Title ' || doc_id AS title,
+                   'Artist ' || (doc_id % 13) AS artist,
+                   'Album ' || (doc_id % 5) AS album,
+                   'Comment for ' || doc_id AS comment,
+                   'Line one of ' || doc_id || '. Line two.' AS lyrics
+            FROM documents ORDER BY CAST(doc_id AS BIGINT)
         """,
         # TPC-H Q4 shape: EXISTS == Spark's left-semi join
         "order_priority_check": """

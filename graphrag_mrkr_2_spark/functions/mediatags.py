@@ -1,0 +1,400 @@
+"""Text metadata extraction from media containers: ID3v2, Vorbis
+comments (Ogg Opus/Vorbis + FLAC), MP4 ilst.
+
+Titles, artists, albums, comments and above all LYRICS are human-written
+text riding inside crawl audio/video — the companion to
+``functions/subtitles.py`` on the audio side. Sample DECODE for these
+formats stays the documented codec seam (no decoder library
+in-container, SCALE.md), but their text payloads are plain header
+structures this module parses for real:
+
+- ID3v2.3/2.4 frames (ISO-less de-facto spec): syncsafe/plain sizes,
+  all four text encodings (latin-1, UTF-16 BOM, UTF-16BE, UTF-8), TIT2/
+  TPE1/TALB text frames, COMM comments and USLT unsynchronized lyrics
+  with their language + descriptor prefixes. v2.2 (3-byte IDs) returns
+  empty rather than misparsing.
+- Vorbis comment blocks (the Xiph spec): ``OpusTags`` / ``\\x03vorbis``
+  packets inside Ogg page streams (page payloads concatenated — the
+  comment structure is internally length-prefixed so lacing boundaries
+  don't matter) and FLAC VORBIS_COMMENT metadata blocks.
+- MP4 ``moov/udta/meta/ilst`` atoms (©nam/©ART/©alb/©cmt/©lyr),
+  honoring meta's FullBox header.
+
+Every parser is defensive (bounds-checked; malformed → ValueError or
+empty dict) and output is normalized to one key set:
+``title, artist, album, comment, lyrics``. Fixture builders write each
+container so round-trip oracles need no external files. The reference
+repo has no audio/video ingestion at all.
+"""
+
+from __future__ import annotations
+
+import struct
+
+NORMALIZED_KEYS = ("title", "artist", "album", "comment", "lyrics")
+
+_ID3_TEXT_MAP = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album"}
+_VORBIS_MAP = {"title": "title", "artist": "artist", "album": "album",
+               "comment": "comment", "description": "comment",
+               "lyrics": "lyrics", "unsyncedlyrics": "lyrics"}
+_ILST_MAP = {b"\xa9nam": "title", b"\xa9ART": "artist",
+             b"\xa9alb": "album", b"\xa9cmt": "comment",
+             b"\xa9lyr": "lyrics"}
+
+_MAX_TAG_BYTES = 1 << 20  # one adversarial header must not balloon a row
+
+
+def _decode_id3_text(enc: int, raw: bytes) -> str:
+    if enc == 0:
+        return raw.decode("latin-1", "replace")
+    if enc == 1:
+        return raw.decode("utf-16", "replace")  # BOM-led
+    if enc == 2:
+        return raw.decode("utf-16-be", "replace")
+    if enc == 3:
+        return raw.decode("utf-8", "replace")
+    raise ValueError(f"ID3: unknown text encoding {enc}")
+
+
+def _id3_terminator(enc: int) -> bytes:
+    return b"\x00\x00" if enc in (1, 2) else b"\x00"
+
+
+def extract_id3v2(data: bytes) -> dict:
+    """Normalized tag dict from a leading ID3v2.3/2.4 header, {} when no
+    tag (or an unsupported v2.2 tag) is present."""
+    if len(data) < 10 or data[:3] != b"ID3":
+        return {}
+    version = data[3]
+    if version not in (3, 4):
+        return {}
+    flags = data[5]
+    size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+        | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+    end = min(10 + size, len(data), _MAX_TAG_BYTES)
+    pos = 10
+    if flags & 0x40:  # extended header
+        if pos + 4 > end:
+            return {}
+        (ext,) = struct.unpack_from(">I", data, pos)
+        if version == 4:  # syncsafe, includes itself
+            ext = ((data[pos] & 0x7F) << 21) | ((data[pos + 1] & 0x7F) << 14) \
+                | ((data[pos + 2] & 0x7F) << 7) | (data[pos + 3] & 0x7F)
+            pos += ext
+        else:  # v2.3: size excludes the 4 size bytes
+            pos += 4 + ext
+    out: dict = {}
+    while pos + 10 <= end:
+        fid = data[pos:pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if version == 4:
+            fsize = ((data[pos + 4] & 0x7F) << 21) \
+                | ((data[pos + 5] & 0x7F) << 14) \
+                | ((data[pos + 6] & 0x7F) << 7) | (data[pos + 7] & 0x7F)
+        else:
+            (fsize,) = struct.unpack_from(">I", data, pos + 4)
+        body_start = pos + 10
+        body_end = body_start + fsize
+        if fsize == 0 or body_end > end:
+            break  # malformed frame: stop, keep what parsed
+        body = data[body_start:body_end]
+        key = _ID3_TEXT_MAP.get(fid)
+        if key and len(body) >= 1:
+            enc = body[0]
+            try:
+                text = _decode_id3_text(enc, body[1:]).split("\x00")[0]
+            except ValueError:
+                text = None
+            if text:
+                out.setdefault(key, text.strip("\x00").strip())
+        elif fid in (b"COMM", b"USLT") and len(body) >= 4:
+            enc = body[0]
+            # encoding + 3-byte language + terminated descriptor + text
+            rest = body[4:]
+            term = _id3_terminator(enc)
+            idx = rest.find(term)
+            if idx >= 0:
+                step = len(term)
+                if enc in (1, 2):  # keep UTF-16 code-unit alignment
+                    idx = idx + (idx % 2)
+                text_raw = rest[idx + step:]
+            else:
+                text_raw = rest
+            try:
+                text = _decode_id3_text(enc, text_raw).strip("\x00").strip()
+            except ValueError:
+                text = None
+            if text:
+                out.setdefault(
+                    "comment" if fid == b"COMM" else "lyrics", text)
+        pos = body_end
+    return out
+
+
+def _parse_vorbis_comment(body: bytes) -> dict:
+    """The Xiph comment structure: vendor + KEY=value list (all LE)."""
+    if len(body) < 8 or len(body) > _MAX_TAG_BYTES:
+        raise ValueError("vorbis comment block out of bounds")
+    (vlen,) = struct.unpack_from("<I", body, 0)
+    pos = 4 + vlen
+    if pos + 4 > len(body):
+        raise ValueError("vorbis comment: vendor overruns block")
+    (count,) = struct.unpack_from("<I", body, pos)
+    pos += 4
+    if count > 10_000:
+        raise ValueError("vorbis comment: implausible field count")
+    out: dict = {}
+    for _ in range(count):
+        if pos + 4 > len(body):
+            raise ValueError("vorbis comment: truncated field length")
+        (flen,) = struct.unpack_from("<I", body, pos)
+        pos += 4
+        if pos + flen > len(body):
+            raise ValueError("vorbis comment: field overruns block")
+        field = body[pos:pos + flen].decode("utf-8", "replace")
+        pos += flen
+        eq = field.find("=")
+        if eq <= 0:
+            continue
+        key = _VORBIS_MAP.get(field[:eq].lower())
+        val = field[eq + 1:].strip()
+        if key and val:
+            out.setdefault(key, val)
+    return out
+
+
+def extract_flac_comments(data: bytes) -> dict:
+    """VORBIS_COMMENT metadata block (type 4) of a FLAC file, {} when the
+    file carries none."""
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC file")
+    pos = 4
+    while pos + 4 <= len(data):
+        hdr = data[pos]
+        btype, last = hdr & 0x7F, bool(hdr & 0x80)
+        (blen,) = struct.unpack(">I", b"\x00" + data[pos + 1:pos + 4])
+        body_start = pos + 4
+        if body_start + blen > len(data):
+            raise ValueError("FLAC: metadata block overruns file")
+        if btype == 4:
+            return _parse_vorbis_comment(data[body_start:body_start + blen])
+        if last:
+            break
+        pos = body_start + blen
+    return {}
+
+
+def extract_ogg_comments(data: bytes) -> dict:
+    """OpusTags / Vorbis comment-header packet from an Ogg stream.
+
+    Page payloads of the FIRST logical stream are concatenated (up to a
+    1 MB guard) and scanned for the comment-packet magic; the structure
+    is internally length-prefixed, so packet lacing across pages doesn't
+    need segment-table reconstruction."""
+    from graphrag_mrkr_2_spark.functions.mediaprobe import sniff_ogg
+
+    if not sniff_ogg(data):
+        raise ValueError("not an Ogg stream")
+    serial = None
+    blob = bytearray()
+    pos = 0
+    while pos + 27 <= len(data) and len(blob) < _MAX_TAG_BYTES:
+        if data[pos:pos + 4] != b"OggS":
+            break
+        nsegs = data[pos + 26]
+        seg_table = data[pos + 27:pos + 27 + nsegs]
+        if len(seg_table) < nsegs:
+            break
+        body_start = pos + 27 + nsegs
+        body_len = sum(seg_table)
+        page_serial = struct.unpack_from("<I", data, pos + 14)[0]
+        if serial is None:
+            serial = page_serial
+        if page_serial == serial:
+            blob += data[body_start:body_start + body_len]
+        pos = body_start + body_len
+    for magic, skip in ((b"OpusTags", 8), (b"\x03vorbis", 7)):
+        idx = bytes(blob).find(magic)
+        if idx >= 0:
+            return _parse_vorbis_comment(bytes(blob[idx + skip:]))
+    return {}
+
+
+def extract_mp4_tags(data: bytes) -> dict:
+    """iTunes-style ilst atoms from moov/udta/meta (meta is a FullBox —
+    its children start 4 bytes into the payload)."""
+    from graphrag_mrkr_2_spark.functions.mediaprobe import (
+        _find_box,
+        _walk_boxes,
+        sniff_mp4,
+    )
+
+    if not sniff_mp4(data):
+        raise ValueError("not an MP4 (no ftyp box)")
+    meta = _find_box(data, 0, len(data), (b"moov", b"udta", b"meta"))
+    if meta is None:
+        return {}
+    ilst = _find_box(data, meta[0] + 4, meta[1], (b"ilst",))
+    if ilst is None:
+        return {}
+    out: dict = {}
+    for atype, as_, ae in _walk_boxes(data, ilst[0], ilst[1]):
+        key = _ILST_MAP.get(atype)
+        if key is None:
+            continue
+        for dtype, ds, de in _walk_boxes(data, as_, ae):
+            if dtype != b"data" or de - ds < 8:
+                continue
+            dflags = struct.unpack_from(">I", data, ds)[0] & 0xFFFFFF
+            if dflags != 1:  # 1 = UTF-8 text
+                continue
+            val = data[ds + 8:de].decode("utf-8", "replace").strip()
+            if val:
+                out.setdefault(key, val)
+            break
+    return out
+
+
+def extract_media_tags(payload: bytes) -> dict:
+    """Sniff + dispatch: normalized ``{title, artist, album, comment,
+    lyrics}`` (missing keys absent) plus ``fmt`` naming the container the
+    tags came from. Raises ValueError when no tag-bearing container is
+    recognized — callers quarantine per payload."""
+    from graphrag_mrkr_2_spark.functions.mediaprobe import (
+        sniff_flac,
+        sniff_mp4,
+        sniff_ogg,
+    )
+
+    if payload[:3] == b"ID3":
+        tags = extract_id3v2(payload)
+        fmt = "id3"
+    elif payload[:4] == b"fLaC":
+        tags = extract_flac_comments(payload)
+        fmt = "flac"
+    elif sniff_ogg(payload):
+        tags = extract_ogg_comments(payload)
+        fmt = "ogg"
+    elif sniff_mp4(payload):
+        tags = extract_mp4_tags(payload)
+        fmt = "mp4"
+    else:
+        raise ValueError("no tag-bearing media container recognized")
+    tags = dict(tags)
+    tags["fmt"] = fmt
+    return tags
+
+
+# ---------------------------------------------------------------------------
+# Fixture builders (round-trip oracle path — the parsers read them back)
+# ---------------------------------------------------------------------------
+
+
+def build_id3v2(tags: dict, version: int = 4) -> bytes:
+    """ID3v2.3/2.4 tag bytes (prependable to any MP3 payload): UTF-8
+    frames for v2.4, UTF-16-BOM for v2.3 (its spec predates UTF-8)."""
+    if version not in (3, 4):
+        raise ValueError("only ID3v2.3/2.4 supported")
+    enc = 3 if version == 4 else 1
+
+    def _enc(text: str) -> bytes:
+        if enc == 3:
+            return text.encode("utf-8")
+        return text.encode("utf-16")  # BOM-led UTF-16
+
+    frames = []
+    rev_text = {v: k for k, v in _ID3_TEXT_MAP.items()}
+    for key in ("title", "artist", "album"):
+        if key in tags:
+            body = bytes([enc]) + _enc(tags[key])
+            frames.append((rev_text[key], body))
+    for key, fid in (("comment", b"COMM"), ("lyrics", b"USLT")):
+        if key in tags:
+            body = bytes([enc]) + b"eng" + _id3_terminator(enc) \
+                + _enc(tags[key])
+            frames.append((fid, body))
+    payload = b""
+    for fid, body in frames:
+        if version == 4:
+            n = len(body)
+            fsize = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                           (n >> 7) & 0x7F, n & 0x7F])
+        else:
+            fsize = struct.pack(">I", len(body))
+        payload += fid + fsize + b"\x00\x00" + body
+    n = len(payload)
+    header = b"ID3" + bytes([version, 0, 0]) + bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+    return header + payload
+
+
+def build_vorbis_comment(tags: dict, vendor: str = "spark-graft") -> bytes:
+    fields = []
+    key_map = {"title": "TITLE", "artist": "ARTIST", "album": "ALBUM",
+               "comment": "COMMENT", "lyrics": "LYRICS"}
+    for key, name in key_map.items():
+        if key in tags:
+            fields.append(f"{name}={tags[key]}".encode("utf-8"))
+    out = struct.pack("<I", len(vendor)) + vendor.encode()
+    out += struct.pack("<I", len(fields))
+    for f in fields:
+        out += struct.pack("<I", len(f)) + f
+    return out
+
+
+def build_flac_with_tags(tags: dict, sample_rate: int = 44100) -> bytes:
+    """fLaC + valid STREAMINFO + a VORBIS_COMMENT block (last)."""
+    info = bytearray(34)
+    info[0:2] = (4096).to_bytes(2, "big")   # min block size
+    info[2:4] = (4096).to_bytes(2, "big")   # max block size
+    # sample rate (20 bits) | channels-1 (3) | bps-1 (5) | total (36)
+    packed = (sample_rate << 44) | (1 << 41) | (15 << 36) | sample_rate
+    info[10:18] = packed.to_bytes(8, "big")
+    comment = build_vorbis_comment(tags)
+    return (b"fLaC"
+            + bytes([0]) + len(info).to_bytes(3, "big") + bytes(info)
+            + bytes([0x80 | 4]) + len(comment).to_bytes(3, "big") + comment)
+
+
+def _ogg_page(payload: bytes, serial: int = 1, seq: int = 0,
+              header_type: int = 0, granule: int = 0) -> bytes:
+    """Minimal Ogg page (zero CRC — the in-repo parsers don't validate
+    CRC32, documented here; payloads ≤ 255*255 bytes)."""
+    segs = []
+    rest = payload
+    while True:
+        segs.append(min(len(rest), 255))
+        if len(rest) < 255:
+            break
+        rest = rest[255:]
+    return (b"OggS\x00" + bytes([header_type])
+            + struct.pack("<q", granule) + struct.pack("<I", serial)
+            + struct.pack("<I", seq) + b"\x00\x00\x00\x00"
+            + bytes([len(segs)]) + bytes(segs) + payload)
+
+
+def build_ogg_opus_with_tags(tags: dict) -> bytes:
+    head = (b"OpusHead\x01" + bytes([2]) + struct.pack("<H", 312)
+            + struct.pack("<I", 48000) + b"\x00\x00" + b"\x00")
+    comment = b"OpusTags" + build_vorbis_comment(tags)
+    return (_ogg_page(head, header_type=2, seq=0)
+            + _ogg_page(comment, seq=1)
+            + _ogg_page(b"\x00" * 10, seq=2, header_type=4, granule=48000))
+
+
+def build_mp4_with_tags(tags: dict) -> bytes:
+    def _box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    atoms = b""
+    rev = {v: k for k, v in _ILST_MAP.items()}
+    for key in NORMALIZED_KEYS:
+        if key in tags:
+            data_box = _box(b"data", struct.pack(">I", 1) + b"\x00" * 4
+                            + tags[key].encode("utf-8"))
+            atoms += _box(rev[key], data_box)
+    meta = _box(b"meta", b"\x00" * 4 + _box(b"ilst", atoms))
+    moov = _box(b"moov", _box(b"udta", meta))
+    ftyp = _box(b"ftyp", b"M4A " + struct.pack(">I", 512) + b"isom")
+    return ftyp + moov

@@ -1410,3 +1410,62 @@ def extract_subtitle_text(media: DataFrame, strict: bool = False) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         _extract, SUBTITLE_SCHEMA
     )
+
+
+MEDIA_TAGS_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("fmt", StringType(), False),
+        StructField("title", StringType(), True),
+        StructField("artist", StringType(), True),
+        StructField("album", StringType(), True),
+        StructField("comment", StringType(), True),
+        StructField("lyrics", StringType(), True),
+    ]
+)
+
+
+def extract_media_tags_table(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Text metadata rows from media payloads (functions/mediatags.py):
+    ID3v2 frames on MP3, Vorbis comments in Ogg Opus/Vorbis and FLAC,
+    MP4 ilst atoms — titles/artists/albums/comments/LYRICS, the
+    human-written text riding inside crawl audio. One row per payload
+    with normalized columns; unrecognized/malformed payloads quarantine
+    to zero rows (strict=True raises). Arrow mapInPandas like every
+    other payload kernel here."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from graphrag_mrkr_2_spark.functions.mediatags import (
+            extract_media_tags,
+        )
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(rec.payload) if rec.payload is not None else b""
+                try:
+                    tags = extract_media_tags(payload)
+                except Exception:
+                    if strict:
+                        raise
+                    continue
+                rows.append(
+                    {
+                        "media_id": str(rec.media_id),
+                        "fmt": tags.get("fmt"),
+                        "title": tags.get("title"),
+                        "artist": tags.get("artist"),
+                        "album": tags.get("album"),
+                        "comment": tags.get("comment"),
+                        "lyrics": tags.get("lyrics"),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "fmt", "title", "artist", "album",
+                         "comment", "lyrics"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _extract, MEDIA_TAGS_SCHEMA
+    )

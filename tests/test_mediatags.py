@@ -1,0 +1,190 @@
+"""Media text-metadata extraction (functions/mediatags.py +
+operators/multimodal.extract_media_tags_table).
+
+Round-trip conformance (each builder → its parser, all five container
+paths) plus crawl-hardening: truncated/malformed structures raise or
+degrade to partial tags instead of misparsing, all four ID3 text
+encodings decode, tag size caps hold.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from graphrag_mrkr_2_spark.functions.mediatags import (
+    build_flac_with_tags,
+    build_id3v2,
+    build_mp4_with_tags,
+    build_ogg_opus_with_tags,
+    build_vorbis_comment,
+    extract_flac_comments,
+    extract_id3v2,
+    extract_media_tags,
+    extract_mp4_tags,
+    extract_ogg_comments,
+)
+
+TAGS = {
+    "title": "A Song Título",
+    "artist": "Band <X> & Co",
+    "album": "LP № 7",
+    "comment": "ripped from the crawl",
+    "lyrics": "Line one,\nline two —\nla la la.",
+}
+
+
+class TestRoundTrips:
+    @pytest.mark.parametrize("name,build", [
+        ("id3v24", lambda t: build_id3v2(t, 4)),
+        ("id3v23", lambda t: build_id3v2(t, 3)),
+        ("flac", build_flac_with_tags),
+        ("ogg_opus", build_ogg_opus_with_tags),
+        ("mp4", build_mp4_with_tags),
+    ])
+    def test_all_containers(self, name, build):
+        got = extract_media_tags(build(TAGS))
+        got.pop("fmt")
+        assert got == TAGS
+
+    def test_partial_tags(self):
+        partial = {"title": "Only a title"}
+        got = extract_media_tags(build_id3v2(partial))
+        assert got == {"title": "Only a title", "fmt": "id3"}
+
+    def test_probes_still_read_fixtures(self):
+        """The tag fixtures must be container-valid, not just
+        self-consistent — the independent header probes agree."""
+        from graphrag_mrkr_2_spark.functions.mediaprobe import (
+            probe_flac,
+            probe_ogg,
+        )
+
+        assert probe_flac(build_flac_with_tags(TAGS))["codec"] == "flac"
+        assert probe_ogg(build_ogg_opus_with_tags(TAGS))["codec"] == "opus"
+
+
+class TestId3:
+    def test_utf16be_and_latin1_encodings(self):
+        """Hand-built frames in the two encodings the builder doesn't
+        emit (enc 0 latin-1, enc 2 UTF-16BE)."""
+        body0 = b"\x00" + "cafe latin".encode("latin-1")
+        body2 = b"\x02" + "utf16 be".encode("utf-16-be")
+        frames = b"TIT2" + struct.pack(">I", len(body0)) + b"\x00\x00" + body0
+        frames += b"TALB" + struct.pack(">I", len(body2)) + b"\x00\x00" + body2
+        n = len(frames)
+        tag = b"ID3\x03\x00\x00" + bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+        ) + frames
+        got = extract_id3v2(tag)
+        assert got == {"title": "cafe latin", "album": "utf16 be"}
+
+    def test_v22_returns_empty_not_garbage(self):
+        tag = b"ID3\x02\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+        assert extract_id3v2(tag) == {}
+
+    def test_truncated_frame_keeps_parsed_prefix(self):
+        full = build_id3v2({"title": "kept", "lyrics": "cut off"})
+        # cut inside the USLT frame body: title stays, lyrics dropped
+        cut = full[: full.find(b"USLT") + 12]
+        got = extract_id3v2(cut)
+        assert got.get("title") == "kept"
+        assert "lyrics" not in got
+
+    def test_no_tag(self):
+        assert extract_id3v2(b"\xff\xfb\x90\x00" + b"\x00" * 40) == {}
+
+
+class TestVorbisStructures:
+    def test_flac_without_comment_block(self):
+        flac = build_flac_with_tags({})  # empty comment list still present
+        assert extract_flac_comments(flac) == {}
+
+    def test_flac_not_flac_raises(self):
+        with pytest.raises(ValueError):
+            extract_flac_comments(b"OggS" + b"\x00" * 30)
+
+    def test_field_overrun_raises(self):
+        body = bytearray(build_vorbis_comment({"title": "x"}))
+        # inflate the field length past the block end
+        pos = len(body) - len(b"TITLE=x") - 4
+        body[pos:pos + 4] = struct.pack("<I", 10_000)
+        flac = (b"fLaC" + bytes([0x80 | 4]) + len(body).to_bytes(3, "big")
+                + bytes(body))
+        with pytest.raises(ValueError):
+            extract_flac_comments(flac)
+
+    def test_unknown_keys_ignored(self):
+        comment = build_vorbis_comment({"title": "kept"})
+        extra = "ENCODER=lavf".encode()
+        comment = comment[:-0] if False else comment
+        # append one extra field and bump the count
+        (count,) = struct.unpack_from("<I", comment, 4 + struct.unpack_from(
+            "<I", comment, 0)[0])
+        vlen = struct.unpack_from("<I", comment, 0)[0]
+        head = comment[:4 + vlen]
+        rebuilt = head + struct.pack("<I", count + 1) \
+            + comment[4 + vlen + 4:] + struct.pack("<I", len(extra)) + extra
+        flac = (b"fLaC" + bytes([0x80 | 4])
+                + len(rebuilt).to_bytes(3, "big") + rebuilt)
+        assert extract_flac_comments(flac) == {"title": "kept"}
+
+    def test_ogg_comment_spanning_pages(self):
+        """A comment packet laced across two pages still parses (page
+        payloads concatenate; the structure is length-prefixed)."""
+        from graphrag_mrkr_2_spark.functions.mediatags import _ogg_page
+
+        head = (b"OpusHead\x01" + bytes([2]) + struct.pack("<H", 312)
+                + struct.pack("<I", 48000) + b"\x00\x00" + b"\x00")
+        comment = b"OpusTags" + build_vorbis_comment(
+            {"lyrics": "x" * 600})  # > 255: multiple lacing segments
+        half = len(comment) // 2
+        data = (_ogg_page(head, header_type=2, seq=0)
+                + _ogg_page(comment[:half], seq=1)
+                + _ogg_page(comment[half:], seq=2, header_type=1))
+        assert extract_ogg_comments(data) == {"lyrics": "x" * 600}
+
+
+class TestMp4Tags:
+    def test_non_utf8_data_atom_skipped(self):
+        mp4 = bytearray(build_mp4_with_tags({"title": "x"}))
+        # flip the data atom's type flag away from 1 (UTF-8 text)
+        pos = bytes(mp4).find(b"data") + 4
+        mp4[pos:pos + 4] = struct.pack(">I", 21)  # e.g. integer type
+        assert extract_mp4_tags(bytes(mp4)) == {}
+
+    def test_no_ilst(self):
+        from graphrag_mrkr_2_spark.functions.mp4mux import mux_mp4_video
+
+        mp4 = mux_mp4_video([b"x"], 8, 8, "hvc1", b"\x01" * 23)
+        assert extract_mp4_tags(mp4) == {}
+
+
+class TestDispatch:
+    def test_unrecognized_raises(self):
+        with pytest.raises(ValueError):
+            extract_media_tags(b"RIFF....WAVE")
+
+
+class TestSparkOperator:
+    def test_extract_rows_and_quarantine(self, spark):
+        from graphrag_mrkr_2_spark.operators.multimodal import (
+            extract_media_tags_table,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("a", build_id3v2(TAGS)),
+                ("b", build_flac_with_tags({"title": "flac title"})),
+                ("c", b"\x00\x01garbage"),
+            ],
+            "media_id string, payload binary",
+        )
+        rows = {r["media_id"]: r for r in
+                extract_media_tags_table(df).collect()}
+        assert rows["a"]["lyrics"] == TAGS["lyrics"]
+        assert rows["a"]["fmt"] == "id3"
+        assert rows["b"]["title"] == "flac title"
+        assert rows["b"]["artist"] is None
+        assert "c" not in rows
