@@ -60,58 +60,73 @@ def _id3_terminator(enc: int) -> bytes:
     return b"\x00\x00" if enc in (1, 2) else b"\x00"
 
 
+def _syncsafe(data: bytes, pos: int) -> int:
+    """4-byte syncsafe integer (7 data bits per byte) at ``pos``."""
+    return ((data[pos] & 0x7F) << 21) | ((data[pos + 1] & 0x7F) << 14) \
+        | ((data[pos + 2] & 0x7F) << 7) | (data[pos + 3] & 0x7F)
+
+
 def extract_id3v2(data: bytes) -> dict:
     """Normalized tag dict from a leading ID3v2.3/2.4 header, {} when no
-    tag (or an unsupported v2.2 tag) is present."""
+    tag (or an unsupported v2.2 tag) is present. Unsynchronisation is
+    undone where it applies — whole-tag for v2.3 (sizes there count the
+    de-unsynced data, so the tag body is de-stuffed before frame
+    parsing, the mutagen approach), per-frame for v2.4 (format flag
+    0x02, plus the optional data-length indicator 0x01)."""
     if len(data) < 10 or data[:3] != b"ID3":
         return {}
     version = data[3]
     if version not in (3, 4):
         return {}
     flags = data[5]
-    size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
-        | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+    size = _syncsafe(data, 6)
     end = min(10 + size, len(data), _MAX_TAG_BYTES)
-    pos = 10
+    body = data[10:end]
+    if version == 3 and flags & 0x80:
+        # v2.3 unsync applies to the whole tag: 0xFF 0x00 -> 0xFF
+        body = body.replace(b"\xff\x00", b"\xff")
+    pos = 0
+    end = len(body)
     if flags & 0x40:  # extended header
         if pos + 4 > end:
             return {}
-        (ext,) = struct.unpack_from(">I", data, pos)
         if version == 4:  # syncsafe, includes itself
-            ext = ((data[pos] & 0x7F) << 21) | ((data[pos + 1] & 0x7F) << 14) \
-                | ((data[pos + 2] & 0x7F) << 7) | (data[pos + 3] & 0x7F)
-            pos += ext
+            pos += _syncsafe(body, pos)
         else:  # v2.3: size excludes the 4 size bytes
-            pos += 4 + ext
+            pos += 4 + struct.unpack_from(">I", body, pos)[0]
     out: dict = {}
     while pos + 10 <= end:
-        fid = data[pos:pos + 4]
+        fid = body[pos:pos + 4]
         if fid == b"\x00\x00\x00\x00":
             break  # padding
         if version == 4:
-            fsize = ((data[pos + 4] & 0x7F) << 21) \
-                | ((data[pos + 5] & 0x7F) << 14) \
-                | ((data[pos + 6] & 0x7F) << 7) | (data[pos + 7] & 0x7F)
+            fsize = _syncsafe(body, pos + 4)
         else:
-            (fsize,) = struct.unpack_from(">I", data, pos + 4)
+            (fsize,) = struct.unpack_from(">I", body, pos + 4)
+        fflags = body[pos + 9]  # frame FORMAT flags byte
         body_start = pos + 10
         body_end = body_start + fsize
         if fsize == 0 or body_end > end:
             break  # malformed frame: stop, keep what parsed
-        body = data[body_start:body_end]
+        data_frame = body[body_start:body_end]
+        if version == 4:
+            if fflags & 0x01:  # data-length indicator: 4 syncsafe bytes
+                data_frame = data_frame[4:]
+            if fflags & 0x02:  # per-frame unsynchronisation
+                data_frame = data_frame.replace(b"\xff\x00", b"\xff")
         key = _ID3_TEXT_MAP.get(fid)
-        if key and len(body) >= 1:
-            enc = body[0]
+        if key and len(data_frame) >= 1:
+            enc = data_frame[0]
             try:
-                text = _decode_id3_text(enc, body[1:]).split("\x00")[0]
+                text = _decode_id3_text(enc, data_frame[1:]).split("\x00")[0]
             except ValueError:
                 text = None
             if text:
                 out.setdefault(key, text.strip("\x00").strip())
-        elif fid in (b"COMM", b"USLT") and len(body) >= 4:
-            enc = body[0]
+        elif fid in (b"COMM", b"USLT") and len(data_frame) >= 4:
+            enc = data_frame[0]
             # encoding + 3-byte language + terminated descriptor + text
-            rest = body[4:]
+            rest = data_frame[4:]
             term = _id3_terminator(enc)
             idx = rest.find(term)
             if idx >= 0:
@@ -198,8 +213,10 @@ def extract_ogg_comments(data: bytes) -> dict:
         raise ValueError("not an Ogg stream")
     serial = None
     blob = bytearray()
+    found = None  # blob offset just past the comment magic
     pos = 0
-    while pos + 27 <= len(data) and len(blob) < _MAX_TAG_BYTES:
+    n_pages = 0
+    while pos + 27 <= len(data):
         if data[pos:pos + 4] != b"OggS":
             break
         nsegs = data[pos + 26]
@@ -213,11 +230,34 @@ def extract_ogg_comments(data: bytes) -> dict:
             serial = page_serial
         if page_serial == serial:
             blob += data[body_start:body_start + body_len]
+            n_pages += 1
+            if found is None:
+                for magic, skip in ((b"OpusTags", 8), (b"\x03vorbis", 7)):
+                    idx = bytes(blob).find(magic)
+                    if idx >= 0:
+                        found = idx + skip
+                        break
+            if found is not None:
+                # try after every page: the structure is length-prefixed,
+                # so it parses as soon as all its bytes arrived — this
+                # caps work at "pages up to the comment's end" instead of
+                # accumulating the whole (possibly huge) audio stream,
+                # and a >1 MB file no longer trips the block-size guard
+                # on a tiny valid comment (review r6)
+                try:
+                    return _parse_vorbis_comment(
+                        bytes(blob[found:found + _MAX_TAG_BYTES]))
+                except ValueError:
+                    pass  # truncated mid-structure: need the next page
+            elif n_pages >= 8 or len(blob) > 256 * 1024:
+                break  # comment packet is in the first pages per spec
+            if found is not None and len(blob) - found > _MAX_TAG_BYTES:
+                raise ValueError("vorbis comment block out of bounds")
         pos = body_start + body_len
-    for magic, skip in ((b"OpusTags", 8), (b"\x03vorbis", 7)):
-        idx = bytes(blob).find(magic)
-        if idx >= 0:
-            return _parse_vorbis_comment(bytes(blob[idx + skip:]))
+    if found is not None:
+        # magic seen but the structure never parsed: malformed/truncated
+        # comment — raise for quarantine rather than claiming "no tags"
+        raise ValueError("vorbis comment: truncated or malformed packet")
     return {}
 
 
@@ -270,7 +310,7 @@ def extract_media_tags(payload: bytes) -> dict:
     if payload[:3] == b"ID3":
         tags = extract_id3v2(payload)
         fmt = "id3"
-    elif payload[:4] == b"fLaC":
+    elif sniff_flac(payload):
         tags = extract_flac_comments(payload)
         fmt = "flac"
     elif sniff_ogg(payload):
@@ -336,7 +376,8 @@ def build_vorbis_comment(tags: dict, vendor: str = "spark-graft") -> bytes:
     for key, name in key_map.items():
         if key in tags:
             fields.append(f"{name}={tags[key]}".encode("utf-8"))
-    out = struct.pack("<I", len(vendor)) + vendor.encode()
+    vend = vendor.encode("utf-8")
+    out = struct.pack("<I", len(vend)) + vend
     out += struct.pack("<I", len(fields))
     for f in fields:
         out += struct.pack("<I", len(f)) + f

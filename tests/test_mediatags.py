@@ -118,7 +118,6 @@ class TestVorbisStructures:
     def test_unknown_keys_ignored(self):
         comment = build_vorbis_comment({"title": "kept"})
         extra = "ENCODER=lavf".encode()
-        comment = comment[:-0] if False else comment
         # append one extra field and bump the count
         (count,) = struct.unpack_from("<I", comment, 4 + struct.unpack_from(
             "<I", comment, 0)[0])
@@ -159,6 +158,72 @@ class TestMp4Tags:
 
         mp4 = mux_mp4_video([b"x"], 8, 8, "hvc1", b"\x01" * 23)
         assert extract_mp4_tags(mp4) == {}
+
+
+class TestReviewRegressions:
+    """r6 review findings, each with its repro."""
+
+    def test_large_ogg_with_small_tags(self):
+        """A >1 MB Ogg stream with a tiny valid OpusTags packet must
+        extract — the old code accumulated the whole stream and tripped
+        the comment-block size guard on it."""
+        from graphrag_mrkr_2_spark.functions.mediatags import _ogg_page
+
+        base = build_ogg_opus_with_tags({"title": "small", "lyrics": "tiny"})
+        audio = b"".join(_ogg_page(b"\xaa" * 60000, seq=3 + i)
+                         for i in range(24))  # ~1.4 MB of audio pages
+        got = extract_ogg_comments(base + audio)
+        assert got == {"title": "small", "lyrics": "tiny"}
+
+    def test_id3v23_whole_tag_unsynchronisation(self):
+        """v2.3 unsync stuffs 0x00 after every 0xFF across the whole tag
+        body; the parser must de-stuff before walking frames (older
+        iTunes wrote such tags)."""
+        raw = build_id3v2({"title": "a\xffb", "comment": "c\xffd"}, 3)
+        body = raw[10:].replace(b"\xff", b"\xff\x00")
+        n = len(body)
+        hdr = b"ID3\x03\x00" + bytes([0x80]) + bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+        got = extract_id3v2(hdr + body)
+        assert got == {"title": "a\xffb", "comment": "c\xffd"}
+
+    def test_id3v24_per_frame_unsync_and_dli(self):
+        """v2.4 per-frame unsync (format flag 0x02) + data-length
+        indicator (0x01): both honored when walking the frame body."""
+        text = b"\x03" + "y\xffz".encode("utf-8")
+        stuffed = text.replace(b"\xff", b"\xff\x00")
+        dli = bytes([0, 0, 0, len(text) & 0x7F])
+        frame_body = dli + stuffed
+        n = len(frame_body)
+        frame = b"TIT2" + bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+        ) + b"\x00\x03" + frame_body  # format flags: DLI | unsync
+        tn = len(frame)
+        tag = b"ID3\x04\x00\x00" + bytes(
+            [(tn >> 21) & 0x7F, (tn >> 14) & 0x7F,
+             (tn >> 7) & 0x7F, tn & 0x7F]) + frame
+        assert extract_id3v2(tag) == {"title": "y\xffz"}
+
+    def test_non_ascii_vendor_string(self):
+        from graphrag_mrkr_2_spark.functions.mediatags import (
+            _parse_vorbis_comment,
+        )
+
+        comment = build_vorbis_comment({"title": "x"}, vendor="café ñ")
+        assert _parse_vorbis_comment(comment) == {"title": "x"}
+
+    def test_malformed_comment_after_magic_raises(self):
+        """Magic present but structure never parses → ValueError for
+        quarantine, not a silent empty dict."""
+        from graphrag_mrkr_2_spark.functions.mediatags import _ogg_page
+
+        head = (b"OpusHead\x01" + bytes([2]) + struct.pack("<H", 312)
+                + struct.pack("<I", 48000) + b"\x00\x00" + b"\x00")
+        bad = b"OpusTags" + struct.pack("<I", 1 << 30)  # absurd vendor len
+        data = (_ogg_page(head, header_type=2, seq=0)
+                + _ogg_page(bad, seq=1, header_type=4))
+        with pytest.raises(ValueError):
+            extract_ogg_comments(data)
 
 
 class TestDispatch:
