@@ -4,7 +4,7 @@ entry(spark)    — flagship KG-construction run on a deterministic synthetic
                   pages table (BASELINE.json input_hint shape) → triples DF.
 queries()       — one entry per implemented operator family (SURVEY.md §2 +
                   the training-data suite); each callable (spark, sf_dir) →
-                  DataFrame. 68 queries, 60 with exact DuckDB oracles.
+                  DataFrame. 69 queries, 61 with exact DuckDB oracles.
 oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
                   KG-pipeline queries (chunking/extraction/canonicalization/
                   communities) are not ANSI-SQL-expressible → rows-only check
@@ -1373,6 +1373,58 @@ def q_media_tags_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF text extraction (r6) with an EXACT oracle: per doc,
+    deterministic description/artist/copyright/title/comment strings are
+    written into a REAL carrier — a TIFF EXIF directory or an actually
+    decodable JPEG (jpegcodec.encode_jpeg) with the Exif APP1 spliced in,
+    alternating by doc_id — then parsed back through
+    operators/multimodal.extract_exif_table (functions/exiftags.py:
+    IFD0 ASCII tags, UTF-16LE XP tags, Exif-IFD UserComment). DuckDB
+    reconstructs the rows straight from the formula. The reference's
+    image path OCRs pixels only and drops this text."""
+    from graphrag_mrkr_2_spark.operators.multimodal import extract_exif_table
+
+    def _make(batches):
+        import pandas as pd
+
+        from graphrag_mrkr_2_spark.functions.exiftags import (
+            build_exif_jpeg,
+            build_exif_tiff_blob,
+        )
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                doc_id = int(rec.doc_id)
+                tags = {
+                    "description": f"Scene {doc_id}",
+                    "artist": f"Camera {doc_id % 9}",
+                    "copyright": f"(c) 20{doc_id % 25:02d}",
+                    "title": f"Shot {doc_id}",
+                    "comment": f"Exposure note {doc_id}.",
+                }
+                payload = (build_exif_jpeg(tags) if doc_id % 2 == 0
+                           else build_exif_tiff_blob(tags))
+                rows.append({"media_id": str(doc_id), "payload": payload})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_make, "media_id string, payload binary")
+    )
+    return (
+        extract_exif_table(media, strict=True)
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "fmt", "description", "artist", "copyright", "title", "comment",
+        )
+        .orderBy(F.col("doc_id").cast("long"))
+    )
+
+
 def q_audio_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV codec kernel (functions/audiocodecs.py, r4) with an EXACT oracle:
     per doc, deterministic formula int16 samples are encoded to REAL
@@ -1775,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_counts": q_supplier_part_counts,
         "subtitle_extract": q_subtitle_extract,
         "media_tags_extract": q_media_tags_extract,
+        "exif_extract": q_exif_extract,
     }
 
 
@@ -3021,6 +3074,21 @@ def oracle_sql() -> dict[str, str]:
                    'Album ' || (doc_id % 5) AS album,
                    'Comment for ' || doc_id AS comment,
                    'Line one of ' || doc_id || '. Line two.' AS lyrics
+            FROM documents ORDER BY CAST(doc_id AS BIGINT)
+        """,
+        # EXIF extraction: DuckDB reconstructs the rows from the formula;
+        # Spark reproduces them through real TIFF-directory / JPEG-APP1
+        # round-trips (even docs ride a decodable JPEG carrier)
+        "exif_extract": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'tiff' END
+                     AS fmt,
+                   'Scene ' || doc_id AS description,
+                   'Camera ' || (doc_id % 9) AS artist,
+                   '(c) 20' || lpad(CAST(doc_id % 25 AS VARCHAR), 2, '0')
+                     AS copyright,
+                   'Shot ' || doc_id AS title,
+                   'Exposure note ' || doc_id || '.' AS comment
             FROM documents ORDER BY CAST(doc_id AS BIGINT)
         """,
         # TPC-H Q4 shape: EXISTS == Spark's left-semi join

@@ -1469,3 +1469,59 @@ def extract_media_tags_table(media: DataFrame, strict: bool = False) -> DataFram
     return media.select("media_id", "payload").mapInPandas(
         _extract, MEDIA_TAGS_SCHEMA
     )
+
+
+EXIF_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("fmt", StringType(), False),
+        StructField("description", StringType(), True),
+        StructField("artist", StringType(), True),
+        StructField("copyright", StringType(), True),
+        StructField("title", StringType(), True),
+        StructField("comment", StringType(), True),
+    ]
+)
+
+
+def extract_exif_table(media: DataFrame, strict: bool = False) -> DataFrame:
+    """EXIF text rows from JPEG/TIFF payloads (functions/exiftags.py):
+    descriptions, artists, copyrights, Windows XP titles and
+    UserComments — the image-side text the reference's OCR-only loader
+    drops. One normalized row per recognized payload; files without an
+    Exif segment still emit their row (fmt set, text columns NULL);
+    unrecognized/malformed payloads quarantine (strict=True raises)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from graphrag_mrkr_2_spark.functions.exiftags import extract_exif
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(rec.payload) if rec.payload is not None else b""
+                try:
+                    tags = extract_exif(payload)
+                except Exception:
+                    if strict:
+                        raise
+                    continue
+                rows.append(
+                    {
+                        "media_id": str(rec.media_id),
+                        "fmt": tags.get("fmt"),
+                        "description": tags.get("description"),
+                        "artist": tags.get("artist"),
+                        "copyright": tags.get("copyright"),
+                        "title": tags.get("title"),
+                        "comment": tags.get("comment"),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "fmt", "description", "artist",
+                         "copyright", "title", "comment"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _extract, EXIF_SCHEMA
+    )
