@@ -1386,13 +1386,18 @@ def q_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphrag_mrkr_2_spark.operators.multimodal import extract_exif_table
 
     def _make(batches):
+        import numpy as np
         import pandas as pd
 
         from graphrag_mrkr_2_spark.functions.exiftags import (
-            build_exif_jpeg,
             build_exif_tiff_blob,
+            splice_exif_app1,
         )
+        from graphrag_mrkr_2_spark.functions.jpegcodec import encode_jpeg
 
+        # the carrier image is constant — encode it ONCE per task and
+        # splice only the per-doc APP1 (review r6: ~0.7 ms/row saved)
+        base_jpeg = encode_jpeg(np.full((8, 8, 3), 128, dtype=np.uint8))
         for pdf in batches:
             rows = []
             for rec in pdf.itertuples(index=False):
@@ -1404,7 +1409,8 @@ def q_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "title": f"Shot {doc_id}",
                     "comment": f"Exposure note {doc_id}.",
                 }
-                payload = (build_exif_jpeg(tags) if doc_id % 2 == 0
+                payload = (splice_exif_app1(base_jpeg, tags)
+                           if doc_id % 2 == 0
                            else build_exif_tiff_blob(tags))
                 rows.append({"media_id": str(doc_id), "payload": payload})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])

@@ -67,6 +67,8 @@ def _clean(text: str):
 
 
 def _parse_tiff_exif(tiff: bytes) -> dict:
+    if len(tiff) < 8:
+        raise ValueError("EXIF: TIFF header truncated")
     if tiff[:2] == b"II":
         e = "<"
     elif tiff[:2] == b"MM":
@@ -87,7 +89,10 @@ def _parse_tiff_exif(tiff: bytes) -> dict:
             continue
         key = _XP_TAGS.get(tag)
         if key and ftype in (1, 7):
-            text = _clean(value.decode("utf-16-le", "replace"))
+            # writer bugs/truncation leave odd byte counts — drop the
+            # dangling byte rather than emitting U+FFFD into the text
+            even = value[:len(value) & ~1]
+            text = _clean(even.decode("utf-16-le", "replace"))
             if text:
                 out.setdefault(key, text)
             continue
@@ -111,22 +116,29 @@ def _parse_tiff_exif(tiff: bytes) -> dict:
     return out
 
 
-def exif_from_jpeg(data: bytes) -> bytes:
+def exif_from_jpeg(data: bytes) -> bytes | None:
     """The TIFF blob inside a JPEG's ``Exif\\0\\0`` APP1 segment, or None
     when the file carries none. Walks marker segments only (no entropy
-    decode); stops at SOS."""
+    decode); stops at SOS/EOI. Spec-legal 0xFF fill bytes before a
+    marker (B.1.1.2 — real encoders emit them) are skipped."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             break
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # fill bytes collapse onto the real marker
+        if pos + 2 > len(data):
+            break
         marker = data[pos + 1]
-        if marker == 0xDA:  # SOS: entropy data follows
+        if marker in (0xDA, 0xD9):  # SOS (entropy follows) / EOI
             break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
+        if pos + 4 > len(data):
+            break  # truncated at a segment header: no EXIF found
         (seg_len,) = struct.unpack_from(">H", data, pos + 2)
         seg_end = pos + 2 + seg_len
         if seg_len < 2 or seg_end > len(data):
@@ -219,6 +231,18 @@ def build_exif_tiff_blob(tags: dict) -> bytes:
     return blob + bytes(heap)
 
 
+def splice_exif_app1(jpeg: bytes, tags: dict) -> bytes:
+    """Splice an Exif APP1 segment (built from ``tags``) right after an
+    existing JPEG's SOI — the cheap path when the carrier image is
+    constant and only the metadata varies (driver oracle batches)."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    app1_payload = b"Exif\x00\x00" + build_exif_tiff_blob(tags)
+    app1 = b"\xff\xe1" + struct.pack(">H", len(app1_payload) + 2) \
+        + app1_payload
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
 def build_exif_jpeg(tags: dict, px=None) -> bytes:
     """A REAL decodable JPEG (functions/jpegcodec.encode_jpeg) with the
     EXIF APP1 segment spliced after SOI — what crawl camera files look
@@ -229,9 +253,4 @@ def build_exif_jpeg(tags: dict, px=None) -> bytes:
 
     if px is None:
         px = np.full((8, 8, 3), 128, dtype=np.uint8)
-    jpeg = encode_jpeg(px)
-    blob = build_exif_tiff_blob(tags)
-    app1_payload = b"Exif\x00\x00" + blob
-    app1 = b"\xff\xe1" + struct.pack(">H", len(app1_payload) + 2) \
-        + app1_payload
-    return jpeg[:2] + app1 + jpeg[2:]
+    return splice_exif_app1(encode_jpeg(px), tags)

@@ -1480,6 +1480,9 @@ EXIF_SCHEMA = StructType(
         StructField("copyright", StringType(), True),
         StructField("title", StringType(), True),
         StructField("comment", StringType(), True),
+        StructField("author", StringType(), True),
+        StructField("subject", StringType(), True),
+        StructField("keywords", StringType(), True),
     ]
 )
 
@@ -1514,12 +1517,16 @@ def extract_exif_table(media: DataFrame, strict: bool = False) -> DataFrame:
                         "copyright": tags.get("copyright"),
                         "title": tags.get("title"),
                         "comment": tags.get("comment"),
+                        "author": tags.get("author"),
+                        "subject": tags.get("subject"),
+                        "keywords": tags.get("keywords"),
                     }
                 )
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "fmt", "description", "artist",
-                         "copyright", "title", "comment"],
+                         "copyright", "title", "comment", "author",
+                         "subject", "keywords"],
             )
 
     return media.select("media_id", "payload").mapInPandas(

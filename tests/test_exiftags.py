@@ -132,3 +132,60 @@ class TestSparkOperator:
         assert rows["b"]["artist"] == "tiff artist"
         assert rows["c"]["fmt"] == "jpeg" and rows["c"]["title"] is None
         assert "d" not in rows
+
+
+class TestReviewRegressions:
+    """r6 review findings, each with its repro."""
+
+    def test_fill_bytes_before_marker(self):
+        """Spec-legal 0xFF fill bytes before a marker (B.1.1.2) must not
+        derail the segment walk."""
+        jpeg = build_exif_jpeg({"title": "filled"})
+        filled = jpeg[:2] + b"\xff\xff" + jpeg[2:]
+        assert extract_exif(filled)["title"] == "filled"
+
+    def test_trailing_bytes_after_eoi(self):
+        """Crawl JPEGs carry trailing bytes after EOI; the walk must
+        terminate there, not unpack garbage as a segment length."""
+        assert exif_from_jpeg(b"\xff\xd8\xff\xd9" + b"XXXXXX") is None
+
+    def test_short_tiff_is_value_error(self):
+        """Truncated headers must raise ValueError (the documented
+        quarantine contract), never struct.error."""
+        for blob in (b"II\x2a", b"II*\x00\x08", b"MM\x00*\x00"):
+            with pytest.raises(ValueError):
+                extract_exif(blob)
+
+    def test_odd_length_xp_tag_drops_dangling_byte(self):
+        # 5 bytes (> 4, so heap-stored): two UTF-16LE chars + a dangler
+        ifd = struct.pack("<H", 1)
+        val_off = 8 + 2 + 12 + 4
+        ifd += struct.pack("<HHI", 0x9C9B, 1, 5) + struct.pack("<I", val_off)
+        ifd += struct.pack("<I", 0)
+        blob = b"II*\x00" + struct.pack("<I", 8) + ifd + b"a\x00b\x00c"
+        assert extract_exif(blob) == {"title": "ab", "fmt": "tiff"}
+
+    def test_author_subject_keywords_surface_in_operator(self, spark):
+        from graphrag_mrkr_2_spark.operators.multimodal import (
+            extract_exif_table,
+        )
+
+        df = spark.createDataFrame(
+            [("a", build_exif_tiff_blob(
+                {"author": "au", "subject": "su", "keywords": "kw"}))],
+            "media_id string, payload binary",
+        )
+        row = extract_exif_table(df).collect()[0]
+        assert (row["author"], row["subject"], row["keywords"]) == \
+            ("au", "su", "kw")
+
+    def test_splice_helper_equals_full_builder(self):
+        from graphrag_mrkr_2_spark.functions.exiftags import (
+            splice_exif_app1,
+        )
+        from graphrag_mrkr_2_spark.functions.jpegcodec import encode_jpeg
+
+        px = np.full((8, 8, 3), 128, dtype=np.uint8)
+        tags = {"title": "same"}
+        assert splice_exif_app1(encode_jpeg(px), tags) == \
+            build_exif_jpeg(tags, px=px)
