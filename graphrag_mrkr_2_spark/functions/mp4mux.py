@@ -67,20 +67,22 @@ def _sample_entry(fourcc: bytes, width: int, height: int,
 
 
 def _build_moov(width: int, height: int, stbl: bytes, duration: int,
-                mvex: bytes = b"") -> bytes:
+                mvex: bytes = b"", handler: bytes = b"vide") -> bytes:
     """moov scaffolding (mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/dinf) shared
-    by both muxers; only the stbl contents, duration, and the optional
-    mvex differ between the classic and fragmented layouts."""
+    by all muxers; only the stbl contents, duration, handler and the
+    optional mvex differ between the classic/fragmented/timed-text
+    layouts. Video tracks carry vmhd, others the null media header."""
     dinf = _box(b"dinf", _full_box(b"dref", 0, 0, struct.pack(">I", 1) +
                                    _full_box(b"url ", 0, 1, b"")))
-    vmhd = _full_box(b"vmhd", 0, 1, b"\x00" * 8)
-    minf = _box(b"minf", vmhd + dinf + stbl)
+    mhd = (_full_box(b"vmhd", 0, 1, b"\x00" * 8) if handler == b"vide"
+           else _full_box(b"nmhd", 0, 0, b""))
+    minf = _box(b"minf", mhd + dinf + stbl)
     mdhd = _full_box(b"mdhd", 0, 0,
                      struct.pack(">IIII", 0, 0, 1000, duration) +
                      struct.pack(">HH", 0x55C4, 0))  # language 'und'
     hdlr = _full_box(b"hdlr", 0, 0,
-                     b"\x00" * 4 + b"vide" + b"\x00" * 12 +
-                     b"VideoHandler\x00")
+                     b"\x00" * 4 + handler + b"\x00" * 12 +
+                     b"MediaHandler\x00")
     mdia = _box(b"mdia", mdhd + hdlr + minf)
     tkhd = _full_box(b"tkhd", 0, 3,
                      struct.pack(">IIIII", 0, 0, 1, 0, duration) +
@@ -262,10 +264,13 @@ def _parse_video_trak(data: bytes, ts: int, te: int, moov) -> dict:
             entry_size = struct.unpack_from(">I", data, pos)[0]
             codec = data[pos + 4:pos + 8].decode("ascii", "replace")
             entry_end = min(pe, pos + max(entry_size, 8))
-            if pos + 36 > pe:
-                raise ValueError("MP4: stsd sample entry truncated")
-            width, height = struct.unpack_from(">HH", data, pos + 32)
             cfg_type = _VIDEO_CONFIG_BOXES.get(codec.encode("ascii", "replace"))
+            if cfg_type or entry_size >= _VISUAL_ENTRY_HEADER:
+                # visual entries carry dims at a fixed offset; smaller
+                # entries (tx3g timed text, mp4a audio) have none
+                if pos + 36 > pe:
+                    raise ValueError("MP4: stsd sample entry truncated")
+                width, height = struct.unpack_from(">HH", data, pos + 32)
             body = pos + _VISUAL_ENTRY_HEADER
             if cfg_type and body < entry_end:
                 for cbt, cbs, cbe in _walk_boxes(data, body, entry_end):
@@ -318,7 +323,7 @@ def _parse_video_trak(data: bytes, ts: int, te: int, moov) -> dict:
     _, st_end, pos = t
     n_runs = _u32(data, pos, st_end, "stts run count")
     pos += 4
-    timestamps, tcur = [], 0
+    timestamps, deltas, tcur = [], [], 0
     for _ in range(n_runs):
         if pos + 8 > st_end:
             raise ValueError("MP4: stts truncated")
@@ -326,6 +331,7 @@ def _parse_video_trak(data: bytes, ts: int, te: int, moov) -> dict:
         pos += 8
         for _ in range(min(count, n_samples - len(timestamps))):
             timestamps.append(tcur)
+            deltas.append(delta)
             tcur += delta
     if len(timestamps) < n_samples:
         raise ValueError("MP4: stts covers fewer samples than stsz")
@@ -388,7 +394,7 @@ def _parse_video_trak(data: bytes, ts: int, te: int, moov) -> dict:
     if len(per_chunk) < len(offsets):
         per_chunk.extend([sc_runs[-1][1]] * (len(offsets) - len(per_chunk)))
 
-    samples, si = [], 0
+    samples, durations, si = [], [], 0
     for ci, base in enumerate(offsets):
         off = base
         for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
@@ -400,12 +406,14 @@ def _parse_video_trak(data: bytes, ts: int, te: int, moov) -> dict:
             key = sync is None or (si + 1) in sync
             samples.append(
                 (timestamps[si] * 1000 // timescale, key, data[off:off + sz]))
+            durations.append(deltas[si] * 1000 // timescale)
             off += sz
             si += 1
     if si < n_samples:
         raise ValueError("MP4: chunk tables cover fewer samples than stsz")
     return {"codec": codec, "config": config, "width": width,
-            "height": height, "timescale": timescale, "samples": samples}
+            "height": height, "timescale": timescale, "samples": samples,
+            "durations_ms": durations}
 
 
 def _parse_fragments(data: bytes, track_id: int, timescale: int,
@@ -618,3 +626,89 @@ def mp4_video_samples(data: bytes, limit: int = 10_000) -> list:
     """``[(ts_ms, keyframe, payload), ...]`` for the first video track —
     the same shape ``av1codec.mkv_video_samples`` returns for WebM."""
     return mp4_video_track_info(data)["samples"][:limit]
+
+
+def mux_mp4_timed_text(cues) -> bytes:
+    """3GPP timed-text (tx3g) track fixture: each cue becomes one sample
+    of ``u16 length + UTF-8 text``; gaps between cues become empty
+    samples (length 0) so the stts durations reconstruct exact
+    (start, end) windows — exactly how real players expect subtitle
+    tracks to be laid out. Cues must be sorted and non-overlapping."""
+    cues = list(cues)
+    if not cues:
+        raise ValueError("mux_mp4_timed_text: no cues")
+    samples, stts_entries = [], []
+    cur = 0
+    for start, end, text in cues:
+        if start < cur:
+            raise ValueError("timed-text cues must be sorted, non-overlap")
+        if start > cur:
+            samples.append(b"\x00\x00")          # gap: empty sample
+            stts_entries.append(start - cur)
+        enc = text.encode("utf-8")
+        samples.append(struct.pack(">H", len(enc)) + enc)
+        stts_entries.append(max(1, end - start))
+        cur = max(end, start + 1)
+    duration = cur
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) +
+                b"isom" + b"iso2" + b"mp41")
+    mdat_payload = b"".join(samples)
+    mdat_start = len(ftyp) + 8
+    # tx3g sample description (ETSI TS 126.245 §5.16): SampleEntry base +
+    # displayFlags, justification, bg color, default text box, style
+    entry = _box(b"tx3g", b"".join([
+        b"\x00" * 6, struct.pack(">H", 1),   # reserved + data_ref_index
+        struct.pack(">I", 0),                # displayFlags
+        struct.pack(">bb", 1, -1),           # h/v justification
+        b"\x00\x00\x00\xff",                 # bg RGBA
+        struct.pack(">HHHH", 0, 0, 0, 0),    # default text box
+        struct.pack(">HH", 0, 0),            # style record: start/end
+        struct.pack(">HBB", 1, 0, 12),       # font id, face, size
+        b"\xff\xff\xff\xff",                 # text RGBA
+    ]))
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _full_box(b"stts", 0, 0, struct.pack(">I", len(stts_entries)) +
+                     b"".join(struct.pack(">II", 1, d)
+                              for d in stts_entries))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">I", 1) +
+                     struct.pack(">III", 1, len(samples), 1))
+    stsz = _full_box(b"stsz", 0, 0,
+                     struct.pack(">II", 0, len(samples)) +
+                     b"".join(struct.pack(">I", len(s)) for s in samples))
+    stco = _full_box(b"stco", 0, 0, struct.pack(">I", 1) +
+                     struct.pack(">I", mdat_start))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    moov = _build_moov(0, 0, stbl, duration, handler=b"text")
+    return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+def mp4_text_track_info(data: bytes) -> dict:
+    """Sample-level info for the FIRST timed-text track (handler text/
+    sbtl/subt, sample entry tx3g) — same dict shape as
+    ``mp4_video_track_info`` plus per-sample ``durations_ms``. Raises
+    ValueError when no text track exists."""
+    from graphrag_mrkr_2_spark.functions.mediaprobe import (
+        _find_box,
+        _walk_boxes,
+        sniff_mp4,
+    )
+
+    if not sniff_mp4(data):
+        raise ValueError("not an MP4 (no ftyp box)")
+    moov = _find_box(data, 0, len(data), (b"moov",))
+    if moov is None:
+        raise ValueError("MP4: no moov box (streaming layout without init)")
+    for btype, ts, te in _walk_boxes(data, moov[0], moov[1]):
+        if btype != b"trak":
+            continue
+        hdlr = _find_box(data, ts, te, (b"mdia", b"hdlr"))
+        if hdlr is None or data[hdlr[0] + 8:hdlr[0] + 12] not in (
+                b"text", b"sbtl", b"subt"):
+            continue
+        info = _parse_video_trak(data, ts, te, moov)
+        if info["codec"] != "tx3g":
+            raise ValueError(
+                f"MP4: unsupported text sample entry {info['codec']!r}")
+        return info
+    raise ValueError("MP4: no timed-text track")

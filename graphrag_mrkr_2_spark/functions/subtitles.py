@@ -254,3 +254,28 @@ def mux_mkv_subtitles(cues, codec: bytes = b"S_TEXT/UTF8",
         clusters.append(
             _el(0x1F43B675, _el(0xE7, _uint_payload(start)) + group))
     return ebml + _el(0x18538067, info + tracks + b"".join(clusters))
+
+
+def mp4_subtitle_cues(data: bytes, limit: int = MAX_CUES) -> list:
+    """Cues from the FIRST 3GPP timed-text (tx3g) track of an MP4:
+    ``[(start_ms, end_ms, text), ...]``. Samples are ``u16 length +
+    UTF-8 text``; empty samples are the spec's gap encoding and are
+    skipped; (start, end) comes from the stts timestamps + per-sample
+    durations (functions/mp4mux.mp4_text_track_info)."""
+    import struct
+
+    from graphrag_mrkr_2_spark.functions.mp4mux import mp4_text_track_info
+
+    info = mp4_text_track_info(data)
+    cues = []
+    for (ts, _key, payload), dur in zip(info["samples"],
+                                        info["durations_ms"]):
+        if len(payload) < 2:
+            continue  # malformed sample: skip, keep the rest
+        (n,) = struct.unpack_from(">H", payload, 0)
+        text = payload[2:2 + n].decode("utf-8", "replace").strip()
+        if text:
+            cues.append((int(ts), int(ts + dur), text))
+        if len(cues) >= limit:
+            break
+    return cues

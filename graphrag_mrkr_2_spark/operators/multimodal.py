@@ -1364,9 +1364,13 @@ def extract_subtitle_text(media: DataFrame, strict: bool = False) -> DataFrame:
     strict=False quarantines them (zero rows for that id)."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from graphrag_mrkr_2_spark.functions.mediaprobe import sniff_mkv
+        from graphrag_mrkr_2_spark.functions.mediaprobe import (
+            sniff_mkv,
+            sniff_mp4,
+        )
         from graphrag_mrkr_2_spark.functions.subtitles import (
             mkv_subtitle_cues,
+            mp4_subtitle_cues,
             parse_srt,
             parse_webvtt,
             sniff_subtitle,
@@ -1385,6 +1389,8 @@ def extract_subtitle_text(media: DataFrame, strict: bool = False) -> DataFrame:
                             payload.decode("utf-8", "replace"))
                     elif sniff_mkv(payload):
                         cues = mkv_subtitle_cues(payload)
+                    elif sniff_mp4(payload):
+                        cues = mp4_subtitle_cues(payload)
                     else:
                         raise ValueError("no subtitle content detected")
                 except Exception:

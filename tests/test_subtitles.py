@@ -265,3 +265,49 @@ class TestReviewRegressions:
         mkv[flag_pos] |= 0x02
         with pytest.raises(ValueError):
             mkv_video_samples(bytes(mkv))
+
+
+class TestMp4TimedText:
+    CUES = [(0, 1500, "Hello."), (2000, 3500, "Gap then cue."),
+            (3500, 4000, "Adjacent.")]
+
+    def test_roundtrip_with_gaps(self):
+        from graphrag_mrkr_2_spark.functions.mp4mux import mux_mp4_timed_text
+        from graphrag_mrkr_2_spark.functions.subtitles import (
+            mp4_subtitle_cues,
+        )
+
+        mp4 = mux_mp4_timed_text(self.CUES)
+        assert mp4_subtitle_cues(mp4) == self.CUES
+
+    def test_unsorted_cues_rejected_by_mux(self):
+        from graphrag_mrkr_2_spark.functions.mp4mux import mux_mp4_timed_text
+
+        with pytest.raises(ValueError):
+            mux_mp4_timed_text([(2000, 3000, "b"), (0, 1000, "a")])
+
+    def test_video_only_mp4_raises(self):
+        from graphrag_mrkr_2_spark.functions.mp4mux import (
+            mux_mp4_video,
+        )
+        from graphrag_mrkr_2_spark.functions.subtitles import (
+            mp4_subtitle_cues,
+        )
+
+        mp4 = mux_mp4_video([b"x"], 8, 8, "hvc1", b"\x01" * 23)
+        with pytest.raises(ValueError):
+            mp4_subtitle_cues(mp4)
+
+    def test_operator_extracts_tx3g(self, spark):
+        from graphrag_mrkr_2_spark.functions.mp4mux import mux_mp4_timed_text
+        from graphrag_mrkr_2_spark.operators.multimodal import (
+            extract_subtitle_text,
+        )
+
+        df = spark.createDataFrame(
+            [("mp4s", mux_mp4_timed_text(self.CUES))],
+            "media_id string, payload binary",
+        )
+        rows = extract_subtitle_text(df, strict=True).collect()
+        got = [(r["start_ms"], r["end_ms"], r["text"]) for r in rows]
+        assert got == self.CUES
