@@ -189,6 +189,15 @@ def mp4_video_track_info(data: bytes) -> dict:
     empty sample tables + mvex/trex defaults, samples in moof/traf/trun
     fragments). Raises ValueError on files without a readable video
     track — callers quarantine."""
+    for info in _iter_tracks(data, (b"vide",), visual=True):
+        return info
+    raise ValueError("MP4: no video track")
+
+
+def _iter_tracks(data: bytes, handlers: tuple, visual: bool):
+    """Shared track discovery for the video and timed-text readers: sniff
+    + moov walk + hdlr filter, yielding each matching track's parsed
+    sample-table info in file order."""
     from graphrag_mrkr_2_spark.functions.mediaprobe import (
         _find_box,
         _walk_boxes,
@@ -204,10 +213,9 @@ def mp4_video_track_info(data: bytes) -> dict:
         if btype != b"trak":
             continue
         hdlr = _find_box(data, ts, te, (b"mdia", b"hdlr"))
-        if hdlr is None or data[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+        if hdlr is None or data[hdlr[0] + 8:hdlr[0] + 12] not in handlers:
             continue
-        return _parse_video_trak(data, ts, te, moov)
-    raise ValueError("MP4: no video track")
+        yield _parse_video_trak(data, ts, te, moov, visual=visual)
 
 
 def _tkhd_track_id(data: bytes, ts: int, te: int):
@@ -239,7 +247,8 @@ def _trex_defaults(data: bytes, moov, track_id: int):
     return 0, 0, 0
 
 
-def _parse_video_trak(data: bytes, ts: int, te: int, moov) -> dict:
+def _parse_video_trak(data: bytes, ts: int, te: int, moov,
+                      visual: bool = True) -> dict:
     from graphrag_mrkr_2_spark.functions.mediaprobe import _find_box, _walk_boxes
 
     mdhd = _find_box(data, ts, te, (b"mdia", b"mdhd"))
@@ -265,9 +274,10 @@ def _parse_video_trak(data: bytes, ts: int, te: int, moov) -> dict:
             codec = data[pos + 4:pos + 8].decode("ascii", "replace")
             entry_end = min(pe, pos + max(entry_size, 8))
             cfg_type = _VIDEO_CONFIG_BOXES.get(codec.encode("ascii", "replace"))
-            if cfg_type or entry_size >= _VISUAL_ENTRY_HEADER:
-                # visual entries carry dims at a fixed offset; smaller
-                # entries (tx3g timed text, mp4a audio) have none
+            if cfg_type or (visual and entry_size >= _VISUAL_ENTRY_HEADER):
+                # visual entries carry dims at a fixed offset; non-visual
+                # entries (tx3g timed text, mp4a audio) have none — a big
+                # tx3g entry (font table) must not read style bytes as dims
                 if pos + 36 > pe:
                     raise ValueError("MP4: stsd sample entry truncated")
                 width, height = struct.unpack_from(">HH", data, pos + 32)
@@ -299,14 +309,14 @@ def _parse_video_trak(data: bytes, ts: int, te: int, moov) -> dict:
         track_id = _tkhd_track_id(data, ts, te)
         if track_id is None:
             raise ValueError("MP4: fragmented track without tkhd")
-        samples = _parse_fragments(
+        samples, durations = _parse_fragments(
             data, track_id, timescale,
             _trex_defaults(data, moov, track_id))
         if not samples:
             raise ValueError("MP4: empty sample tables and no fragments")
         return {"codec": codec, "config": config, "width": width,
                 "height": height, "timescale": timescale,
-                "samples": samples}
+                "samples": samples, "durations_ms": durations}
     if n_samples > 4_000_000:
         raise ValueError(f"MP4: implausible sample count {n_samples}")
     if fixed_size:
@@ -419,7 +429,8 @@ def _parse_video_trak(data: bytes, ts: int, te: int, moov) -> dict:
 def _parse_fragments(data: bytes, track_id: int, timescale: int,
                      trex) -> list:
     """Walk moof/traf/trun fragments (ISO 14496-12 §8.8) for one track →
-    ``[(ts_ms, keyframe, payload), ...]``. Honors tfhd base-data-offset /
+    ``([(ts_ms, keyframe, payload), ...], [duration_ms, ...])``. Honors
+    tfhd base-data-offset /
     default-base-is-moof, tfdt decode times, per-sample trun fields with
     tfhd/trex default fallbacks, and the sample_is_non_sync_sample flag
     bit for keyframes. Bounds-checked throughout (ValueError on malformed
@@ -428,6 +439,7 @@ def _parse_fragments(data: bytes, track_id: int, timescale: int,
 
     trex_dur, trex_size, trex_flags = trex
     samples = []
+    durations = []
     implicit_time = 0  # running decode time when tfdt is absent
     for btype, ms, me in _walk_boxes(data, 0, len(data)):
         if btype != b"moof":
@@ -538,11 +550,12 @@ def _parse_fragments(data: bytes, track_id: int, timescale: int,
                     samples.append(
                         (tcur * 1000 // timescale, key,
                          data[off:off + size]))
+                    durations.append(dur * 1000 // timescale)
                     off += size
                     tcur += dur
                 prev_end = off
             implicit_time = tcur
-    return samples
+    return samples, durations
 
 
 def mux_fmp4_video(samples, width: int, height: int, codec: str,
@@ -640,12 +653,14 @@ def mux_mp4_timed_text(cues) -> bytes:
     samples, stts_entries = [], []
     cur = 0
     for start, end, text in cues:
-        if start < cur:
+        if start < cur or end < start:
             raise ValueError("timed-text cues must be sorted, non-overlap")
         if start > cur:
             samples.append(b"\x00\x00")          # gap: empty sample
             stts_entries.append(start - cur)
         enc = text.encode("utf-8")
+        if len(enc) > 0xFFFF:
+            raise ValueError("timed-text cue exceeds the u16 sample bound")
         samples.append(struct.pack(">H", len(enc)) + enc)
         stts_entries.append(max(1, end - start))
         cur = max(end, start + 1)
@@ -666,6 +681,8 @@ def mux_mp4_timed_text(cues) -> bytes:
         struct.pack(">HH", 0, 0),            # style record: start/end
         struct.pack(">HBB", 1, 0, 12),       # font id, face, size
         b"\xff\xff\xff\xff",                 # text RGBA
+        _box(b"ftab", struct.pack(">HH", 1, 1) +  # mandatory font table
+             bytes([5]) + b"Serif"),
     ]))
     stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
     stts = _full_box(b"stts", 0, 0, struct.pack(">I", len(stts_entries)) +
@@ -688,27 +705,11 @@ def mp4_text_track_info(data: bytes) -> dict:
     sbtl/subt, sample entry tx3g) — same dict shape as
     ``mp4_video_track_info`` plus per-sample ``durations_ms``. Raises
     ValueError when no text track exists."""
-    from graphrag_mrkr_2_spark.functions.mediaprobe import (
-        _find_box,
-        _walk_boxes,
-        sniff_mp4,
-    )
-
-    if not sniff_mp4(data):
-        raise ValueError("not an MP4 (no ftyp box)")
-    moov = _find_box(data, 0, len(data), (b"moov",))
-    if moov is None:
-        raise ValueError("MP4: no moov box (streaming layout without init)")
-    for btype, ts, te in _walk_boxes(data, moov[0], moov[1]):
-        if btype != b"trak":
-            continue
-        hdlr = _find_box(data, ts, te, (b"mdia", b"hdlr"))
-        if hdlr is None or data[hdlr[0] + 8:hdlr[0] + 12] not in (
-                b"text", b"sbtl", b"subt"):
-            continue
-        info = _parse_video_trak(data, ts, te, moov)
+    for info in _iter_tracks(data, (b"text", b"sbtl", b"subt"),
+                             visual=False):
         if info["codec"] != "tx3g":
-            raise ValueError(
-                f"MP4: unsupported text sample entry {info['codec']!r}")
+            # e.g. a QuickTime chapter track ('text' sample entry) ahead
+            # of the real tx3g subtitles — skip it, keep scanning
+            continue
         return info
-    raise ValueError("MP4: no timed-text track")
+    raise ValueError("MP4: no tx3g timed-text track")

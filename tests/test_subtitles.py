@@ -311,3 +311,106 @@ class TestMp4TimedText:
         rows = extract_subtitle_text(df, strict=True).collect()
         got = [(r["start_ms"], r["end_ms"], r["text"]) for r in rows]
         assert got == self.CUES
+
+
+class TestMp4TimedTextRegressions:
+    """r6 review findings on the tx3g leg, each with its repro."""
+
+    def test_fragmented_timed_text(self):
+        """A DASH-style fragmented MP4 with tx3g samples must extract —
+        the fragmented branch previously returned no durations_ms and
+        mp4_subtitle_cues crashed with KeyError."""
+        import struct as st
+
+        from graphrag_mrkr_2_spark.functions.mp4mux import (
+            _box,
+            _full_box,
+            mux_fmp4_video,
+            mux_mp4_timed_text,
+        )
+        from graphrag_mrkr_2_spark.functions.subtitles import (
+            mp4_subtitle_cues,
+        )
+
+        cues = [(0, 1500, "frag one"), (1500, 3000, "frag two")]
+        # init segment: take the timed-text moov, empty its tables via the
+        # fmp4 video helper's shape — simplest valid route: build a
+        # classic timed-text file, then rebuild as init + one fragment
+        classic = mux_mp4_timed_text(cues)
+        # locate the stbl inside and zero stts/stsz/stco while keeping
+        # stsd; easier: hand-build the fragment against the classic moov
+        # is invalid (it has sample tables), so instead assemble an fmp4
+        # with the tx3g stsd by patching mux_fmp4_video's output codec
+        # box is video-specific — hand-roll the whole file:
+        from graphrag_mrkr_2_spark.functions.mp4mux import (
+            _build_moov,
+        )
+
+        entry_start = classic.find(b"tx3g") - 4
+        (entry_size,) = st.unpack_from(">I", classic, entry_start)
+        entry = classic[entry_start:entry_start + entry_size]
+        stbl = _box(b"stbl", b"".join([
+            _full_box(b"stsd", 0, 0, st.pack(">I", 1) + entry),
+            _full_box(b"stts", 0, 0, st.pack(">I", 0)),
+            _full_box(b"stsc", 0, 0, st.pack(">I", 0)),
+            _full_box(b"stsz", 0, 0, st.pack(">II", 0, 0)),
+            _full_box(b"stco", 0, 0, st.pack(">I", 0)),
+        ]))
+        mvex = _box(b"mvex", _full_box(b"trex", 0, 0,
+                                       st.pack(">IIIII", 1, 1, 1500, 0, 0)))
+        ftyp = _box(b"ftyp", b"iso5" + st.pack(">I", 512) + b"iso5" +
+                    b"iso6" + b"mp41")
+        init = ftyp + _build_moov(0, 0, stbl, 0, mvex, handler=b"text")
+        samples = [st.pack(">H", len(t.encode())) + t.encode()
+                   for _, _, t in cues]
+        mfhd = _full_box(b"mfhd", 0, 0, st.pack(">I", 1))
+        tfhd = _full_box(b"tfhd", 0, 0x020000, st.pack(">I", 1))
+        tfdt = _full_box(b"tfdt", 1, 0, st.pack(">Q", 0))
+        sizes = b"".join(st.pack(">I", len(x)) for x in samples)
+        trun_total = 8 + 4 + 4 + 4 + len(sizes)
+        traf_total = 8 + 16 + 20 + trun_total
+        moof_len = 8 + 16 + traf_total
+        trun = _full_box(b"trun", 0, 0x000201,
+                         st.pack(">Ii", len(samples), moof_len + 8) + sizes)
+        moof = _box(b"moof", mfhd + _box(b"traf", tfhd + tfdt + trun))
+        frag = init + moof + _box(b"mdat", b"".join(samples))
+        assert mp4_subtitle_cues(frag) == cues
+
+    def test_chapter_track_before_tx3g_is_skipped(self):
+        """A QuickTime chapter track (handler 'text', entry 'text') ahead
+        of the tx3g track must be skipped, not fatal."""
+        import struct as st
+
+        from graphrag_mrkr_2_spark.functions.mp4mux import (
+            mux_mp4_timed_text,
+        )
+        from graphrag_mrkr_2_spark.functions.subtitles import (
+            mp4_subtitle_cues,
+        )
+
+        cues = [(0, 1000, "real subs")]
+        mp4 = mux_mp4_timed_text(cues)
+        # clone the trak, rewrite the clone's entry fourcc to 'text',
+        # and place it BEFORE the tx3g trak inside moov
+        trak_start = mp4.find(b"trak") - 4
+        (trak_size,) = st.unpack_from(">I", mp4, trak_start)
+        trak = mp4[trak_start:trak_start + trak_size]
+        chapter = trak.replace(b"tx3g", b"text")
+        moov_start = mp4.find(b"moov") - 4
+        (moov_size,) = st.unpack_from(">I", mp4, moov_start)
+        new_moov_payload = (mp4[moov_start + 8:trak_start] + chapter
+                            + mp4[trak_start:moov_start + moov_size])
+        rebuilt = (mp4[:moov_start]
+                   + st.pack(">I", 8 + len(new_moov_payload)) + b"moov"
+                   + new_moov_payload)
+        assert mp4_subtitle_cues(rebuilt) == cues
+
+    def test_mux_rejects_backwards_and_oversize_cues(self):
+        from graphrag_mrkr_2_spark.functions.mp4mux import (
+            mux_mp4_timed_text,
+        )
+
+        with pytest.raises(ValueError):
+            mux_mp4_timed_text([(5, 3, "backwards")])
+        with pytest.raises(ValueError):
+            mux_mp4_timed_text([(0, 1000, "x" * 70000)])
