@@ -694,6 +694,84 @@ def main() -> None:
         )
         video_payloads.unpersist()
 
+    # --- media text extraction (late r6: subtitles/tags/EXIF) ---------------
+    # extras: quantifies the three text-from-media kernels on rotated
+    # REAL container payloads (SRT/WebVTT/MKV S_TEXT cues, ID3v2/FLAC/
+    # Ogg/MP4-ilst tags, TIFF/JPEG EXIF) through the same mapInPandas
+    # plumbing production rides. Pure-Python parsing, no codec libs.
+    from graphrag_mrkr_2_spark.operators.multimodal import (
+        extract_exif_table,
+        extract_media_tags_table,
+        extract_subtitle_text,
+    )
+
+    def _encode_media_text(batches):
+        import pandas as pd
+
+        from graphrag_mrkr_2_spark.functions.exiftags import (
+            build_exif_jpeg,
+            build_exif_tiff_blob,
+        )
+        from graphrag_mrkr_2_spark.functions.mediatags import (
+            build_flac_with_tags,
+            build_id3v2,
+            build_mp4_with_tags,
+            build_ogg_opus_with_tags,
+        )
+        from graphrag_mrkr_2_spark.functions.subtitles import (
+            format_srt,
+            mux_mkv_subtitles,
+        )
+
+        for pdf in batches:
+            subs, tags, exifs = [], [], []
+            for rec in pdf.itertuples(index=False):
+                d = int(rec.doc_id)
+                cues = [(i * 2000, i * 2000 + 1500,
+                         f"Cue {i} of {d}, with enough words to look "
+                         f"like real speech.") for i in range(8)]
+                subs.append({"media_id": f"{d}_sub",
+                             "payload": (format_srt(cues).encode()
+                                         if d % 2 else
+                                         mux_mkv_subtitles(cues))})
+                t = {"title": f"Title {d}", "artist": f"Artist {d % 13}",
+                     "album": f"Album {d % 5}",
+                     "lyrics": "la " * 40 + str(d)}
+                builder = [build_id3v2, build_flac_with_tags,
+                           build_ogg_opus_with_tags,
+                           build_mp4_with_tags][d % 4]
+                tags.append({"media_id": f"{d}_tag",
+                             "payload": builder(t)})
+                e = {"description": f"Scene {d}", "artist": f"Cam {d % 9}",
+                     "comment": f"Note {d}."}
+                exifs.append({"media_id": f"{d}_exif",
+                              "payload": (build_exif_jpeg(e) if d % 2
+                                          else build_exif_tiff_blob(e))})
+            yield pd.DataFrame(subs + tags + exifs,
+                               columns=["media_id", "payload"])
+
+    media_text = (
+        documents.select("doc_id")
+        .where(F.col("doc_id") % 4 == 0)
+        .repartition(cpus * 4)
+        .mapInPandas(_encode_media_text, "media_id string, payload binary")
+        .persist()
+    )
+    n_media_text = media_text.count()
+    extras["media_text_sec"] = best_of_2(
+        lambda: (
+            extract_subtitle_text(media_text).count(),
+            extract_media_tags_table(media_text).count(),
+            extract_exif_table(media_text).count(),
+        ),
+        label="media_text",
+    )
+    extras["media_text_payloads"] = n_media_text
+    extras["media_text_payloads_per_sec"] = round(
+        n_media_text * 3 / max(extras["media_text_sec"], 1e-9), 1
+    )
+    media_text.unpersist()
+
     # --- corpus hygiene (round 3: textclean) --------------------------------
     from graphrag_mrkr_2_spark.operators.textclean import redact_pii, repetition_stats
 
