@@ -43,10 +43,13 @@ def _vtt_ms(h, m, s, frac) -> int:
 
 
 def sniff_subtitle(payload: bytes):
-    """'webvtt' / 'srt' / None from the leading bytes (crawl routing)."""
+    """'webvtt' / 'srt' / 'ass' / None from the leading bytes (crawl
+    routing)."""
     head = payload[:4096].lstrip(b"\xef\xbb\xbf \r\n")
     if head.startswith(b"WEBVTT"):
         return "webvtt"
+    if head[:13].lower() == b"[script info]":
+        return "ass"
     try:
         text = head.decode("utf-8", "replace")
     except Exception:
@@ -168,7 +171,8 @@ def mkv_subtitle_cues(data: bytes, limit: int = MAX_CUES) -> list:
     track, blocks = mkv_track_blocks(
         data, want_type=0x11,
         codec_filter=lambda c: c in (b"S_TEXT/UTF8", b"S_TEXT/WEBVTT",
-                                     b"S_TEXT/ASCII"),
+                                     b"S_TEXT/ASCII", b"S_TEXT/ASS",
+                                     b"S_TEXT/SSA"),
         on_laced="skip")
     if track is None:
         raise ValueError("MKV: no text subtitle track")
@@ -177,6 +181,15 @@ def mkv_subtitle_cues(data: bytes, limit: int = MAX_CUES) -> list:
         text = payload.decode("utf-8", "replace")
         if track["codec"] == b"S_TEXT/WEBVTT":
             text = _VTT_TAG.sub("", text)
+        elif track["codec"] in (b"S_TEXT/ASS", b"S_TEXT/SSA"):
+            # MKV ASS block payload: "ReadOrder,Layer,Style,Name,
+            # MarginL,MarginR,MarginV,Effect,Text" — times come from the
+            # container, the Text field is the last of 9
+            parts = text.split(",", 8)
+            text = parts[-1] if parts else ""
+            text = _ASS_OVERRIDE.sub("", text)
+            text = text.replace("\\N", "\n").replace("\\n", "\n") \
+                       .replace("\\h", " ")
         text = text.strip()
         if text:
             cues.append((int(start), int(start + dur), text))
@@ -279,3 +292,86 @@ def mp4_subtitle_cues(data: bytes, limit: int = MAX_CUES) -> list:
         if len(cues) >= limit:
             break
     return cues
+
+
+_ASS_TS = re.compile(r"(\d+):(\d{2}):(\d{2})[.:](\d{2})")
+_ASS_OVERRIDE = re.compile(r"\{[^}]{0,500}\}")  # {\an8\pos(...)} override blocks
+
+
+def parse_ass(text: str) -> list:
+    """SSA/ASS (Sub Station Alpha) → ``[(start_ms, end_ms, cue_text),
+    ...]`` in file order — the dominant fansub format on the crawl.
+
+    Reads the [Events] section's Format: line to locate the Start/End/
+    Text fields positionally (real files reorder and add fields), then
+    parses Dialogue: lines: H:MM:SS.cc timestamps (centiseconds), the
+    Text field joined across its commas, override blocks ``{\\...}``
+    stripped, ``\\N``/``\\n`` hard/soft breaks to newlines, ``\\h`` to
+    space. Comment: lines and malformed rows are skipped, never fatal."""
+    cues = []
+    fmt = None  # field name -> index, from the [Events] Format: line
+    in_events = False
+    for raw in text.lstrip("﻿").splitlines():
+        line = raw.strip()
+        if not line:
+            continue
+        if line.startswith("["):
+            in_events = line.lower().startswith("[events")
+            continue
+        if not in_events:
+            continue
+        low = line.lower()
+        if low.startswith("format:"):
+            fields = [f.strip().lower() for f in line[7:].split(",")]
+            fmt = {name: i for i, name in enumerate(fields)}
+            continue
+        if not low.startswith("dialogue:"):
+            continue
+        field_map = fmt or {"layer": 0, "start": 1, "end": 2, "style": 3,
+                            "name": 4, "marginl": 5, "marginr": 6,
+                            "marginv": 7, "effect": 8, "text": 9}
+        n_fields = max(field_map.values()) + 1
+        parts = line[9:].split(",", n_fields - 1)
+        if len(parts) < n_fields:
+            continue  # malformed row: skip
+        try:
+            ms = _ASS_TS.match(parts[field_map["start"]].strip())
+            me = _ASS_TS.match(parts[field_map["end"]].strip())
+            if not ms or not me:
+                continue
+            start = ((int(ms.group(1)) * 60 + int(ms.group(2))) * 60
+                     + int(ms.group(3))) * 1000 + int(ms.group(4)) * 10
+            end = ((int(me.group(1)) * 60 + int(me.group(2))) * 60
+                   + int(me.group(3))) * 1000 + int(me.group(4)) * 10
+        except (KeyError, ValueError):
+            continue
+        body = parts[field_map.get("text", n_fields - 1)]
+        body = _ASS_OVERRIDE.sub("", body)
+        body = body.replace("\\N", "\n").replace("\\n", "\n") \
+                   .replace("\\h", " ").strip()
+        if body:
+            cues.append((start, end, body))
+        if len(cues) >= MAX_CUES:
+            break
+    return cues
+
+
+def format_ass(cues) -> str:
+    """Cues → a minimal ASS script (fixture path — parse_ass reads it
+    back; centisecond resolution, so cue times should be multiples of
+    10 ms)."""
+
+    def _ts(ms: int) -> str:
+        h, rem = divmod(ms, 3_600_000)
+        m, rem = divmod(rem, 60_000)
+        s, frac = divmod(rem, 1000)
+        return f"{h}:{m:02d}:{s:02d}.{frac // 10:02d}"
+
+    lines = ["[Script Info]", "Title: fixture", "", "[Events]",
+             "Format: Layer, Start, End, Style, Name, MarginL, MarginR, "
+             "MarginV, Effect, Text"]
+    for start, end, text in cues:
+        body = text.replace("\n", "\\N")
+        lines.append(f"Dialogue: 0,{_ts(start)},{_ts(end)},Default,,0,0,0,,"
+                     f"{body}")
+    return "\n".join(lines) + "\n"

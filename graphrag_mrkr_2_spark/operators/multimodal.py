@@ -1371,6 +1371,7 @@ def extract_subtitle_text(media: DataFrame, strict: bool = False) -> DataFrame:
         from graphrag_mrkr_2_spark.functions.subtitles import (
             mkv_subtitle_cues,
             mp4_subtitle_cues,
+            parse_ass,
             parse_srt,
             parse_webvtt,
             sniff_subtitle,
@@ -1386,6 +1387,9 @@ def extract_subtitle_text(media: DataFrame, strict: bool = False) -> DataFrame:
                         cues = parse_srt(payload.decode("utf-8", "replace"))
                     elif kind == "webvtt":
                         cues = parse_webvtt(
+                            payload.decode("utf-8", "replace"))
+                    elif kind == "ass":
+                        cues = parse_ass(
                             payload.decode("utf-8", "replace"))
                     elif sniff_mkv(payload):
                         cues = mkv_subtitle_cues(payload)

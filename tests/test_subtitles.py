@@ -414,3 +414,93 @@ class TestMp4TimedTextRegressions:
             mux_mp4_timed_text([(5, 3, "backwards")])
         with pytest.raises(ValueError):
             mux_mp4_timed_text([(0, 1000, "x" * 70000)])
+
+
+class TestAss:
+    """SSA/ASS — the dominant fansub subtitle format on the crawl."""
+
+    CUES = [(0, 1500, "Hello there."), (2000, 3500, "Two lines\nhere."),
+            (4000, 5000, "Third!")]
+
+    def test_roundtrip(self):
+        from graphrag_mrkr_2_spark.functions.subtitles import (
+            format_ass,
+            parse_ass,
+        )
+
+        assert parse_ass(format_ass(self.CUES)) == self.CUES
+
+    def test_real_world_features(self):
+        """Override blocks, Comment rows, actor field, commas inside the
+        Text field, \\N/\\n/\\h escapes, centisecond times."""
+        from graphrag_mrkr_2_spark.functions.subtitles import parse_ass
+
+        ass = (
+            "[Script Info]\nTitle: x\n\n"
+            "[V4+ Styles]\nFormat: Name, Fontname\nStyle: Default,Arial\n\n"
+            "[Events]\n"
+            "Format: Layer, Start, End, Style, Actor, MarginL, MarginR, "
+            "MarginV, Effect, Text\n"
+            "Comment: 0,0:00:00.00,0:00:01.00,Default,,0,0,0,,not a cue\n"
+            "Dialogue: 0,0:00:01.00,0:00:02.50,Default,,0,0,0,,"
+            "{\\an8}Top {\\i1}text{\\i0} here,with,commas\n"
+            "Dialogue: 0,0:01:02.52,0:01:03.00,Default,,0,0,0,,"
+            "Soft\\nbreak and\\hspace\n"
+        )
+        assert parse_ass(ass) == [
+            (1000, 2500, "Top text here,with,commas"),
+            (62520, 63000, "Soft\nbreak and space"),
+        ]
+
+    def test_reordered_format_line(self):
+        """Real files reorder Format fields; Start/End/Text are located
+        positionally from the declared order."""
+        from graphrag_mrkr_2_spark.functions.subtitles import parse_ass
+
+        ass = (
+            "[Events]\n"
+            "Format: Start, End, Text\n"
+            "Dialogue: 0:00:01.00,0:00:02.00,Short format.\n"
+        )
+        assert parse_ass(ass) == [(1000, 2000, "Short format.")]
+
+    def test_sniff(self):
+        from graphrag_mrkr_2_spark.functions.subtitles import (
+            format_ass,
+            sniff_subtitle,
+        )
+
+        assert sniff_subtitle(format_ass(self.CUES).encode()) == "ass"
+        assert sniff_subtitle("﻿[script info]\n".encode()) == "ass"
+
+    def test_mkv_ass_track(self):
+        """S_TEXT/ASS blocks carry 'ReadOrder,Layer,Style,...,Text' —
+        times come from the container, overrides stripped."""
+        from graphrag_mrkr_2_spark.functions.subtitles import (
+            mkv_subtitle_cues,
+            mux_mkv_subtitles,
+        )
+
+        payload_cues = [
+            (1000, 2500, "0,0,Default,,0,0,0,,{\\an8}Styled, text"),
+            (3000, 4000, "1,0,Default,,0,0,0,,Plain\\Nsecond line"),
+        ]
+        mkv = mux_mkv_subtitles(payload_cues, codec=b"S_TEXT/ASS")
+        assert mkv_subtitle_cues(mkv) == [
+            (1000, 2500, "Styled, text"),
+            (3000, 4000, "Plain\nsecond line"),
+        ]
+
+    def test_operator_dispatches_ass(self, spark):
+        from graphrag_mrkr_2_spark.functions.subtitles import format_ass
+        from graphrag_mrkr_2_spark.operators.multimodal import (
+            extract_subtitle_text,
+        )
+
+        df = spark.createDataFrame(
+            [("ass0", format_ass(self.CUES).encode())],
+            "media_id string, payload binary",
+        )
+        rows = extract_subtitle_text(df, strict=True).collect()
+        got = [(r["start_ms"], r["end_ms"], r["text"]) for r in rows]
+        assert got == self.CUES
