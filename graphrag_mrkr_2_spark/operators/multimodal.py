@@ -1164,6 +1164,18 @@ def probe_media(payload: bytes) -> dict:
             except Exception:
                 pass  # header-probe failure: keep the sniffed kind
             return _clean_probe(out)
+    # standalone subtitle scripts (SRT/WebVTT/ASS) are text media a crawl
+    # router should classify, not quarantine — extract_subtitle_text is
+    # their decode path (r6)
+    try:
+        from graphrag_mrkr_2_spark.functions.subtitles import sniff_subtitle
+
+        sub = sniff_subtitle(payload)
+    except Exception:
+        sub = None
+    if sub is not None:
+        out["kind"] = "subtitle"
+        out["codec"] = sub
     return out
 
 

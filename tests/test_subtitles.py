@@ -504,3 +504,19 @@ class TestAss:
         rows = extract_subtitle_text(df, strict=True).collect()
         got = [(r["start_ms"], r["end_ms"], r["text"]) for r in rows]
         assert got == self.CUES
+
+
+class TestProbeMediaSubtitles:
+    def test_probe_classifies_subtitle_scripts(self):
+        from graphrag_mrkr_2_spark.functions.subtitles import (
+            format_ass,
+            format_srt,
+        )
+        from graphrag_mrkr_2_spark.operators.multimodal import probe_media
+
+        assert probe_media(format_srt(CUES).encode())["kind"] == "subtitle"
+        assert probe_media(format_srt(CUES).encode())["codec"] == "srt"
+        assert probe_media(format_ass(CUES).encode())["codec"] == "ass"
+        vtt = b"WEBVTT\n\n00:00.000 --> 00:01.000\nx\n"
+        assert probe_media(vtt)["codec"] == "webvtt"
+        assert probe_media(b"random bytes")["kind"] is None
