@@ -727,25 +727,29 @@ def main() -> None:
             subs, tags, exifs = [], [], []
             for rec in pdf.itertuples(index=False):
                 d = int(rec.doc_id)
+                # the input is pre-filtered to doc_id % 4 == 0, so rotate
+                # on d // 4 — rotating on d itself would constant-fold
+                # every selector to one branch (review r6)
+                r = d // 4
                 cues = [(i * 2000, i * 2000 + 1500,
                          f"Cue {i} of {d}, with enough words to look "
                          f"like real speech.") for i in range(8)]
                 subs.append({"media_id": f"{d}_sub",
                              "payload": (format_srt(cues).encode()
-                                         if d % 2 else
+                                         if r % 2 else
                                          mux_mkv_subtitles(cues))})
                 t = {"title": f"Title {d}", "artist": f"Artist {d % 13}",
                      "album": f"Album {d % 5}",
                      "lyrics": "la " * 40 + str(d)}
                 builder = [build_id3v2, build_flac_with_tags,
                            build_ogg_opus_with_tags,
-                           build_mp4_with_tags][d % 4]
+                           build_mp4_with_tags][r % 4]
                 tags.append({"media_id": f"{d}_tag",
                              "payload": builder(t)})
                 e = {"description": f"Scene {d}", "artist": f"Cam {d % 9}",
                      "comment": f"Note {d}."}
                 exifs.append({"media_id": f"{d}_exif",
-                              "payload": (build_exif_jpeg(e) if d % 2
+                              "payload": (build_exif_jpeg(e) if r % 2
                                           else build_exif_tiff_blob(e))})
             yield pd.DataFrame(subs + tags + exifs,
                                columns=["media_id", "payload"])

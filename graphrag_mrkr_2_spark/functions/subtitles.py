@@ -1,4 +1,5 @@
-"""Subtitle/caption text extraction: SRT, WebVTT, and MKV subtitle tracks.
+"""Subtitle/caption text extraction: SRT, WebVTT, SSA/ASS, Matroska
+subtitle tracks, and MP4 tx3g timed text.
 
 Subtitles are prime training text hiding inside crawl video — an
 LLM-data pipeline that drops them throws away exactly the
@@ -11,9 +12,10 @@ Pure-stdlib parsers (the formats are line-oriented text), hardened for
 crawl reality: BOM/CRLF tolerance, out-of-order or overlapping cues kept
 as-is (downstream dedups), malformed cue blocks skipped rather than
 fatal, a cue cap against adversarial megafiles. The MKV leg walks
-S_TEXT/UTF8 and S_TEXT/WEBVTT subtitle tracks (TrackType 0x11) —
-timestamps come from the container blocks, durations from BlockGroup
-BlockDuration.
+S_TEXT/UTF8, S_TEXT/WEBVTT, S_TEXT/ASCII and S_TEXT/ASS|SSA subtitle
+tracks (TrackType 0x11) — timestamps come from the container blocks,
+durations from BlockGroup BlockDuration; the MP4 leg reads 3GPP tx3g
+timed-text samples (functions/mp4mux.py).
 """
 
 from __future__ import annotations
@@ -48,8 +50,16 @@ def sniff_subtitle(payload: bytes):
     head = payload[:4096].lstrip(b"\xef\xbb\xbf \r\n")
     if head.startswith(b"WEBVTT"):
         return "webvtt"
-    if head[:13].lower() == b"[script info]":
-        return "ass"
+    # ASS/SSA: '[Script Info]' possibly preceded by ';' comment lines
+    # (Sub Station Alpha's own generator writes a comment banner first)
+    probe_lines = head.decode("utf-8", "replace").splitlines()[:8]
+    for ln in probe_lines:
+        ln = ln.strip()
+        if not ln or ln.startswith(";"):
+            continue
+        if ln.lower().startswith("[script info]"):
+            return "ass"
+        break
     try:
         text = head.decode("utf-8", "replace")
     except Exception:
@@ -184,12 +194,13 @@ def mkv_subtitle_cues(data: bytes, limit: int = MAX_CUES) -> list:
         elif track["codec"] in (b"S_TEXT/ASS", b"S_TEXT/SSA"):
             # MKV ASS block payload: "ReadOrder,Layer,Style,Name,
             # MarginL,MarginR,MarginV,Effect,Text" — times come from the
-            # container, the Text field is the last of 9
+            # container, the Text field is the last of 9. A block with
+            # fewer fields is malformed: skip it rather than emitting a
+            # style/actor name as cue text (parse_ass does the same).
             parts = text.split(",", 8)
-            text = parts[-1] if parts else ""
-            text = _ASS_OVERRIDE.sub("", text)
-            text = text.replace("\\N", "\n").replace("\\n", "\n") \
-                       .replace("\\h", " ")
+            if len(parts) < 9:
+                continue
+            text = _ass_text(parts[8])
         text = text.strip()
         if text:
             cues.append((int(start), int(start + dur), text))
@@ -295,7 +306,20 @@ def mp4_subtitle_cues(data: bytes, limit: int = MAX_CUES) -> list:
 
 
 _ASS_TS = re.compile(r"(\d+):(\d{2}):(\d{2})[.:](\d{2})")
-_ASS_OVERRIDE = re.compile(r"\{[^}]{0,500}\}")  # {\an8\pos(...)} override blocks
+_ASS_OVERRIDE = re.compile(r"\{[^{}]*\}")  # {\an8\pos(...)} override blocks
+_ASS_DRAWING = re.compile(r"\{[^{}]*\\p[1-9]")  # {\p1..}: vector drawing mode
+
+
+def _ass_text(raw: str) -> str:
+    r"""Shared ASS Text-field cleanup (standalone Dialogue lines AND MKV
+    S_TEXT/ASS block payloads): drawing-mode lines ({\p1} vector paths —
+    sign typesetting, not speech) drop entirely, override blocks strip,
+    \N/\n hard/soft breaks become newlines and \h a space."""
+    if _ASS_DRAWING.search(raw):
+        return ""
+    raw = _ASS_OVERRIDE.sub("", raw)
+    return raw.replace("\\N", "\n").replace("\\n", "\n") \
+              .replace("\\h", " ").strip()
 
 
 def parse_ass(text: str) -> list:
@@ -345,10 +369,7 @@ def parse_ass(text: str) -> list:
                    + int(me.group(3))) * 1000 + int(me.group(4)) * 10
         except (KeyError, ValueError):
             continue
-        body = parts[field_map.get("text", n_fields - 1)]
-        body = _ASS_OVERRIDE.sub("", body)
-        body = body.replace("\\N", "\n").replace("\\n", "\n") \
-                   .replace("\\h", " ").strip()
+        body = _ass_text(parts[field_map.get("text", n_fields - 1)])
         if body:
             cues.append((start, end, body))
         if len(cues) >= MAX_CUES:

@@ -520,3 +520,41 @@ class TestProbeMediaSubtitles:
         vtt = b"WEBVTT\n\n00:00.000 --> 00:01.000\nx\n"
         assert probe_media(vtt)["codec"] == "webvtt"
         assert probe_media(b"random bytes")["kind"] is None
+
+
+class TestAssReviewRegressions:
+    def test_leading_comment_banner_sniffs(self):
+        from graphrag_mrkr_2_spark.functions.subtitles import sniff_subtitle
+
+        payload = b"; Script generated by SSA v4\n; more banner\n" \
+                  b"[Script Info]\nTitle: x\n"
+        assert sniff_subtitle(payload) == "ass"
+
+    def test_drawing_mode_lines_dropped(self):
+        from graphrag_mrkr_2_spark.functions.subtitles import parse_ass
+
+        ass = ("[Events]\nFormat: Start, End, Text\n"
+               "Dialogue: 0:00:01.00,0:00:02.00,"
+               "{\\p1}m 0 0 l 100 0 100 100{\\p0}\n"
+               "Dialogue: 0:00:03.00,0:00:04.00,real text\n")
+        assert parse_ass(ass) == [(3000, 4000, "real text")]
+
+    def test_long_override_block_stripped(self):
+        from graphrag_mrkr_2_spark.functions.subtitles import parse_ass
+
+        ass = ("[Events]\nFormat: Start, End, Text\n"
+               "Dialogue: 0:00:01.00,0:00:02.00,{\\t("
+               + "x" * 600 + ")}visible\n")
+        assert parse_ass(ass) == [(1000, 2000, "visible")]
+
+    def test_malformed_mkv_ass_block_skipped(self):
+        """A block with fewer than 9 fields must not leak a style name
+        into the cue text."""
+        from graphrag_mrkr_2_spark.functions.subtitles import (
+            mkv_subtitle_cues,
+            mux_mkv_subtitles,
+        )
+
+        mkv = mux_mkv_subtitles([(0, 1000, "12,0,Default")],
+                                codec=b"S_TEXT/ASS")
+        assert mkv_subtitle_cues(mkv) == []
