@@ -396,3 +396,133 @@ def format_ass(cues) -> str:
         lines.append(f"Dialogue: 0,{_ts(start)},{_ts(end)},Default,,0,0,0,,"
                      f"{body}")
     return "\n".join(lines) + "\n"
+
+
+def mkv_chapters(data: bytes) -> list:
+    """Chapter titles from a Matroska Chapters element →
+    ``[(start_ms, title), ...]``: Segment → Chapters → EditionEntry →
+    ChapterAtom walk reading ChapterTimeStart (ns) and the first
+    ChapterDisplay's ChapString. Chapter titles are edited, human-written
+    structure text — the table-of-contents of crawl video."""
+    from graphrag_mrkr_2_spark.functions.mediaprobe import (
+        _ebml_uint,
+        _walk_ebml,
+        sniff_mkv,
+    )
+
+    if not sniff_mkv(data):
+        raise ValueError("not a Matroska/WebM file")
+    out = []
+    for eid, ps, pe in _walk_ebml(data, 0, len(data)):
+        if eid != 0x18538067:  # Segment
+            continue
+        for seid, sps, spe in _walk_ebml(data, ps, pe):
+            if seid != 0x1043A770:  # Chapters
+                continue
+            for eeid, eps, epe in _walk_ebml(data, sps, spe):
+                if eeid != 0x45B9:  # EditionEntry
+                    continue
+                for aid, aps, ape in _walk_ebml(data, eps, epe):
+                    if aid != 0xB6:  # ChapterAtom
+                        continue
+                    start_ns, title = 0, None
+                    for fid, fps, fpe in _walk_ebml(data, aps, ape):
+                        if fid == 0x91:  # ChapterTimeStart (ns)
+                            start_ns = _ebml_uint(data, fps, fpe) or 0
+                        elif fid == 0x80 and title is None:  # ChapterDisplay
+                            for did, dps, dpe in _walk_ebml(data, fps, fpe):
+                                if did == 0x85:  # ChapString
+                                    title = data[dps:dpe].decode(
+                                        "utf-8", "replace").strip()
+                                    break
+                    if title:
+                        out.append((int(start_ns // 1_000_000), title))
+    return out
+
+
+def mux_mkv_chapters(chapters) -> bytes:
+    """Fixture twin of ``mkv_chapters``: a minimal Matroska file whose
+    Segment carries only a Chapters element."""
+    from graphrag_mrkr_2_spark.functions.av1codec import _el, _uint_payload
+
+    ebml = _el(0x1A45DFA3, b"".join([
+        _el(0x4286, _uint_payload(1)),
+        _el(0x42F7, _uint_payload(1)),
+        _el(0x42F2, _uint_payload(4)),
+        _el(0x42F3, _uint_payload(8)),
+        _el(0x4282, b"matroska"),
+        _el(0x4287, _uint_payload(2)),
+        _el(0x4285, _uint_payload(2)),
+    ]))
+    atoms = []
+    for i, (start_ms, title) in enumerate(chapters, 1):
+        atoms.append(_el(0xB6, b"".join([      # ChapterAtom
+            _el(0x73C4, _uint_payload(i)),     # ChapterUID
+            _el(0x91, _uint_payload(start_ms * 1_000_000)),
+            _el(0x80, b"".join([               # ChapterDisplay
+                _el(0x85, title.encode("utf-8")),        # ChapString
+                _el(0x437C, b"und"),                     # ChapLanguage
+            ])),
+        ])))
+    edition = _el(0x45B9, b"".join(
+        [_el(0x45BC, _uint_payload(1))] + atoms))  # EditionUID + atoms
+    chapters_el = _el(0x1043A770, edition)
+    return ebml + _el(0x18538067, chapters_el)
+
+
+def mp4_chapters(data: bytes) -> list:
+    """Nero chapter list (``moov/udta/chpl``) → ``[(start_ms, title),
+    ...]``: version-1 FullBox, u32 reserved, u8 count, then per chapter
+    a u64 start in 100 ns units + u8 title length + UTF-8 title."""
+    import struct
+
+    from graphrag_mrkr_2_spark.functions.mediaprobe import (
+        _find_box,
+        sniff_mp4,
+    )
+
+    if not sniff_mp4(data):
+        raise ValueError("not an MP4 (no ftyp box)")
+    chpl = _find_box(data, 0, len(data), (b"moov", b"udta", b"chpl"))
+    if chpl is None:
+        return []
+    ps, pe = chpl
+    if pe - ps < 9:
+        raise ValueError("MP4: chpl box truncated")
+    count = data[ps + 8]
+    pos = ps + 9
+    out = []
+    for _ in range(count):
+        if pos + 9 > pe:
+            raise ValueError("MP4: chpl entry truncated")
+        (start_100ns,) = struct.unpack_from(">Q", data, pos)
+        tlen = data[pos + 8]
+        pos += 9
+        if pos + tlen > pe:
+            raise ValueError("MP4: chpl title overruns box")
+        title = data[pos:pos + tlen].decode("utf-8", "replace").strip()
+        pos += tlen
+        if title:
+            out.append((int(start_100ns // 10_000), title))
+    return out
+
+
+def mux_mp4_chapters(chapters) -> bytes:
+    """Fixture twin of ``mp4_chapters``: ftyp + moov/udta/chpl."""
+    import struct
+
+    def _box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    body = struct.pack(">I", 0x01000000)  # version 1, flags 0
+    body += struct.pack(">I", 0)          # reserved
+    body += bytes([len(list(chapters))])
+    for start_ms, title in chapters:
+        enc = title.encode("utf-8")
+        if len(enc) > 255:
+            raise ValueError("chapter title exceeds the u8 length bound")
+        body += struct.pack(">Q", start_ms * 10_000) + bytes([len(enc)]) + enc
+    chpl_box = _box(b"chpl", body)
+    moov = _box(b"moov", _box(b"udta", chpl_box))
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom")
+    return ftyp + moov

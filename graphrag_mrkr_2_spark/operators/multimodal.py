@@ -1554,3 +1554,66 @@ def extract_exif_table(media: DataFrame, strict: bool = False) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         _extract, EXIF_SCHEMA
     )
+
+
+CHAPTER_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("chapter_index", IntegerType(), False),
+        StructField("start_ms", LongType(), False),
+        StructField("title", StringType(), False),
+    ]
+)
+
+
+def extract_chapter_text(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Chapter titles from video containers (functions/subtitles.py:
+    Matroska Chapters elements, Nero MP4 chpl boxes) — the
+    table-of-contents text of crawl video, one row per chapter.
+    Payloads without a chapter structure quarantine to zero rows
+    (strict=True raises)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from graphrag_mrkr_2_spark.functions.mediaprobe import (
+            sniff_mkv,
+            sniff_mp4,
+        )
+        from graphrag_mrkr_2_spark.functions.subtitles import (
+            mkv_chapters,
+            mp4_chapters,
+        )
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(rec.payload) if rec.payload is not None else b""
+                try:
+                    if sniff_mkv(payload):
+                        chapters = mkv_chapters(payload)
+                    elif sniff_mp4(payload):
+                        chapters = mp4_chapters(payload)
+                    else:
+                        raise ValueError("no chapter-bearing container")
+                    if not chapters:
+                        raise ValueError("container carries no chapters")
+                except Exception:
+                    if strict:
+                        raise
+                    continue
+                for i, (start, title) in enumerate(chapters):
+                    rows.append(
+                        {
+                            "media_id": str(rec.media_id),
+                            "chapter_index": i,
+                            "start_ms": int(start),
+                            "title": title,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "chapter_index", "start_ms", "title"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _extract, CHAPTER_SCHEMA
+    )

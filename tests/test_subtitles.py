@@ -558,3 +558,79 @@ class TestAssReviewRegressions:
         mkv = mux_mkv_subtitles([(0, 1000, "12,0,Default")],
                                 codec=b"S_TEXT/ASS")
         assert mkv_subtitle_cues(mkv) == []
+
+
+class TestChapters:
+    CHS = [(0, "Opening"), (90_000, "Part One"),
+           (3_600_000, "Finale — The End")]
+
+    def test_mkv_roundtrip(self):
+        from graphrag_mrkr_2_spark.functions.subtitles import (
+            mkv_chapters,
+            mux_mkv_chapters,
+        )
+
+        assert mkv_chapters(mux_mkv_chapters(self.CHS)) == self.CHS
+
+    def test_mp4_roundtrip(self):
+        from graphrag_mrkr_2_spark.functions.subtitles import (
+            mp4_chapters,
+            mux_mp4_chapters,
+        )
+
+        assert mp4_chapters(mux_mp4_chapters(self.CHS)) == self.CHS
+
+    def test_mp4_without_chpl(self):
+        from graphrag_mrkr_2_spark.functions.mp4mux import mux_mp4_video
+        from graphrag_mrkr_2_spark.functions.subtitles import mp4_chapters
+
+        assert mp4_chapters(
+            mux_mp4_video([b"x"], 8, 8, "hvc1", b"\x01" * 23)) == []
+
+    def test_truncated_chpl_raises(self):
+        import struct
+
+        from graphrag_mrkr_2_spark.functions.subtitles import (
+            mp4_chapters,
+            mux_mp4_chapters,
+        )
+
+        mp4 = bytearray(mux_mp4_chapters(self.CHS))
+        pos = bytes(mp4).find(b"chpl") + 4 + 8  # count byte
+        mp4[pos] = 200  # claim 200 chapters, entries run out
+        with pytest.raises(ValueError):
+            mp4_chapters(bytes(mp4))
+
+    def test_title_too_long_rejected_by_mux(self):
+        from graphrag_mrkr_2_spark.functions.subtitles import (
+            mux_mp4_chapters,
+        )
+
+        with pytest.raises(ValueError):
+            mux_mp4_chapters([(0, "x" * 300)])
+
+    def test_operator_both_containers_and_quarantine(self, spark):
+        from graphrag_mrkr_2_spark.functions.subtitles import (
+            mux_mkv_chapters,
+            mux_mp4_chapters,
+        )
+        from graphrag_mrkr_2_spark.operators.multimodal import (
+            extract_chapter_text,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("mkv0", mux_mkv_chapters(self.CHS)),
+                ("mp40", mux_mp4_chapters(self.CHS)),
+                ("bad0", b"\x00nope"),
+            ],
+            "media_id string, payload binary",
+        )
+        rows = extract_chapter_text(df).collect()
+        by_id: dict = {}
+        for r in rows:
+            by_id.setdefault(r["media_id"], []).append(
+                (r["start_ms"], r["title"]))
+        assert by_id["mkv0"] == self.CHS
+        assert by_id["mp40"] == self.CHS
+        assert "bad0" not in by_id
