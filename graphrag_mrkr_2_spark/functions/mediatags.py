@@ -1,5 +1,5 @@
 """Text metadata extraction from media containers: ID3v2, Vorbis
-comments (Ogg Opus/Vorbis + FLAC), MP4 ilst.
+comments (Ogg Opus/Vorbis + FLAC), MP4 ilst, Matroska Tags.
 
 Titles, artists, albums, comments and above all LYRICS are human-written
 text riding inside crawl audio/video — the companion to
@@ -8,17 +8,18 @@ formats stays the documented codec seam (no decoder library
 in-container, SCALE.md), but their text payloads are plain header
 structures this module parses for real:
 
-- ID3v2.3/2.4 frames (ISO-less de-facto spec): syncsafe/plain sizes,
-  all four text encodings (latin-1, UTF-16 BOM, UTF-16BE, UTF-8), TIT2/
-  TPE1/TALB text frames, COMM comments and USLT unsynchronized lyrics
-  with their language + descriptor prefixes. v2.2 (3-byte IDs) returns
-  empty rather than misparsing.
+- ID3v2.2/2.3/2.4 frames (ISO-less de-facto spec): syncsafe/plain
+  sizes, all four text encodings (latin-1, UTF-16 BOM, UTF-16BE,
+  UTF-8), TIT2/TPE1/TALB (v2.2: TT2/TP1/TAL) text frames, COMM/COM
+  comments and USLT/ULT unsynchronized lyrics with their language +
+  descriptor prefixes, whole-tag and per-frame unsynchronisation.
 - Vorbis comment blocks (the Xiph spec): ``OpusTags`` / ``\\x03vorbis``
   packets inside Ogg page streams (page payloads concatenated — the
   comment structure is internally length-prefixed so lacing boundaries
   don't matter) and FLAC VORBIS_COMMENT metadata blocks.
 - MP4 ``moov/udta/meta/ilst`` atoms (©nam/©ART/©alb/©cmt/©lyr),
   honoring meta's FullBox header.
+- Matroska ``Tags`` elements (Tag → SimpleTag {TagName, TagString}).
 
 Every parser is defensive (bounds-checked; malformed → ValueError or
 empty dict) and output is normalized to one key set:
@@ -66,16 +67,66 @@ def _syncsafe(data: bytes, pos: int) -> int:
         | ((data[pos + 2] & 0x7F) << 7) | (data[pos + 3] & 0x7F)
 
 
+_ID3V22_TEXT_MAP = {b"TT2": "title", b"TP1": "artist", b"TAL": "album"}
+
+
+def _extract_id3v22(data: bytes, flags: int, end: int) -> dict:
+    """ID3v2.2: 3-byte frame IDs + 3-byte plain sizes (TT2/TP1/TAL text,
+    COM comments, ULT lyrics) — old iTunes/Winamp rips in crawls still
+    carry these. Whole-tag unsynchronisation per the v2.2 spec."""
+    body = data[10:end]
+    if flags & 0x80:
+        body = body.replace(b"\xff\x00", b"\xff")
+    pos, bend = 0, len(body)
+    out: dict = {}
+    while pos + 6 <= bend:
+        fid = body[pos:pos + 3]
+        if fid == b"\x00\x00\x00":
+            break  # padding
+        fsize = int.from_bytes(body[pos + 3:pos + 6], "big")
+        bs, be = pos + 6, pos + 6 + fsize
+        if fsize == 0 or be > bend:
+            break
+        frame = body[bs:be]
+        key = _ID3V22_TEXT_MAP.get(fid)
+        if key and len(frame) >= 1:
+            try:
+                text = _decode_id3_text(frame[0], frame[1:]).split("\x00")[0]
+            except ValueError:
+                text = None
+            if text:
+                out.setdefault(key, text.strip("\x00").strip())
+        elif fid in (b"COM", b"ULT") and len(frame) >= 4:
+            enc = frame[0]
+            rest = frame[4:]  # encoding + 3-byte language
+            term = _id3_terminator(enc)
+            idx = rest.find(term)
+            raw = rest[idx + len(term):] if idx >= 0 else rest
+            try:
+                text = _decode_id3_text(enc, raw).strip("\x00").strip()
+            except ValueError:
+                text = None
+            if text:
+                out.setdefault("comment" if fid == b"COM" else "lyrics",
+                               text)
+        pos = be
+    return out
+
+
 def extract_id3v2(data: bytes) -> dict:
-    """Normalized tag dict from a leading ID3v2.3/2.4 header, {} when no
-    tag (or an unsupported v2.2 tag) is present. Unsynchronisation is
-    undone where it applies — whole-tag for v2.3 (sizes there count the
-    de-unsynced data, so the tag body is de-stuffed before frame
-    parsing, the mutagen approach), per-frame for v2.4 (format flag
-    0x02, plus the optional data-length indicator 0x01)."""
+    """Normalized tag dict from a leading ID3v2.2/2.3/2.4 header, {} when
+    no tag is present. Unsynchronisation is undone where it applies —
+    whole-tag for v2.2/v2.3 (sizes there count the de-unsynced data, so
+    the tag body is de-stuffed before frame parsing, the mutagen
+    approach), per-frame for v2.4 (format flag 0x02, plus the optional
+    data-length indicator 0x01)."""
     if len(data) < 10 or data[:3] != b"ID3":
         return {}
     version = data[3]
+    if version == 2:
+        return _extract_id3v22(
+            data, data[5], min(10 + _syncsafe(data, 6), len(data),
+                               _MAX_TAG_BYTES))
     if version not in (3, 4):
         return {}
     flags = data[5]
@@ -303,6 +354,7 @@ def extract_media_tags(payload: bytes) -> dict:
     recognized — callers quarantine per payload."""
     from graphrag_mrkr_2_spark.functions.mediaprobe import (
         sniff_flac,
+        sniff_mkv,
         sniff_mp4,
         sniff_ogg,
     )
@@ -316,6 +368,9 @@ def extract_media_tags(payload: bytes) -> dict:
     elif sniff_ogg(payload):
         tags = extract_ogg_comments(payload)
         fmt = "ogg"
+    elif sniff_mkv(payload):
+        tags = extract_mkv_tags(payload)
+        fmt = "mkv"
     elif sniff_mp4(payload):
         tags = extract_mp4_tags(payload)
         fmt = "mp4"
@@ -439,3 +494,68 @@ def build_mp4_with_tags(tags: dict) -> bytes:
     moov = _box(b"moov", _box(b"udta", meta))
     ftyp = _box(b"ftyp", b"M4A " + struct.pack(">I", 512) + b"isom")
     return ftyp + moov
+
+
+def extract_mkv_tags(data: bytes) -> dict:
+    """Matroska Tags element → normalized dict: Segment → Tags → Tag →
+    SimpleTag {TagName, TagString}, names mapped through the same
+    (case-insensitive) key set as Vorbis comments."""
+    from graphrag_mrkr_2_spark.functions.mediaprobe import (
+        _walk_ebml,
+        sniff_mkv,
+    )
+
+    if not sniff_mkv(data):
+        raise ValueError("not a Matroska/WebM file")
+    out: dict = {}
+    for eid, ps, pe in _walk_ebml(data, 0, len(data)):
+        if eid != 0x18538067:  # Segment
+            continue
+        for seid, sps, spe in _walk_ebml(data, ps, pe):
+            if seid != 0x1254C367:  # Tags
+                continue
+            for tid, tps, tpe in _walk_ebml(data, sps, spe):
+                if tid != 0x7373:  # Tag
+                    continue
+                for stid, stps, stpe in _walk_ebml(data, tps, tpe):
+                    if stid != 0x67C8:  # SimpleTag
+                        continue
+                    name = value = None
+                    for fid, fps, fpe in _walk_ebml(data, stps, stpe):
+                        if fid == 0x45A3:  # TagName
+                            name = data[fps:fpe].decode("utf-8", "replace")
+                        elif fid == 0x4487:  # TagString
+                            value = data[fps:fpe].decode("utf-8", "replace")
+                    if name and value:
+                        key = _VORBIS_MAP.get(name.strip().lower())
+                        val = value.strip()
+                        if key and val:
+                            out.setdefault(key, val)
+    return out
+
+
+def build_mkv_with_tags(tags: dict) -> bytes:
+    """Fixture twin of ``extract_mkv_tags``: a Matroska file whose
+    Segment carries only a Tags element."""
+    from graphrag_mrkr_2_spark.functions.av1codec import _el, _uint_payload
+
+    ebml = _el(0x1A45DFA3, b"".join([
+        _el(0x4286, _uint_payload(1)),
+        _el(0x42F7, _uint_payload(1)),
+        _el(0x42F2, _uint_payload(4)),
+        _el(0x42F3, _uint_payload(8)),
+        _el(0x4282, b"matroska"),
+        _el(0x4287, _uint_payload(2)),
+        _el(0x4285, _uint_payload(2)),
+    ]))
+    name_map = {"title": "TITLE", "artist": "ARTIST", "album": "ALBUM",
+                "comment": "COMMENT", "lyrics": "LYRICS"}
+    simple = []
+    for key, name in name_map.items():
+        if key in tags:
+            simple.append(_el(0x67C8, b"".join([
+                _el(0x45A3, name.encode("utf-8")),
+                _el(0x4487, tags[key].encode("utf-8")),
+            ])))
+    tags_el = _el(0x1254C367, _el(0x7373, b"".join(simple)))
+    return ebml + _el(0x18538067, tags_el)

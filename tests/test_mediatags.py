@@ -253,3 +253,63 @@ class TestSparkOperator:
         assert rows["b"]["title"] == "flac title"
         assert rows["b"]["artist"] is None
         assert "c" not in rows
+
+
+class TestId3V22:
+    def _v22(self, frames: bytes, flags: int = 0) -> bytes:
+        n = len(frames)
+        return b"ID3\x02\x00" + bytes([flags]) + bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+             (n >> 7) & 0x7F, n & 0x7F]) + frames
+
+    @staticmethod
+    def _frame(fid: bytes, body: bytes) -> bytes:
+        return fid + len(body).to_bytes(3, "big") + body
+
+    def test_text_comment_lyrics(self):
+        frames = (self._frame(b"TT2", b"\x00old title")
+                  + self._frame(b"TP1", b"\x00old band")
+                  + self._frame(b"COM", b"\x00eng\x00a v22 comment")
+                  + self._frame(b"ULT", b"\x00eng\x00v22 lyrics line"))
+        assert extract_id3v2(self._v22(frames)) == {
+            "title": "old title", "artist": "old band",
+            "comment": "a v22 comment", "lyrics": "v22 lyrics line"}
+
+    def test_unsync_whole_tag(self):
+        frames = self._frame(b"TT2", b"\x00a\xffb")
+        stuffed = frames.replace(b"\xff", b"\xff\x00")
+        assert extract_id3v2(self._v22(stuffed, flags=0x80)) == {
+            "title": "a\xffb"}
+
+    def test_truncated_frame_keeps_prefix(self):
+        frames = (self._frame(b"TT2", b"\x00kept")
+                  + b"TAL" + (50).to_bytes(3, "big") + b"\x00cut")
+        assert extract_id3v2(self._v22(frames)) == {"title": "kept"}
+
+
+class TestMkvTags:
+    def test_roundtrip(self):
+        from graphrag_mrkr_2_spark.functions.mediatags import (
+            build_mkv_with_tags,
+            extract_mkv_tags,
+        )
+
+        tags = {"title": "MKV Song", "artist": "Band", "album": "LP",
+                "comment": "c", "lyrics": "la\nla"}
+        assert extract_mkv_tags(build_mkv_with_tags(tags)) == tags
+
+    def test_dispatch_and_unknown_names(self):
+        from graphrag_mrkr_2_spark.functions.mediatags import (
+            build_mkv_with_tags,
+        )
+
+        got = extract_media_tags(build_mkv_with_tags({"title": "t"}))
+        assert got == {"title": "t", "fmt": "mkv"}
+
+    def test_subtitle_mkv_without_tags(self):
+        from graphrag_mrkr_2_spark.functions.subtitles import (
+            mux_mkv_subtitles,
+        )
+
+        got = extract_media_tags(mux_mkv_subtitles([(0, 1000, "x")]))
+        assert got == {"fmt": "mkv"}
