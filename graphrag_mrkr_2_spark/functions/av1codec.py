@@ -446,6 +446,21 @@ def _el(eid: int, payload: bytes) -> bytes:
     return _ebml_id_bytes(eid) + _ebml_size(len(payload)) + payload
 
 
+def ebml_header(doctype: bytes = b"webm") -> bytes:
+    """The 7-element EBML file header every Matroska muxer in this repo
+    writes (mux_mkv_video, mux_mkv_subtitles, mux_mkv_chapters,
+    build_mkv_with_tags) — one definition instead of four copies."""
+    return _el(0x1A45DFA3, b"".join([
+        _el(0x4286, _uint_payload(1)),       # EBMLVersion
+        _el(0x42F7, _uint_payload(1)),       # EBMLReadVersion
+        _el(0x42F2, _uint_payload(4)),       # EBMLMaxIDLength
+        _el(0x42F3, _uint_payload(8)),       # EBMLMaxSizeLength
+        _el(0x4282, bytes(doctype)),         # DocType
+        _el(0x4287, _uint_payload(2)),       # DocTypeVersion
+        _el(0x4285, _uint_payload(2)),       # DocTypeReadVersion
+    ]))
+
+
 def _uint_payload(v: int) -> bytes:
     n = max(1, (v.bit_length() + 7) // 8)
     return v.to_bytes(n, "big")
@@ -473,15 +488,7 @@ def mux_mkv_video(frames, width: int, height: int,
     non-key and the decode side routes on that flag. DocType stays
     ``webm`` (every demuxer accepts it; probe_mkv doesn't gate on it)."""
     frames = list(frames)
-    ebml = _el(0x1A45DFA3, b"".join([
-        _el(0x4286, _uint_payload(1)),       # EBMLVersion
-        _el(0x42F7, _uint_payload(1)),       # EBMLReadVersion
-        _el(0x42F2, _uint_payload(4)),       # EBMLMaxIDLength
-        _el(0x42F3, _uint_payload(8)),       # EBMLMaxSizeLength
-        _el(0x4282, b"webm"),                # DocType
-        _el(0x4287, _uint_payload(2)),       # DocTypeVersion
-        _el(0x4285, _uint_payload(2)),       # DocTypeReadVersion
-    ]))
+    ebml = ebml_header(b"webm")
     info = _el(0x1549A966, b"".join([
         _el(0x2AD7B1, _uint_payload(1_000_000)),  # TimestampScale: 1 ms
         _el(0x4489, struct.pack(">d", float(len(frames) * frame_duration_ms))),

@@ -73,7 +73,11 @@ _ID3V22_TEXT_MAP = {b"TT2": "title", b"TP1": "artist", b"TAL": "album"}
 def _extract_id3v22(data: bytes, flags: int, end: int) -> dict:
     """ID3v2.2: 3-byte frame IDs + 3-byte plain sizes (TT2/TP1/TAL text,
     COM comments, ULT lyrics) — old iTunes/Winamp rips in crawls still
-    carry these. Whole-tag unsynchronisation per the v2.2 spec."""
+    carry these. Whole-tag unsynchronisation per the v2.2 spec; a
+    compressed tag (flag 0x40) is skipped whole, as the spec directs —
+    walking compressed bytes as frames would emit binary garbage."""
+    if flags & 0x40:
+        return {}
     body = data[10:end]
     if flags & 0x80:
         body = body.replace(b"\xff\x00", b"\xff")
@@ -101,6 +105,8 @@ def _extract_id3v22(data: bytes, flags: int, end: int) -> dict:
             rest = frame[4:]  # encoding + 3-byte language
             term = _id3_terminator(enc)
             idx = rest.find(term)
+            if idx >= 0 and enc in (1, 2):
+                idx += idx % 2  # keep UTF-16 code-unit alignment
             raw = rest[idx + len(term):] if idx >= 0 else rest
             try:
                 text = _decode_id3_text(enc, raw).strip("\x00").strip()
@@ -522,11 +528,13 @@ def extract_mkv_tags(data: bytes) -> dict:
                         continue
                     name = value = None
                     for fid, fps, fpe in _walk_ebml(data, stps, stpe):
+                        if fpe - fps > _MAX_TAG_BYTES:
+                            continue  # anti-ballooning cap (module invariant)
                         if fid == 0x45A3:  # TagName
                             name = data[fps:fpe].decode("utf-8", "replace")
                         elif fid == 0x4487:  # TagString
                             value = data[fps:fpe].decode("utf-8", "replace")
-                    if name and value:
+                    if name and value and len(value) <= _MAX_TAG_BYTES:
                         key = _VORBIS_MAP.get(name.strip().lower())
                         val = value.strip()
                         if key and val:
@@ -537,17 +545,13 @@ def extract_mkv_tags(data: bytes) -> dict:
 def build_mkv_with_tags(tags: dict) -> bytes:
     """Fixture twin of ``extract_mkv_tags``: a Matroska file whose
     Segment carries only a Tags element."""
-    from graphrag_mrkr_2_spark.functions.av1codec import _el, _uint_payload
+    from graphrag_mrkr_2_spark.functions.av1codec import (
+        _el,
+        _uint_payload,
+        ebml_header,
+    )
 
-    ebml = _el(0x1A45DFA3, b"".join([
-        _el(0x4286, _uint_payload(1)),
-        _el(0x42F7, _uint_payload(1)),
-        _el(0x42F2, _uint_payload(4)),
-        _el(0x42F3, _uint_payload(8)),
-        _el(0x4282, b"matroska"),
-        _el(0x4287, _uint_payload(2)),
-        _el(0x4285, _uint_payload(2)),
-    ]))
+    ebml = ebml_header(b"matroska")
     name_map = {"title": "TITLE", "artist": "ARTIST", "album": "ALBUM",
                 "comment": "COMMENT", "lyrics": "LYRICS"}
     simple = []

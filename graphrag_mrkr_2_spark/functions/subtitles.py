@@ -239,17 +239,10 @@ def mux_mkv_subtitles(cues, codec: bytes = b"S_TEXT/UTF8",
     from graphrag_mrkr_2_spark.functions.av1codec import (
         _el,
         _uint_payload,
+        ebml_header,
     )
 
-    ebml = _el(0x1A45DFA3, b"".join([
-        _el(0x4286, _uint_payload(1)),
-        _el(0x42F7, _uint_payload(1)),
-        _el(0x42F2, _uint_payload(4)),
-        _el(0x42F3, _uint_payload(8)),
-        _el(0x4282, b"matroska"),
-        _el(0x4287, _uint_payload(2)),
-        _el(0x4285, _uint_payload(2)),
-    ]))
+    ebml = ebml_header(b"matroska")
     total = max((end for _, end, _ in cues), default=0)
     info = _el(0x1549A966, b"".join([
         _el(0x2AD7B1, _uint_payload(1_000_000)),
@@ -443,17 +436,13 @@ def mkv_chapters(data: bytes) -> list:
 def mux_mkv_chapters(chapters) -> bytes:
     """Fixture twin of ``mkv_chapters``: a minimal Matroska file whose
     Segment carries only a Chapters element."""
-    from graphrag_mrkr_2_spark.functions.av1codec import _el, _uint_payload
+    from graphrag_mrkr_2_spark.functions.av1codec import (
+        _el,
+        _uint_payload,
+        ebml_header,
+    )
 
-    ebml = _el(0x1A45DFA3, b"".join([
-        _el(0x4286, _uint_payload(1)),
-        _el(0x42F7, _uint_payload(1)),
-        _el(0x42F2, _uint_payload(4)),
-        _el(0x42F3, _uint_payload(8)),
-        _el(0x4282, b"matroska"),
-        _el(0x4287, _uint_payload(2)),
-        _el(0x4285, _uint_payload(2)),
-    ]))
+    ebml = ebml_header(b"matroska")
     atoms = []
     for i, (start_ms, title) in enumerate(chapters, 1):
         atoms.append(_el(0xB6, b"".join([      # ChapterAtom
@@ -514,9 +503,11 @@ def mux_mp4_chapters(chapters) -> bytes:
     def _box(btype, payload):
         return struct.pack(">I", 8 + len(payload)) + btype + payload
 
+    chapters = list(chapters)  # count AND iterate: a generator input
+    # must not be exhausted by the count byte (review r6)
     body = struct.pack(">I", 0x01000000)  # version 1, flags 0
     body += struct.pack(">I", 0)          # reserved
-    body += bytes([len(list(chapters))])
+    body += bytes([len(chapters)])
     for start_ms, title in chapters:
         enc = title.encode("utf-8")
         if len(enc) > 255:

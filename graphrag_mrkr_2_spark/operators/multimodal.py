@@ -1594,11 +1594,14 @@ def extract_chapter_text(media: DataFrame, strict: bool = False) -> DataFrame:
                         chapters = mp4_chapters(payload)
                     else:
                         raise ValueError("no chapter-bearing container")
-                    if not chapters:
-                        raise ValueError("container carries no chapters")
                 except Exception:
                     if strict:
                         raise
+                    continue
+                # a well-formed container with no chapters is NOT an
+                # error (matches extract_subtitle_text's zero-cue
+                # behavior): zero rows, even under strict
+                if not chapters:
                     continue
                 for i, (start, title) in enumerate(chapters):
                     rows.append(

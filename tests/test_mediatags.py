@@ -313,3 +313,26 @@ class TestMkvTags:
 
         got = extract_media_tags(mux_mkv_subtitles([(0, 1000, "x")]))
         assert got == {"fmt": "mkv"}
+
+
+class TestId3V22Regressions:
+    def test_utf16_descriptor_alignment(self):
+        """v2.2 COM with a UTF-16 descriptor: the terminator search must
+        stay code-unit aligned or the text decodes as mojibake."""
+        desc = "a".encode("utf-16")          # BOM + 'a'
+        text = "aligned ok".encode("utf-16")
+        body = b"\x01" + b"eng" + desc + b"\x00\x00" + text
+        frame = b"COM" + len(body).to_bytes(3, "big") + body
+        n = len(frame)
+        tag = b"ID3\x02\x00\x00" + bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+             (n >> 7) & 0x7F, n & 0x7F]) + frame
+        assert extract_id3v2(tag) == {"comment": "aligned ok"}
+
+    def test_compressed_v22_tag_skipped(self):
+        frames = b"TT2" + (5).to_bytes(3, "big") + b"\x00junk"
+        n = len(frames)
+        tag = b"ID3\x02\x00\x40" + bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+             (n >> 7) & 0x7F, n & 0x7F]) + frames
+        assert extract_id3v2(tag) == {}

@@ -634,3 +634,30 @@ class TestChapters:
         assert by_id["mkv0"] == self.CHS
         assert by_id["mp40"] == self.CHS
         assert "bad0" not in by_id
+
+
+class TestChapterRegressions:
+    def test_mux_mp4_chapters_accepts_generator(self):
+        from graphrag_mrkr_2_spark.functions.subtitles import (
+            mp4_chapters,
+            mux_mp4_chapters,
+        )
+
+        gen = ((ms, t) for ms, t in [(0, "Intro"), (1000, "Body")])
+        assert mp4_chapters(mux_mp4_chapters(gen)) == [
+            (0, "Intro"), (1000, "Body")]
+
+    def test_strict_tolerates_chapterless_containers(self, spark):
+        """A well-formed MP4 with no chpl box is zero rows, not an
+        error — even under strict (matches extract_subtitle_text's
+        zero-cue behavior)."""
+        from graphrag_mrkr_2_spark.functions.mp4mux import mux_mp4_video
+        from graphrag_mrkr_2_spark.operators.multimodal import (
+            extract_chapter_text,
+        )
+
+        df = spark.createDataFrame(
+            [("v0", mux_mp4_video([b"x"], 8, 8, "hvc1", b"\x01" * 23))],
+            "media_id string, payload binary",
+        )
+        assert extract_chapter_text(df, strict=True).collect() == []
