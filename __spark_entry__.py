@@ -4,7 +4,7 @@ entry(spark)    — flagship KG-construction run on a deterministic synthetic
                   pages table (BASELINE.json input_hint shape) → triples DF.
 queries()       — one entry per implemented operator family (SURVEY.md §2 +
                   the training-data suite); each callable (spark, sf_dir) →
-                  DataFrame. 69 queries, 61 with exact DuckDB oracles.
+                  DataFrame. 70 queries, 62 with exact DuckDB oracles.
 oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
                   KG-pipeline queries (chunking/extraction/canonicalization/
                   communities) are not ANSI-SQL-expressible → rows-only check
@@ -1431,6 +1431,56 @@ def q_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chapter_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapter-title extraction (r6) with an EXACT oracle: per doc, 3
+    deterministic chapters are written into a REAL container — a
+    Matroska Chapters element or a Nero MP4 chpl box, alternating by
+    doc_id — then parsed back through
+    operators/multimodal.extract_chapter_text
+    (functions/subtitles.mkv_chapters / mp4_chapters). DuckDB
+    reconstructs the rows straight from the formula."""
+    from graphrag_mrkr_2_spark.operators.multimodal import extract_chapter_text
+
+    def _make(batches):
+        import pandas as pd
+
+        from graphrag_mrkr_2_spark.functions.subtitles import (
+            mux_mkv_chapters,
+            mux_mp4_chapters,
+        )
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                doc_id = int(rec.doc_id)
+                chapters = [
+                    (i * 60000 + (doc_id % 11) * 100,
+                     f"Chapter {i} of video {doc_id}")
+                    for i in range(3)
+                ]
+                payload = (mux_mkv_chapters(chapters) if doc_id % 2 == 0
+                           else mux_mp4_chapters(chapters))
+                rows.append({"media_id": str(doc_id), "payload": payload})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_make, "media_id string, payload binary")
+    )
+    return (
+        extract_chapter_text(media, strict=True)
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "chapter_index",
+            "start_ms",
+            "title",
+        )
+        .orderBy(F.col("doc_id").cast("long"), "chapter_index")
+    )
+
+
 def q_audio_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV codec kernel (functions/audiocodecs.py, r4) with an EXACT oracle:
     per doc, deterministic formula int16 samples are encoded to REAL
@@ -1834,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtitle_extract": q_subtitle_extract,
         "media_tags_extract": q_media_tags_extract,
         "exif_extract": q_exif_extract,
+        "chapter_extract": q_chapter_extract,
     }
 
 
@@ -3096,6 +3147,17 @@ def oracle_sql() -> dict[str, str]:
                    'Shot ' || doc_id AS title,
                    'Exposure note ' || doc_id || '.' AS comment
             FROM documents ORDER BY CAST(doc_id AS BIGINT)
+        """,
+        # Chapter titles: DuckDB reconstructs from the formula; Spark
+        # reproduces them through real MKV-Chapters / MP4-chpl round-trips
+        "chapter_extract": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(i.i AS INTEGER) AS chapter_index,
+                   CAST(i.i * 60000 + (doc_id % 11) * 100 AS BIGINT)
+                     AS start_ms,
+                   'Chapter ' || i.i || ' of video ' || doc_id AS title
+            FROM documents d, generate_series(0, 2) i(i)
+            ORDER BY CAST(doc_id AS BIGINT), chapter_index
         """,
         # TPC-H Q4 shape: EXISTS == Spark's left-semi join
         "order_priority_check": """
