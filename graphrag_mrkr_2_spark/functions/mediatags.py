@@ -365,8 +365,10 @@ def extract_media_tags(payload: bytes) -> dict:
         sniff_ogg,
     )
 
-    if payload[:3] == b"ID3":
-        tags = extract_id3v2(payload)
+    if payload[:3] == b"ID3" or (
+            len(payload) >= 128 and payload[-128:-125] == b"TAG"):
+        tags = dict(extract_id3v1(payload))
+        tags.update(extract_id3v2(payload))  # v2 wins shared keys
         fmt = "id3"
     elif sniff_flac(payload):
         tags = extract_flac_comments(payload)
@@ -500,6 +502,28 @@ def build_mp4_with_tags(tags: dict) -> bytes:
     moov = _box(b"moov", _box(b"udta", meta))
     ftyp = _box(b"ftyp", b"M4A " + struct.pack(">I", 512) + b"isom")
     return ftyp + moov
+
+
+def extract_id3v1(data: bytes) -> dict:
+    """ID3v1: the fixed 128-byte 'TAG' trailer at end-of-file (the
+    oldest MP3 tag format; still common on decades-old rips). Fields are
+    fixed-width latin-1: title/artist/album 30 bytes each, year 4,
+    comment 30 (28 + track in v1.1), genre 1. Used as a FALLBACK — an
+    ID3v2 header wins for any shared key."""
+    if len(data) < 128 or data[-128:-125] != b"TAG":
+        return {}
+    t = data[-128:]
+
+    def _field(a: int, b: int):
+        return t[a:b].split(b"\x00")[0].decode("latin-1", "replace").strip()
+
+    out = {}
+    for key, (a, b) in (("title", (3, 33)), ("artist", (33, 63)),
+                        ("album", (63, 93)), ("comment", (97, 125))):
+        val = _field(a, b)
+        if val:
+            out[key] = val
+    return out
 
 
 def extract_mkv_tags(data: bytes) -> dict:

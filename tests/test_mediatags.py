@@ -336,3 +336,38 @@ class TestId3V22Regressions:
             [(n >> 21) & 0x7F, (n >> 14) & 0x7F,
              (n >> 7) & 0x7F, n & 0x7F]) + frames
         assert extract_id3v2(tag) == {}
+
+
+class TestId3V1:
+    @staticmethod
+    def _v1(title=b"", artist=b"", album=b"", comment=b"") -> bytes:
+        return (b"TAG" + title.ljust(30, b"\x00")
+                + artist.ljust(30, b"\x00") + album.ljust(30, b"\x00")
+                + b"2001" + comment.ljust(28, b"\x00") + b"\x00\x05\x0c")
+
+    def test_trailer_parses(self):
+        from graphrag_mrkr_2_spark.functions.mediatags import extract_id3v1
+
+        payload = b"\xff\xfb" * 100 + self._v1(
+            b"Old Title", b"Old Band", b"Old LP", b"old comment")
+        assert extract_id3v1(payload) == {
+            "title": "Old Title", "artist": "Old Band",
+            "album": "Old LP", "comment": "old comment"}
+
+    def test_dispatch_v1_only(self):
+        payload = b"\xff\xfb" * 50 + self._v1(b"V1 Only")
+        assert extract_media_tags(payload) == {"title": "V1 Only",
+                                               "fmt": "id3"}
+
+    def test_v2_wins_shared_keys(self):
+        v2 = build_id3v2({"title": "V2 Title"})
+        payload = v2 + b"\xff\xfb" * 50 + self._v1(b"V1 Title",
+                                                   artist=b"V1 Band")
+        got = extract_media_tags(payload)
+        assert got["title"] == "V2 Title"   # v2 wins
+        assert got["artist"] == "V1 Band"   # v1 fills the gap
+
+    def test_no_trailer(self):
+        from graphrag_mrkr_2_spark.functions.mediatags import extract_id3v1
+
+        assert extract_id3v1(b"\xff\xfb" * 100) == {}
