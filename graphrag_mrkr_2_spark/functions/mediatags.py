@@ -365,9 +365,8 @@ def extract_media_tags(payload: bytes) -> dict:
         sniff_ogg,
     )
 
-    if payload[:3] == b"ID3" or (
-            len(payload) >= 128 and payload[-128:-125] == b"TAG"):
-        tags = dict(extract_id3v1(payload))
+    if payload[:3] == b"ID3":
+        tags = dict(extract_id3v1(payload))  # v1 trailer fills gaps
         tags.update(extract_id3v2(payload))  # v2 wins shared keys
         fmt = "id3"
     elif sniff_flac(payload):
@@ -383,7 +382,13 @@ def extract_media_tags(payload: bytes) -> dict:
         tags = extract_mp4_tags(payload)
         fmt = "mp4"
     else:
-        raise ValueError("no tag-bearing media container recognized")
+        # LAST resort, after every container sniff: a bare ID3v1 trailer
+        # (an MP3 with no v2 header). Ordering matters — a FLAC/Ogg/MP4
+        # with an appended v1 trailer must keep its REAL tags and fmt.
+        tags = extract_id3v1(payload)
+        if not tags:
+            raise ValueError("no tag-bearing media container recognized")
+        fmt = "id3"
     tags = dict(tags)
     tags["fmt"] = fmt
     return tags
@@ -507,22 +512,34 @@ def build_mp4_with_tags(tags: dict) -> bytes:
 def extract_id3v1(data: bytes) -> dict:
     """ID3v1: the fixed 128-byte 'TAG' trailer at end-of-file (the
     oldest MP3 tag format; still common on decades-old rips). Fields are
-    fixed-width latin-1: title/artist/album 30 bytes each, year 4,
-    comment 30 (28 + track in v1.1), genre 1. Used as a FALLBACK — an
-    ID3v2 header wins for any shared key."""
+    fixed-width latin-1: title/artist/album 30 bytes each, year 4, then
+    a 30-byte comment — or, when byte 125 is NUL and byte 126 is not
+    (the v1.1 convention), a 28-byte comment + track number. Used as a
+    LAST-RESORT fallback after every container sniff fails: 'TAG' at a
+    fixed tail offset is only 3 magic bytes, so fields containing
+    control characters are rejected as coincidental binary (the
+    quarantine contract must hold for random crawl blobs)."""
     if len(data) < 128 or data[-128:-125] != b"TAG":
         return {}
     t = data[-128:]
+    comment_end = 125 if (t[125] == 0 and t[126] != 0) else 127
 
     def _field(a: int, b: int):
-        return t[a:b].split(b"\x00")[0].decode("latin-1", "replace").strip()
+        raw = t[a:b].split(b"\x00")[0]
+        if any(ch < 0x20 for ch in raw):
+            raise ValueError("ID3v1: control bytes in field")
+        return raw.decode("latin-1", "replace").strip()
 
     out = {}
-    for key, (a, b) in (("title", (3, 33)), ("artist", (33, 63)),
-                        ("album", (63, 93)), ("comment", (97, 125))):
-        val = _field(a, b)
-        if val:
-            out[key] = val
+    try:
+        for key, (a, b) in (("title", (3, 33)), ("artist", (33, 63)),
+                            ("album", (63, 93)),
+                            ("comment", (97, comment_end))):
+            val = _field(a, b)
+            if val:
+                out[key] = val
+    except ValueError:
+        return {}  # coincidental 'TAG' in binary data, not a real trailer
     return out
 
 

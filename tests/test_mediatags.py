@@ -371,3 +371,45 @@ class TestId3V1:
         from graphrag_mrkr_2_spark.functions.mediatags import extract_id3v1
 
         assert extract_id3v1(b"\xff\xfb" * 100) == {}
+
+
+class TestId3V1Regressions:
+    def test_flac_with_v1_trailer_keeps_real_tags(self):
+        """A FLAC with an appended ID3v1 trailer must keep its Vorbis
+        comments and fmt=flac — the trailer is a last-resort fallback,
+        not a dispatch override."""
+        flac = build_flac_with_tags({"title": "Real FLAC Title"})
+        v1 = (b"TAG" + b"V1 Junk".ljust(30, b"\x00") + b"\x00" * 30
+              + b"\x00" * 30 + b"2001" + b"\x00" * 30 + b"\x0c")
+        got = extract_media_tags(flac + v1)
+        assert got == {"title": "Real FLAC Title", "fmt": "flac"}
+
+    def test_v10_thirty_byte_comment(self):
+        from graphrag_mrkr_2_spark.functions.mediatags import extract_id3v1
+
+        comment = b"abcdefghijklmnopqrstuvwxyz1234"  # full 30 bytes
+        v1 = (b"TAG" + b"t".ljust(30, b"\x00") + b"\x00" * 30
+              + b"\x00" * 30 + b"1999" + comment + b"\x0c")
+        assert len(v1) == 128
+        got = extract_id3v1(b"\xff\xfb" * 10 + v1)
+        assert got["comment"] == "abcdefghijklmnopqrstuvwxyz1234"
+
+    def test_v11_track_byte_not_in_comment(self):
+        from graphrag_mrkr_2_spark.functions.mediatags import extract_id3v1
+
+        comment = b"short comment".ljust(28, b"\x00") + b"\x00\x07"  # track 7
+        v1 = (b"TAG" + b"t".ljust(30, b"\x00") + b"\x00" * 30
+              + b"\x00" * 30 + b"1999" + comment + b"\x0c")
+        got = extract_id3v1(b"\xff\xfb" * 10 + v1)
+        assert got["comment"] == "short comment"
+
+    def test_coincidental_tag_bytes_rejected(self):
+        """Random binary with 'TAG' at -128 must not produce garbage
+        rows — control bytes in the fields reject the trailer."""
+        import os
+
+        blob = b"TAG" + bytes(range(1, 126))  # control bytes throughout
+        payload = b"\x00" * 64 + blob
+        assert len(payload) >= 128
+        with pytest.raises(ValueError):
+            extract_media_tags(payload)
