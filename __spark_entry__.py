@@ -1802,90 +1802,148 @@ def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The driver's correctness snapshot covers exactly the FIRST
+# _DRIVER_WINDOW entries of queries(), so ordering determines which
+# entries get a recorded driver row each round.  The kg_* rows-only
+# entries are pinned first (their row counts are the cross-round
+# stability signal); the SQL-checked entries ROTATE by round number so
+# the window sweeps the full set automatically — no more hand-reordering
+# each round, and every entry provably lands in some round's snapshot.
+_DRIVER_WINDOW = 50
+
+_PINNED_QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {}
+
+_ROTATING_QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {}
+
+
+def _register_queries() -> None:
+    _PINNED_QUERIES.update(
+        {
+            # KG-construction pipeline (rows-only; not SQL-expressible)
+            "kg_triples": q_kg_triples,
+            "kg_nodes": q_kg_nodes,
+            "kg_edges": q_kg_edges,
+            "kg_chunks": q_kg_chunks,
+            "kg_chunk_similarity": q_kg_chunk_similarity,
+            "kg_communities": q_kg_communities,
+            "kg_entity_resolution": q_kg_entity_resolution,
+            "kg_structured_query": q_kg_structured_query,
+        }
+    )
+    # Base order for the rotating window, chosen so that at the rotation
+    # epoch (round 7) the window = entries never driver-checked (the 5
+    # r6 TPC-H shapes + 4 media-text oracles), then the 11 entries whose
+    # last driver row was r5, then the r6-green block — i.e. least
+    # recently snapshotted first.
+    _ROTATING_QUERIES.update(
+        {
+            # Never driver-checked as of r6 (VERDICT r6 "What's wrong" #1)
+            "order_priority_check": q_order_priority_check,
+            "customer_order_distribution": q_customer_order_distribution,
+            "idle_customers": q_idle_customers,
+            "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
+            "supplier_part_counts": q_supplier_part_counts,
+            "subtitle_extract": q_subtitle_extract,
+            "media_tags_extract": q_media_tags_extract,
+            "exif_extract": q_exif_extract,
+            "chapter_extract": q_chapter_extract,
+            # Last driver row: r5 (fell outside the r6 window)
+            "dedup_representatives": q_dedup_representatives,
+            "doc_corpus_stats": q_doc_corpus_stats,
+            "url_curation": q_url_curation,
+            "er_tfidf_scores": q_er_tfidf_scores,
+            "sample_shards": q_sample_shards,
+            "sample_shards_global": q_sample_shards_global,
+            "chunk_similarity_fixedwidth": q_chunk_similarity_fixedwidth,
+            "incremental_diff": q_incremental_diff,
+            "er_name_clusters": q_er_name_clusters,
+            "events_windowed": q_events_windowed,
+            "events_sessions": q_events_sessions,
+            # Green in the r6 snapshot
+            "lineitem_pricing_summary": q_lineitem_pricing_summary,
+            "top_orders_per_customer": q_top_orders_per_customer,
+            "top_nations_revenue": q_top_nations_revenue,
+            "shipping_priority": q_shipping_priority,
+            "part_type_revenue": q_part_type_revenue,
+            "returned_items_revenue": q_returned_items_revenue,
+            "volume_shipping": q_volume_shipping,
+            "large_orders": q_large_orders,
+            "doc_content_filter": q_doc_content_filter,
+            "doc_token_counts": q_doc_token_counts,
+            "doc_lang_id": q_doc_lang_id,
+            "doc_fingerprints": q_doc_fingerprints,
+            "doc_classify": q_doc_classify,
+            "doc_quality": q_doc_quality,
+            "dedup_exact": q_dedup_exact,
+            "dedup_ngram_pairs": q_dedup_ngram_pairs,
+            "dedup_minhash": q_dedup_minhash,
+            "dedup_simhash": q_dedup_simhash,
+            "dedup_clusters": q_dedup_clusters,
+            "ann_topk": q_ann_topk,
+            "ann_knn_join": q_ann_knn_join,
+            "ann_ivf_full": q_ann_ivf_full,
+            "embedding_near_dupes": q_embedding_near_dupes,
+            "query_bm25": q_query_bm25,
+            "query_rrf": q_query_rrf,
+            "sample_stratified": q_sample_stratified,
+            "sample_weighted": q_sample_weighted,
+            "query_rerank": q_query_rerank,
+            "doc_binary_roundtrip": q_doc_binary_roundtrip,
+            "doc_structure_chunks": q_doc_structure_chunks,
+            "chunk_suggestions": q_chunk_suggestions,
+            "ocr_image_text": q_ocr_image_text,
+            "image_decode_roundtrip": q_image_decode_roundtrip,
+            "heif_decode_roundtrip": q_heif_decode_roundtrip,
+            "av1_video_roundtrip": q_av1_video_roundtrip,
+            "hevc_video_roundtrip": q_hevc_video_roundtrip,
+            "audio_decode_roundtrip": q_audio_decode_roundtrip,
+            "doc_pii_redact": q_doc_pii_redact,
+            "doc_repetition": q_doc_repetition,
+            "doc_contamination": q_doc_contamination,
+            "query_expansion": q_query_expansion,
+            "query_graph_expand": q_query_graph_expand,
+        }
+    )
+
+
+_ROTATION_EPOCH = 7  # round at which the base ordering IS the window order
+
+
+def _current_round() -> int:
+    """Infer the driver round from committed CORRECTNESS_r*.json files.
+
+    The driver writes CORRECTNESS_r{N}.json *after* running the snapshot,
+    so during round N the highest committed file is N-1.  If the driver
+    ever flips to writing first, the inferred round shifts by one — the
+    rotation still sweeps the full set, just phase-shifted, so nothing
+    breaks.  Falls back to the epoch (identity rotation) on any surprise.
+    """
+    import glob as _glob
+    import os as _os
+    import re
+
+    try:
+        here = _os.path.dirname(_os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for p in _glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+        ]
+        return max(rounds) + 1 if rounds else _ROTATION_EPOCH
+    except Exception:
+        return _ROTATION_EPOCH
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # KG-construction pipeline (rows-only; not SQL-expressible)
-        "kg_triples": q_kg_triples,
-        "kg_nodes": q_kg_nodes,
-        "kg_edges": q_kg_edges,
-        "kg_chunks": q_kg_chunks,
-        "kg_chunk_similarity": q_kg_chunk_similarity,
-        "kg_communities": q_kg_communities,
-        "kg_entity_resolution": q_kg_entity_resolution,
-        "kg_structured_query": q_kg_structured_query,
-        # SQL-checked operators.  NOTE on ordering: the driver's correctness
-        # snapshot covers exactly the FIRST 50 entries of this dict, so the
-        # TPC-H-shape analytics queries sit directly after the kg_* block to
-        # guarantee they get driver rows; the multi-round-green roundtrip /
-        # sampling oracles at the tail are the ones allowed to fall outside
-        # the window (they were exact in CORRECTNESS_r04 + r05).
-        "lineitem_pricing_summary": q_lineitem_pricing_summary,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "top_nations_revenue": q_top_nations_revenue,
-        "shipping_priority": q_shipping_priority,
-        "part_type_revenue": q_part_type_revenue,
-        "returned_items_revenue": q_returned_items_revenue,
-        "volume_shipping": q_volume_shipping,
-        "large_orders": q_large_orders,
-        "doc_content_filter": q_doc_content_filter,
-        "doc_token_counts": q_doc_token_counts,
-        "doc_lang_id": q_doc_lang_id,
-        "doc_fingerprints": q_doc_fingerprints,
-        "doc_classify": q_doc_classify,
-        "doc_quality": q_doc_quality,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_pairs": q_dedup_ngram_pairs,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        "ann_topk": q_ann_topk,
-        "ann_knn_join": q_ann_knn_join,
-        "ann_ivf_full": q_ann_ivf_full,
-        "embedding_near_dupes": q_embedding_near_dupes,
-        "query_bm25": q_query_bm25,
-        "query_rrf": q_query_rrf,
-        "sample_stratified": q_sample_stratified,
-        "sample_weighted": q_sample_weighted,
-        "query_rerank": q_query_rerank,
-        "doc_binary_roundtrip": q_doc_binary_roundtrip,
-        "doc_structure_chunks": q_doc_structure_chunks,
-        "chunk_suggestions": q_chunk_suggestions,
-        "ocr_image_text": q_ocr_image_text,
-        "image_decode_roundtrip": q_image_decode_roundtrip,
-        "heif_decode_roundtrip": q_heif_decode_roundtrip,
-        "av1_video_roundtrip": q_av1_video_roundtrip,
-        "hevc_video_roundtrip": q_hevc_video_roundtrip,
-        "audio_decode_roundtrip": q_audio_decode_roundtrip,
-        "doc_pii_redact": q_doc_pii_redact,
-        "doc_repetition": q_doc_repetition,
-        "doc_contamination": q_doc_contamination,
-        "query_expansion": q_query_expansion,
-        "query_graph_expand": q_query_graph_expand,
-        "dedup_representatives": q_dedup_representatives,
-        "doc_corpus_stats": q_doc_corpus_stats,
-        "url_curation": q_url_curation,
-        "er_tfidf_scores": q_er_tfidf_scores,
-        "sample_shards": q_sample_shards,
-        "sample_shards_global": q_sample_shards_global,
-        "chunk_similarity_fixedwidth": q_chunk_similarity_fixedwidth,
-        "incremental_diff": q_incremental_diff,
-        "er_name_clusters": q_er_name_clusters,
-        "events_windowed": q_events_windowed,
-        "events_sessions": q_events_sessions,
-        # TPC-H join-shape extensions (r6): semi/anti/outer/disjunctive/
-        # count-distinct shapes. Tail placement is deliberate — the driver
-        # window is already spoken for by never-yet-snapshotted entries;
-        # these are exercised by scripts/check_oracles.py's full sweep.
-        "order_priority_check": q_order_priority_check,
-        "customer_order_distribution": q_customer_order_distribution,
-        "idle_customers": q_idle_customers,
-        "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
-        "supplier_part_counts": q_supplier_part_counts,
-        "subtitle_extract": q_subtitle_extract,
-        "media_tags_extract": q_media_tags_extract,
-        "exif_extract": q_exif_extract,
-        "chapter_extract": q_chapter_extract,
-    }
+    if not _ROTATING_QUERIES:
+        _register_queries()
+    names = list(_ROTATING_QUERIES)
+    slots = _DRIVER_WINDOW - len(_PINNED_QUERIES)  # rotating names per window
+    off = (slots * (_current_round() - _ROTATION_EPOCH)) % len(names)
+    order = names[off:] + names[:off]
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(_PINNED_QUERIES)
+    out.update({n: _ROTATING_QUERIES[n] for n in order})
+    return out
 
 
 # ---------------------------------------------------------------------------
