@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1495,6 +1496,115 @@ def q_audio_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_audio_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio sample-payload demux (r7) with an EXACT oracle: per doc, 6
+    deterministic formula frames are muxed into a REAL audio container —
+    rotating by doc_id over MP4 fLaC (ragged stsc chunking), Matroska
+    A_VORBIS (lacing sweeps None/Xiph/EBML/fixed by doc_id//4), Ogg with
+    a 2-segment page cap (forces RFC 3533 cross-page packet continuation)
+    and a bare MP3 frame stream (real Layer-III headers) — then demuxed
+    back through operators/multimodal.sample_audio_payloads, the audio
+    twin of sample_video_frames (functions/audiodemux.py +
+    mp4mux.mp4_audio_track_info). DuckDB recomputes the frame bytes from
+    the formula, so a match proves mux→demux byte fidelity, per-frame
+    timestamps and codec routing for every audio framing a crawl ships.
+    The reference has no audio path at all (its only media leg is
+    ingestion/loaders/image_loader.py) — this is the LLM-pipeline
+    multimodal demux leg; frame DECODE stays the documented strict seam."""
+    from graphrag_mrkr_2_spark.operators.multimodal import sample_audio_payloads
+
+    def _make(batches):
+        import pandas as pd
+
+        from graphrag_mrkr_2_spark.functions.audiodemux import (
+            mux_mkv_audio,
+            mux_ogg,
+        )
+        from graphrag_mrkr_2_spark.functions.mp4mux import mux_mp4_audio
+
+        def frame(d, i, n):
+            return bytes((d * 131 + i * 31 + j * 7) % 256 for j in range(n))
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                d = int(rec.doc_id)
+                mode = d % 4
+                if mode == 3:  # bare MP3: 128k/44.1kHz headers, 417-byte frames
+                    payload = b"".join(
+                        b"\xff\xfb\x90\x00" + frame(d, i, 413) for i in range(6)
+                    )
+                elif mode == 2:  # Ogg, tiny page cap -> cross-page continuation
+                    pk = [frame(d, 0, 600 + d % 16)] + [
+                        frame(d, i, 40 + (d + i * 3) % 8) for i in range(1, 6)
+                    ]
+                    payload = mux_ogg(pk, page_segment_cap=2)
+                elif mode == 1:  # Matroska, lacing sweep
+                    lacing = [None, "xiph", "ebml", "fixed"][(d // 4) % 4]
+                    sizes = [
+                        44 if lacing == "fixed" else 40 + (d + i * 3) % 8
+                        for i in range(6)
+                    ]
+                    payload = mux_mkv_audio(
+                        [frame(d, i, n) for i, n in enumerate(sizes)],
+                        codec_id=b"A_VORBIS",
+                        lacing=lacing,
+                    )
+                else:  # MP4 audio track, ragged stsc
+                    payload = mux_mp4_audio(
+                        [frame(d, i, 40 + (d + i * 3) % 8) for i in range(6)],
+                        "fLaC",
+                        48000,
+                        2,
+                    )
+                rows.append(
+                    {"media_id": str(d), "kind": "audio",
+                     "payload": payload, "meta": None}
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"])
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            _make,
+            "media_id string, kind string, payload binary, "
+            "meta struct<codec:string,width:int,height:int,"
+            "duration_ms:int,sample_rate:int,channels:int>",
+        )
+    )
+
+    @F.pandas_udf("long")
+    def _bytesum(payloads: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return payloads.map(
+            lambda b: int(
+                (
+                    np.frombuffer(b, np.uint8).astype(np.int64)
+                    * np.arange(1, len(b) + 1, dtype=np.int64)
+                ).sum()
+            )
+        )
+
+    samples = sample_audio_payloads(media, strict=True)
+    return (
+        samples.withColumn("inner", _bytesum("payload"))
+        .groupBy(F.col("media_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.max("codec").alias("codec"),
+            F.sum(F.col("inner") * (F.col("sample_index") + 1))
+            .cast("bigint")
+            .alias("payload_checksum"),
+            F.sum("ts_ms").cast("bigint").alias("ts_ms_sum"),
+        )
+        .orderBy(F.col("doc_id").cast("long"))
+    )
+
+
 def _pii_oracle_sql() -> str:
     """Build the doc_pii_redact oracle from the operator's OWN patterns so
     Spark and DuckDB provably run byte-identical regexes."""
@@ -1847,6 +1957,8 @@ def _register_queries() -> None:
             "media_tags_extract": q_media_tags_extract,
             "exif_extract": q_exif_extract,
             "chapter_extract": q_chapter_extract,
+            # New in r7
+            "audio_payload_roundtrip": q_audio_payload_roundtrip,
             # Last driver row: r5 (fell outside the r6 window)
             "dedup_representatives": q_dedup_representatives,
             "doc_corpus_stats": q_doc_corpus_stats,
@@ -2657,6 +2769,43 @@ def oracle_sql() -> dict[str, str]:
                              * (i.i + 1)) AS BIGINT) AS VARCHAR) AS wav_checksum
             FROM documents d, generate_series(0, 399) i(i)
             GROUP BY d.doc_id ORDER BY doc_id
+        """,
+        # audio demux: DuckDB rebuilds every coded frame byte from the
+        # formula (mode = doc_id % 4: MP4 / MKV-laced / Ogg-continued /
+        # bare MP3 with its 4 constant header bytes) and sums the
+        # frame+position-weighted checksum; Spark must reproduce it
+        # through real mux -> container demux -> Arrow plumbing
+        "audio_payload_roundtrip": """
+            WITH f AS (
+              SELECT d.doc_id AS did, d.doc_id % 4 AS mode, i.i AS i,
+                     CASE WHEN d.doc_id % 4 = 3 THEN 417
+                          WHEN d.doc_id % 4 = 2 AND i.i = 0
+                               THEN 600 + d.doc_id % 16
+                          WHEN d.doc_id % 4 = 1 AND (d.doc_id // 4) % 4 = 3
+                               THEN 44
+                          ELSE 40 + (d.doc_id + i.i*3) % 8 END AS flen
+              FROM documents d, generate_series(0, 5) i(i)
+            ),
+            b AS (
+              SELECT did, mode, i, j.j AS j,
+                     CASE WHEN mode = 3 AND j.j = 0 THEN 255
+                          WHEN mode = 3 AND j.j = 1 THEN 251
+                          WHEN mode = 3 AND j.j = 2 THEN 144
+                          WHEN mode = 3 AND j.j = 3 THEN 0
+                          WHEN mode = 3 THEN (did*131 + i*31 + (j.j-4)*7) % 256
+                          ELSE (did*131 + i*31 + j.j*7) % 256 END AS byte
+              FROM f, generate_series(0, 616) j(j)
+              WHERE j.j < f.flen
+            )
+            SELECT CAST(did AS VARCHAR) AS doc_id,
+                   CAST(6 AS BIGINT) AS n_samples,
+                   CASE did % 4 WHEN 0 THEN 'flac' WHEN 1 THEN 'vorbis'
+                                WHEN 2 THEN 'ogg' ELSE 'mp3' END AS codec,
+                   CAST(CAST(SUM(byte * (i+1) * (j+1)) AS BIGINT) AS BIGINT)
+                     AS payload_checksum,
+                   CAST(CASE did % 4 WHEN 2 THEN 0 WHEN 3 THEN 390
+                        ELSE 300 END AS BIGINT) AS ts_ms_sum
+            FROM b GROUP BY did ORDER BY CAST(did AS BIGINT)
         """,
         # PII redaction: the operator's own RE2-safe patterns (imported, so
         # Spark and DuckDB run byte-identical regexes) on sanitized text

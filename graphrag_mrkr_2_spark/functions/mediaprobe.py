@@ -175,6 +175,8 @@ def _ipma_property_indices(data: bytes, ms: int, me: int, item_id: int):
     if ipma is None or item_id is None:
         return []
     ps, pe = ipma
+    if ps + 8 > pe:
+        raise ValueError("HEIF: ipma header truncated")
     version = data[ps]
     flags = struct.unpack_from(">I", data, ps)[0] & 0xFFFFFF
     pos = ps + 4
@@ -183,21 +185,27 @@ def _ipma_property_indices(data: bytes, ms: int, me: int, item_id: int):
     for _ in range(count):
         if pos >= pe:
             break
+        iid_w = 2 if version < 1 else 4
+        if pos + iid_w + 1 > pe:
+            raise ValueError("HEIF: ipma entry truncated")
         if version < 1:
             (iid,) = struct.unpack_from(">H", data, pos)
-            pos += 2
         else:
             (iid,) = struct.unpack_from(">I", data, pos)
-            pos += 4
+        pos += iid_w
         assoc_count = data[pos]
         pos += 1
         idxs = []
         for _ in range(assoc_count):
             if flags & 1:
+                if pos + 2 > pe:
+                    raise ValueError("HEIF: ipma association truncated")
                 (raw,) = struct.unpack_from(">H", data, pos)
                 pos += 2
                 idxs.append(raw & 0x7FFF)  # bit 15 = essential flag
             else:
+                if pos >= pe:
+                    raise ValueError("HEIF: ipma association truncated")
                 raw = data[pos]
                 pos += 1
                 idxs.append(raw & 0x7F)  # bit 7 = essential flag
@@ -676,28 +684,99 @@ def _mkv_num_vint(data: bytes, pos: int, end: int):
     return val, pos + length
 
 
+def _delace(data: bytes, pos: int, bpe: int, flags: int) -> list:
+    """Frame payload extents for a (possibly laced) block body.
+
+    ``pos`` points just past the block's flags byte, ``bpe`` is the block
+    end.  Returns ``[(start, end), ...]`` — one extent per frame, in
+    order, covering the body exactly.  Implements all three Matroska
+    lacing modes (Xiph 0x02, fixed-size 0x04, EBML 0x06); audio tracks
+    lace routinely (Vorbis/MP3 pack many short frames per block), so the
+    audio demuxer needs real de-lacing, not a skip.  Malformed lace
+    tables raise ValueError — callers quarantine."""
+    lacing = flags & 0x06
+    if lacing == 0:
+        return [(pos, bpe)]
+    if pos >= bpe:
+        raise ValueError("MKV: laced block missing frame count")
+    n = data[pos] + 1
+    pos += 1
+    if lacing == 0x04:  # fixed-size: remainder splits evenly
+        total = bpe - pos
+        if total % n:
+            raise ValueError("MKV: fixed lacing body not divisible")
+        step = total // n
+        return [(pos + i * step, pos + (i + 1) * step) for i in range(n)]
+    sizes = []
+    if lacing == 0x02:  # Xiph: runs of 255 + terminator, first n-1 frames
+        for _ in range(n - 1):
+            sz = 0
+            while True:
+                if pos >= bpe:
+                    raise ValueError("MKV: Xiph lace sizes truncated")
+                b = data[pos]
+                pos += 1
+                sz += b
+                if b != 255:
+                    break
+            sizes.append(sz)
+    else:  # 0x06 EBML: first size a vint, then signed-vint deltas
+        sz, npos = _mkv_num_vint(data, pos, bpe)
+        if sz is None:
+            raise ValueError("MKV: EBML lace first size malformed")
+        sizes.append(sz)
+        pos = npos
+        for _ in range(n - 2):
+            raw, npos = _mkv_num_vint(data, pos, bpe)
+            if raw is None:
+                raise ValueError("MKV: EBML lace delta malformed")
+            # signed vint: unsigned value minus the length-keyed bias
+            delta = raw - ((1 << (7 * (npos - pos) - 1)) - 1)
+            sizes.append(sizes[-1] + delta)
+            pos = npos
+    out = []
+    for sz in sizes:
+        if sz < 0 or pos + sz > bpe:
+            raise ValueError("MKV: lace frame overruns block")
+        out.append((pos, pos + sz))
+        pos += sz
+    out.append((pos, bpe))  # last frame: the remainder
+    return out
+
+
 def mkv_track_blocks(data: bytes, want_type: int, codec_filter=None,
                      on_laced: str = "raise"):
     """Shared Matroska/WebM block walk for the video demuxer
-    (av1codec.mkv_video_samples) and subtitle extraction
+    (av1codec.mkv_video_samples), audio demuxer
+    (multimodal.sample_audio_payloads) and subtitle extraction
     (subtitles.mkv_subtitle_cues) — one implementation of track
     selection, TimestampScale handling, cluster-base + s16-relative
-    timestamps, and SimpleBlock/BlockGroup framing.
+    timestamps, SimpleBlock/BlockGroup framing, and lacing.
 
     Returns ``(track, blocks)``: ``track`` is ``{"num", "codec",
-    "codec_private"}`` for the FIRST track of ``want_type`` (1=video,
-    0x11=subtitle; ``codec_filter(codec_id_bytes)`` optionally narrows),
-    or None when absent; ``blocks`` is a generator of ``(ts_ms,
-    keyframe, duration_ms, payload)`` in stream order.
+    "codec_private"}`` — plus ``sample_rate``/``channels`` when the
+    TrackEntry carries an Audio element, and ``default_duration_ns``
+    when present — for the FIRST track of ``want_type`` (1=video,
+    2=audio, 0x11=subtitle; ``codec_filter(codec_id_bytes)`` optionally
+    narrows), or None when absent; ``blocks`` is a generator of
+    ``(ts_ms, keyframe, duration_ms, payload)`` in stream order.
+
+    Keyframe flags: SimpleBlocks carry theirs in bit 0x80; BlockGroup
+    blocks are keyframes iff the group has NO ReferenceBlock (0xFB)
+    child, per the Matroska spec — treating every BlockGroup as a
+    keyframe routed VP8 interframes into the keyframe-only decode path
+    (ADVICE r6 finding).
 
     Robustness pinned by review r6: a two-pass Segment walk reads
     Info+Tracks BEFORE any Cluster, so the legal Tracks-after-Cluster
     ordering some remuxers emit yields cues instead of silently nothing;
     block track numbers parse via ``_mkv_num_vint`` so all-ones vints
     (track 127…) aren't dropped as 'unknown size'. ``on_laced``:
-    'raise' (video — a skipped frame breaks inter prediction anyway) or
+    'raise' (video — a skipped frame breaks inter prediction anyway),
     'skip' (subtitles — cues are independent; one laced block must not
-    void a file of good cues).
+    void a file of good cues), or 'expand' (audio — de-lace into one
+    yield per frame, timestamps spaced by the track DefaultDuration
+    when declared, sharing the block timestamp otherwise).
     """
     if not sniff_mkv(data):
         raise ValueError("not a Matroska/WebM file")
@@ -720,8 +799,9 @@ def mkv_track_blocks(data: bytes, want_type: int, codec_filter=None,
             for teid, tps, tpe in _walk_ebml(data, sps, spe):
                 if teid != _MKV_TRACKENTRY:
                     continue
-                num = ttype = None
+                num = ttype = default_dur = None
                 codec, private = b"", None
+                sample_rate = channels = None
                 for feid, fps, fpe in _walk_ebml(data, tps, tpe):
                     if feid == 0xD7:
                         num = _ebml_uint(data, fps, fpe)
@@ -731,10 +811,21 @@ def mkv_track_blocks(data: bytes, want_type: int, codec_filter=None,
                         codec = data[fps:fpe]
                     elif feid == 0x63A2:  # CodecPrivate
                         private = data[fps:fpe]
+                    elif feid == 0x23E383:  # DefaultDuration (ns)
+                        default_dur = _ebml_uint(data, fps, fpe)
+                    elif feid == _MKV_AUDIO:
+                        for aeid, aps, ape in _walk_ebml(data, fps, fpe):
+                            if aeid == _MKV_SAMPLERATE:
+                                sample_rate = _ebml_float(data, aps, ape)
+                            elif aeid == _MKV_CHANNELS:
+                                channels = _ebml_uint(data, aps, ape)
                 if (ttype == want_type and num is not None
                         and (codec_filter is None or codec_filter(codec))):
                     track = {"num": num, "codec": codec,
-                             "codec_private": private}
+                             "codec_private": private,
+                             "default_duration_ns": default_dur,
+                             "sample_rate": sample_rate,
+                             "channels": channels}
                     break
     if track is None:
         return None, iter(())
@@ -752,17 +843,22 @@ def mkv_track_blocks(data: bytes, want_type: int, codec_filter=None,
                 elif ceid in (0xA3, 0xA0):  # SimpleBlock | BlockGroup
                     bps, bpe = cps, cpe
                     duration = 0
-                    keyframe_default = ceid == 0xA0
+                    group_keyframe = None
                     if ceid == 0xA0:
-                        blk = None
+                        blk, referenced = None, False
                         for geid, gps, gpe in _walk_ebml(data, cps, cpe):
                             if geid == 0xA1:  # Block
                                 blk = (gps, gpe)
                             elif geid == 0x9B:  # BlockDuration
                                 duration = _ebml_uint(data, gps, gpe) or 0
+                            elif geid == 0xFB:  # ReferenceBlock
+                                referenced = True
                         if blk is None:
                             continue
                         bps, bpe = blk
+                        # spec: a BlockGroup block is a keyframe iff it
+                        # references nothing (no ReferenceBlock child)
+                        group_keyframe = not referenced
                     tnum, pos = _mkv_num_vint(data, bps, bpe)
                     if tnum is None or pos + 3 > bpe:
                         continue
@@ -770,14 +866,26 @@ def mkv_track_blocks(data: bytes, want_type: int, codec_filter=None,
                         continue
                     rel_ts = _st.unpack_from(">h", data, pos)[0]
                     flags = data[pos + 2]
-                    if flags & 0x06:
+                    if flags & 0x06 and on_laced != "expand":
                         if on_laced == "raise":
                             raise ValueError("MKV: laced blocks unsupported")
                         continue  # skip: one laced block, not the file
                     ts_ms = (cluster_ts + rel_ts) * timescale_ns // 1_000_000
                     dur_ms = duration * timescale_ns // 1_000_000
-                    keyframe = keyframe_default or bool(flags & 0x80)
-                    yield (int(ts_ms), keyframe, int(dur_ms),
-                           data[pos + 3:bpe])
+                    keyframe = (group_keyframe if group_keyframe is not None
+                                else bool(flags & 0x80))
+                    extents = _delace(data, pos + 3, bpe, flags)
+                    if len(extents) == 1:
+                        s0, e0 = extents[0]
+                        yield int(ts_ms), keyframe, int(dur_ms), data[s0:e0]
+                        continue
+                    # laced frames have implicit timestamps: spaced by the
+                    # track DefaultDuration when declared, else sharing the
+                    # block timestamp (duration then unknowable → 0)
+                    dd_ns = track.get("default_duration_ns") or 0
+                    for i, (fs, fe) in enumerate(extents):
+                        f_ts = int(ts_ms + i * dd_ns // 1_000_000)
+                        f_dur = int(dd_ns // 1_000_000)
+                        yield f_ts, keyframe, f_dur, data[fs:fe]
 
     return track, _blocks()

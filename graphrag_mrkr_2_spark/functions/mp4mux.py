@@ -33,6 +33,17 @@ _VIDEO_CONFIG_BOXES = {
     b"vp09": b"vpcC",
 }
 
+# Audio sample-entry fourcc → codec config child box (ISO 14496-14 esds
+# for MPEG-4 audio, Opus-in-ISOBMFF dOps, FLAC-in-ISOBMFF dfLa, ETSI
+# dac3/dec3). '.mp3'/'mp4a' raw-MP3 entries carry no config box.
+_AUDIO_CONFIG_BOXES = {
+    b"mp4a": b"esds",
+    b"Opus": b"dOps",
+    b"fLaC": b"dfLa",
+    b"ac-3": b"dac3",
+    b"ec-3": b"dec3",
+}
+
 # size(4) + type(4) + VisualSampleEntry fixed fields (ISO 14496-12 §12.1.3):
 # 6 reserved + 2 data_ref_index + 16 pre_defined/reserved + 2 width +
 # 2 height + 4 hres + 4 vres + 4 reserved + 2 frame_count +
@@ -74,8 +85,12 @@ def _build_moov(width: int, height: int, stbl: bytes, duration: int,
     layouts. Video tracks carry vmhd, others the null media header."""
     dinf = _box(b"dinf", _full_box(b"dref", 0, 0, struct.pack(">I", 1) +
                                    _full_box(b"url ", 0, 1, b"")))
-    mhd = (_full_box(b"vmhd", 0, 1, b"\x00" * 8) if handler == b"vide"
-           else _full_box(b"nmhd", 0, 0, b""))
+    if handler == b"vide":
+        mhd = _full_box(b"vmhd", 0, 1, b"\x00" * 8)
+    elif handler == b"soun":
+        mhd = _full_box(b"smhd", 0, 0, b"\x00" * 4)  # balance + reserved
+    else:
+        mhd = _full_box(b"nmhd", 0, 0, b"")
     minf = _box(b"minf", mhd + dinf + stbl)
     mdhd = _full_box(b"mdhd", 0, 0,
                      struct.pack(">IIII", 0, 0, 1000, duration) +
@@ -215,7 +230,8 @@ def _iter_tracks(data: bytes, handlers: tuple, visual: bool):
         hdlr = _find_box(data, ts, te, (b"mdia", b"hdlr"))
         if hdlr is None or data[hdlr[0] + 8:hdlr[0] + 12] not in handlers:
             continue
-        yield _parse_video_trak(data, ts, te, moov, visual=visual)
+        yield _parse_trak(data, ts, te, moov, visual=visual,
+                          audio=(handlers == (b"soun",)))
 
 
 def _tkhd_track_id(data: bytes, ts: int, te: int):
@@ -247,8 +263,8 @@ def _trex_defaults(data: bytes, moov, track_id: int):
     return 0, 0, 0
 
 
-def _parse_video_trak(data: bytes, ts: int, te: int, moov,
-                      visual: bool = True) -> dict:
+def _parse_trak(data: bytes, ts: int, te: int, moov,
+                visual: bool = True, audio: bool = False) -> dict:
     from graphrag_mrkr_2_spark.functions.mediaprobe import _find_box, _walk_boxes
 
     mdhd = _find_box(data, ts, te, (b"mdia", b"mdhd"))
@@ -264,6 +280,7 @@ def _parse_video_trak(data: bytes, ts: int, te: int, moov,
     boxes = {bt: (bs, be) for bt, bs, be in _walk_boxes(data, ss, se)}
 
     codec, config, width, height = None, None, None, None
+    channels = sample_rate = None
     if b"stsd" in boxes:
         ps, pe = boxes[b"stsd"]
         _, _, pos = _read_full_box_header(data, ps)
@@ -273,20 +290,44 @@ def _parse_video_trak(data: bytes, ts: int, te: int, moov,
             entry_size = struct.unpack_from(">I", data, pos)[0]
             codec = data[pos + 4:pos + 8].decode("ascii", "replace")
             entry_end = min(pe, pos + max(entry_size, 8))
-            cfg_type = _VIDEO_CONFIG_BOXES.get(codec.encode("ascii", "replace"))
-            if cfg_type or (visual and entry_size >= _VISUAL_ENTRY_HEADER):
-                # visual entries carry dims at a fixed offset; non-visual
-                # entries (tx3g timed text, mp4a audio) have none — a big
-                # tx3g entry (font table) must not read style bytes as dims
+            if audio:
+                # AudioSampleEntry (ISO 14496-12 §12.2.3): 16-byte
+                # SampleEntry header, 8 reserved, channelcount u16,
+                # samplesize u16, pre_defined u16, reserved u16,
+                # samplerate u32 as 16.16 fixed. QuickTime v1/v2 entries
+                # (nonzero version word at the first reserved slot) carry
+                # 16/36 extra bytes before child boxes — real crawls ship
+                # both, so honor the version when locating the config box.
                 if pos + 36 > pe:
-                    raise ValueError("MP4: stsd sample entry truncated")
-                width, height = struct.unpack_from(">HH", data, pos + 32)
-            body = pos + _VISUAL_ENTRY_HEADER
-            if cfg_type and body < entry_end:
-                for cbt, cbs, cbe in _walk_boxes(data, body, entry_end):
-                    if cbt == cfg_type:
-                        config = data[cbs:cbe]
-                        break
+                    raise ValueError("MP4: stsd audio entry truncated")
+                qt_version = struct.unpack_from(">H", data, pos + 16)[0]
+                channels, _ss = struct.unpack_from(">HH", data, pos + 24)
+                sample_rate = struct.unpack_from(">I", data, pos + 32)[0] >> 16
+                body = pos + 36 + {1: 16, 2: 36}.get(qt_version, 0)
+                cfg_type = _AUDIO_CONFIG_BOXES.get(
+                    codec.encode("ascii", "replace"))
+                if cfg_type and body < entry_end:
+                    for cbt, cbs, cbe in _walk_boxes(data, body, entry_end):
+                        if cbt == cfg_type:
+                            config = data[cbs:cbe]
+                            break
+            else:
+                cfg_type = _VIDEO_CONFIG_BOXES.get(
+                    codec.encode("ascii", "replace"))
+                if cfg_type or (visual and entry_size >= _VISUAL_ENTRY_HEADER):
+                    # visual entries carry dims at a fixed offset;
+                    # non-visual entries (tx3g timed text) have none — a
+                    # big tx3g entry (font table) must not read style
+                    # bytes as dims
+                    if pos + 36 > pe:
+                        raise ValueError("MP4: stsd sample entry truncated")
+                    width, height = struct.unpack_from(">HH", data, pos + 32)
+                body = pos + _VISUAL_ENTRY_HEADER
+                if cfg_type and body < entry_end:
+                    for cbt, cbs, cbe in _walk_boxes(data, body, entry_end):
+                        if cbt == cfg_type:
+                            config = data[cbs:cbe]
+                            break
 
     def _table(name: bytes):
         if name not in boxes:
@@ -315,7 +356,8 @@ def _parse_video_trak(data: bytes, ts: int, te: int, moov,
         if not samples:
             raise ValueError("MP4: empty sample tables and no fragments")
         return {"codec": codec, "config": config, "width": width,
-                "height": height, "timescale": timescale,
+                "height": height, "channels": channels,
+                "sample_rate": sample_rate, "timescale": timescale,
                 "samples": samples, "durations_ms": durations}
     if n_samples > 4_000_000:
         raise ValueError(f"MP4: implausible sample count {n_samples}")
@@ -422,8 +464,9 @@ def _parse_video_trak(data: bytes, ts: int, te: int, moov,
     if si < n_samples:
         raise ValueError("MP4: chunk tables cover fewer samples than stsz")
     return {"codec": codec, "config": config, "width": width,
-            "height": height, "timescale": timescale, "samples": samples,
-            "durations_ms": durations}
+            "height": height, "channels": channels,
+            "sample_rate": sample_rate, "timescale": timescale,
+            "samples": samples, "durations_ms": durations}
 
 
 def _parse_fragments(data: bytes, track_id: int, timescale: int,
@@ -538,6 +581,8 @@ def _parse_fragments(data: bytes, track_id: int, timescale: int,
                         flags = _u32(data, pos, re_, "trun flags")
                         pos += 4
                     if tr_flags & 0x000800:  # cts offset (presentation)
+                        if pos + 4 > re_:
+                            raise ValueError("MP4: trun cts offset truncated")
                         pos += 4
                     if i == 0 and first_flags is not None:
                         flags = first_flags
@@ -639,6 +684,108 @@ def mp4_video_samples(data: bytes, limit: int = 10_000) -> list:
     """``[(ts_ms, keyframe, payload), ...]`` for the first video track —
     the same shape ``av1codec.mkv_video_samples`` returns for WebM."""
     return mp4_video_track_info(data)["samples"][:limit]
+
+
+def mp4_audio_track_info(data: bytes) -> dict:
+    """Sample-level info for the FIRST audio track (handler ``soun``) of
+    an MP4: ``{codec, config, channels, sample_rate, timescale, samples,
+    durations_ms}`` — ``samples`` as ``[(ts_ms, keyframe, payload), ...]``
+    in decode order (keyframe is vestigial for audio; every coded audio
+    frame is independent at the container level), ``config`` the codec
+    config record payload (esds for mp4a, dOps for Opus, dfLa for fLaC)
+    or None for raw-frame entries ('.mp3').  Same stbl machinery as the
+    video reader — ragged stsc chunking is the NORM on the audio side
+    (interleaved A/V files put a variable run of audio frames between
+    video chunks), which is exactly what the shared walk exercises.
+    Handles classic stco-indexed and fragmented (moof/traf/trun) layouts.
+    Raises ValueError without a readable audio track — callers
+    quarantine."""
+    for info in _iter_tracks(data, (b"soun",), visual=False):
+        return info
+    raise ValueError("MP4: no audio track")
+
+
+def mp4_audio_samples(data: bytes, limit: int = 10_000) -> list:
+    """``[(ts_ms, payload), ...]`` coded audio frames of the first audio
+    track — the raw per-sample bytes an injected decoder consumes."""
+    return [(ts, p) for ts, _k, p
+            in mp4_audio_track_info(data)["samples"][:limit]]
+
+
+def mux_mp4_audio(samples, codec: str, sample_rate: int, channels: int,
+                  config_record: bytes = None,
+                  sample_duration_ms: int = 20,
+                  chunk_pattern=(3, 1, 2)) -> bytes:
+    """Write coded audio samples into a minimal-but-valid MP4.
+
+    ``samples``: list of coded frame byte strings (AAC raw frames for
+    mp4a, Opus packets for Opus, MP3 frames for '.mp3').  ``codec``: the
+    sample-entry fourcc ('mp4a'/'Opus'/'fLaC'/'.mp3').  ``config_record``:
+    the codec config box payload (esds/dOps/dfLa record bytes) or None.
+    ``chunk_pattern`` cycles per-chunk sample counts — audio chunking is
+    ragged in real interleaved files, so the fixture writes a multi-run
+    stsc by default instead of the degenerate fixed-size layout.
+    Timescale is 1000 (1 ms units), matching the video muxer."""
+    samples = [bytes(s) for s in samples]
+    if not samples:
+        raise ValueError("mux_mp4_audio: no samples")
+    if not chunk_pattern or any(c < 1 for c in chunk_pattern):
+        raise ValueError("mux_mp4_audio: chunk_pattern needs counts >= 1")
+    fourcc = codec.encode("ascii")
+    if len(fourcc) != 4:
+        raise ValueError(f"bad MP4 audio fourcc {codec!r}")
+    n = len(samples)
+    duration = n * sample_duration_ms
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) +
+                b"isom" + b"iso2" + b"mp41")
+    mdat_payload = b"".join(samples)
+    # ragged chunk layout: cycle chunk_pattern until samples run out
+    per_chunk, i, pi = [], 0, 0
+    while i < n:
+        c = min(chunk_pattern[pi % len(chunk_pattern)], n - i)
+        per_chunk.append(c)
+        i += c
+        pi += 1
+    mdat_start = len(ftyp) + 8
+    offsets, acc, si = [], mdat_start, 0
+    for c in per_chunk:
+        offsets.append(acc)
+        acc += sum(len(s) for s in samples[si:si + c])
+        si += c
+
+    if sample_rate > 0xFFFF:
+        # the v0 entry's 16.16 rate field caps at 65535 Hz; >64k rates
+        # need a v1 entry + srat box this fixture muxer doesn't write
+        raise ValueError("mux_mp4_audio: rate > 65535 Hz")
+    cfg_type = _AUDIO_CONFIG_BOXES.get(fourcc)
+    cfg_box = (_box(cfg_type, bytes(config_record))
+               if cfg_type and config_record is not None else b"")
+    entry = _box(fourcc, b"".join([
+        b"\x00" * 6, struct.pack(">H", 1),     # reserved + data_ref_index
+        b"\x00" * 8,                           # reserved (version 0)
+        struct.pack(">HHHH", channels, 16, 0, 0),
+        struct.pack(">I", sample_rate << 16),  # 16.16 fixed
+        cfg_box,
+    ]))
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _full_box(b"stts", 0, 0,
+                     struct.pack(">III", 1, n, sample_duration_ms))
+    # stsc runs: collapse equal consecutive per-chunk counts
+    sc_runs = []
+    for ci, c in enumerate(per_chunk, start=1):
+        if not sc_runs or sc_runs[-1][1] != c:
+            sc_runs.append((ci, c))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">I", len(sc_runs)) +
+                     b"".join(struct.pack(">III", fc, c, 1)
+                              for fc, c in sc_runs))
+    stsz = _full_box(b"stsz", 0, 0, struct.pack(">II", 0, n) +
+                     b"".join(struct.pack(">I", len(s)) for s in samples))
+    stco = _full_box(b"stco", 0, 0, struct.pack(">I", len(offsets)) +
+                     b"".join(struct.pack(">I", o) for o in offsets))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    moov = _build_moov(0, 0, stbl, duration, handler=b"soun")
+    return ftyp + _box(b"mdat", mdat_payload) + moov
 
 
 def mux_mp4_timed_text(cues) -> bytes:

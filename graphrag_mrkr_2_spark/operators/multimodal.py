@@ -1015,6 +1015,132 @@ def sample_video_frames(
     )
 
 
+AUDIO_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("sample_index", IntegerType(), False),
+        StructField("ts_ms", IntegerType(), False),
+        StructField("codec", StringType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+_MKV_AUDIO_CODEC_IDS = {
+    "A_OPUS": "opus", "A_VORBIS": "vorbis", "A_MPEG/L3": "mp3",
+    "A_FLAC": "flac", "A_AAC": "aac",
+}
+_MP4_AUDIO_FOURCCS = {
+    "mp4a": "aac", "Opus": "opus", "fLaC": "flac", ".mp3": "mp3",
+    "ac-3": "ac3", "ec-3": "eac3",
+}
+
+
+def sample_audio_payloads(
+    media: DataFrame,
+    strict: bool = False,
+    max_samples: int = 2000,
+) -> DataFrame:
+    """Coded-audio frame extraction via row-multiplying mapInPandas —
+    the audio twin of ``sample_video_frames``. The DEMUX layer is real
+    for every audio framing real crawls ship: MP4 audio tracks
+    (mp4mux.mp4_audio_samples — stts/stsc/stsz/stco + fragmented
+    layouts, ragged chunking), Matroska/WebM audio tracks
+    (audiodemux.mkv_audio_samples — SimpleBlock/BlockGroup with full
+    Xiph/fixed/EBML de-lacing; audio blocks lace routinely), bare MP3
+    streams (header-walk frame split), and Ogg Opus/Vorbis/FLAC
+    (RFC 3533 page-lacing packet reassembly incl. cross-page
+    continuation). RIFF/WAVE emits one 'pcm' row carrying the whole
+    payload — its decode is already real (audiocodecs.decode_wav), so
+    framing it would be noise. Each emitted row is one coded frame in
+    decode order, exactly what a user-injected decoder consumes — the
+    frame DECODE stays the strict-mode seam (no MP3/AAC/Opus/Vorbis
+    decoder library of any kind exists in this container, SCALE.md).
+    Unknown/corrupt payloads: strict=True raises, strict=False emits
+    deterministic fake rows so the Arrow plumbing stays testable.
+    ``max_samples`` bounds one row's fan-out (a malformed sample table
+    must not explode a partition)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from graphrag_mrkr_2_spark.functions.audiocodecs import sniff_audio
+        from graphrag_mrkr_2_spark.functions.audiodemux import (
+            mkv_audio_track_info,
+            mp3_frames,
+            ogg_packets,
+        )
+        from graphrag_mrkr_2_spark.functions.mediaprobe import (
+            probe_ogg,
+            sniff_mkv,
+            sniff_mp3,
+            sniff_mp4,
+            sniff_ogg,
+        )
+        from graphrag_mrkr_2_spark.functions.mp4mux import mp4_audio_track_info
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(rec.payload) if rec.payload is not None else b""
+                samples = None  # [(ts_ms, codec, frame_bytes), ...]
+                try:
+                    if sniff_audio(payload):
+                        samples = [(0, "pcm", payload)]
+                    elif sniff_mp4(payload):
+                        info = mp4_audio_track_info(payload)
+                        codec = _MP4_AUDIO_FOURCCS.get(
+                            info["codec"], info["codec"])
+                        samples = [(ts, codec, p) for ts, _k, p
+                                   in info["samples"][:max_samples]]
+                    elif sniff_mkv(payload):
+                        info = mkv_audio_track_info(payload)
+                        codec = _MKV_AUDIO_CODEC_IDS.get(
+                            info["codec"], info["codec"])
+                        samples = [(ts, codec, p) for ts, p
+                                   in info["samples"][:max_samples]]
+                    elif sniff_ogg(payload):
+                        codec = probe_ogg(payload).get("codec") or "ogg"
+                        samples = [(0, codec, p) for p
+                                   in ogg_packets(payload, limit=max_samples)]
+                    elif sniff_mp3(payload):
+                        samples = [(ts, "mp3", p) for ts, p
+                                   in mp3_frames(payload, limit=max_samples)]
+                except Exception:
+                    if strict:
+                        raise
+                    samples = None  # corrupt container -> fake fallback
+                if samples is not None:
+                    for i, (ts, codec, frame) in enumerate(samples):
+                        rows.append({
+                            "media_id": rec.media_id, "sample_index": i,
+                            "ts_ms": int(ts), "codec": codec,
+                            "payload": frame,
+                        })
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "audio demux beyond MP4/Matroska/Ogg/MP3/WAV "
+                        "containers is not implemented"
+                    )
+                meta = rec.meta if isinstance(rec.meta, dict) else (
+                    rec.meta.asDict() if rec.meta else {})
+                duration = int(meta.get("duration_ms") or 0)
+                n = max(1, min(duration // 20, 100))
+                digest = hashlib.sha256(payload).digest()
+                for i in range(n):
+                    rows.append({
+                        "media_id": rec.media_id, "sample_index": i,
+                        "ts_ms": i * 20, "codec": "fake",
+                        "payload": hashlib.sha256(
+                            digest + i.to_bytes(4, "big")).digest(),
+                    })
+            yield pd.DataFrame(
+                rows, columns=["media_id", "sample_index", "ts_ms",
+                               "codec", "payload"])
+
+    return media.where(F.col("kind") == "audio").select(
+        "media_id", "payload", "meta"
+    ).mapInPandas(_extract, AUDIO_SAMPLE_SCHEMA)
+
+
 def probe_media(payload: bytes) -> dict:
     """Sniff kind/codec and extract REAL container metadata (dims, sample
     rate, duration) from a raw payload — header-only reads, no full decode:

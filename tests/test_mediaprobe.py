@@ -552,6 +552,32 @@ class TestHeif:
         out = probe_heif(_heif(ipma_flags=1, width=777, height=555))
         assert (out["width"], out["height"]) == (777, 555)
 
+    @pytest.mark.parametrize("cut", [1, 2, 4])
+    def test_truncated_ipma_raises_valueerror(self, cut):
+        # truncation mid-entry / mid-association must raise the module's
+        # documented ValueError, not IndexError/struct.error (ADVICE r6)
+        from graphrag_mrkr_2_spark.functions.mediaprobe import (
+            _find_box,
+            _ipma_property_indices,
+        )
+
+        blob = bytearray(_heif(ipma_flags=1))
+        idx = bytes(blob).find(b"ipma")
+        # shrink the ipma box size so its payload ends mid-association,
+        # keeping the meta/iprp parents' extents intact around it
+        old = struct.unpack_from(">I", blob, idx - 4)[0]
+        struct.pack_into(">I", blob, idx - 4, old - cut)
+        data = bytes(blob)
+        ms = data.find(b"meta") - 4
+        with pytest.raises(ValueError):
+            _ipma_property_indices(data, ms + 12, ms + struct.unpack_from(
+                ">I", data, ms)[0], 1)
+        # the probe-level caller quarantines to the ipco-order fallback
+        from graphrag_mrkr_2_spark.functions.mediaprobe import probe_heif
+
+        out = probe_heif(data)
+        assert out["kind"] == "image"
+
     def test_animated_avif_duration(self):
         from graphrag_mrkr_2_spark.functions.mediaprobe import probe_heif
 

@@ -255,6 +255,22 @@ class TestFragmentedMp4:
         got = [p for _, _, p in mp4_video_samples(data)]
         assert got == [b"AAAA"]
 
+    def test_truncated_cts_offsets_raise(self):
+        """A trun claiming per-sample cts offsets (0x800) but whose box
+        ends mid-table must raise like every other truncated field, not
+        silently fall back to tfhd defaults (ADVICE r6)."""
+        import struct as st
+
+        from graphrag_mrkr_2_spark.functions.mp4mux import _full_box
+
+        def truns(moof_len):
+            # count=2 with only ONE cts value present
+            return _full_box(b"trun", 0, 0x801,
+                             st.pack(">Iii", 2, moof_len + 8, 0))
+
+        with pytest.raises(ValueError, match="cts"):
+            mp4_video_samples(self._hand_fragment(truns, b"AAAABBBB"))
+
     def test_keyframes_length_mismatch_raises(self):
         with pytest.raises(ValueError):
             mux_fmp4_video([b"a", b"b", b"c"], 8, 8, "hvc1", b"\x01" * 23,
