@@ -774,7 +774,96 @@ def main() -> None:
     extras["media_text_payloads_per_sec"] = round(
         n_media_text * 3 / max(extras["media_text_sec"], 1e-9), 1
     )
+    # per-family lines (VERDICT r6 #7): each parser timed on ITS OWN
+    # payloads only, so a regression in one can't hide in the blend (the
+    # blended line above keeps cross-round comparability; it scans all 3
+    # families per extractor, wrong-family payloads quarantining)
+    per_family = n_media_text // 3
+    for fam, suffix, extractor in (
+        ("subtitle", "_sub", extract_subtitle_text),
+        ("media_tags", "_tag", extract_media_tags_table),
+        ("exif", "_exif", extract_exif_table),
+    ):
+        fam_df = media_text.where(F.col("media_id").endswith(suffix))
+        extras[f"{fam}_extract_sec"] = best_of_2(
+            lambda e=extractor, f=fam_df: e(f).count(),
+            label=f"{fam}_extract",
+        )
+        extras[f"{fam}_per_sec"] = round(
+            per_family / max(extras[f"{fam}_extract_sec"], 1e-9), 1
+        )
     media_text.unpersist()
+
+    # --- audio sample-payload demux (r7) -------------------------------------
+    # extras: the audio twin of video_decode — coded frames extracted from
+    # REAL containers (MP4 ragged-stsc, Matroska laced, Ogg with cross-page
+    # continuation, bare MP3 header walks) through
+    # multimodal.sample_audio_payloads. Pure-stdlib demux, no codec libs.
+    from graphrag_mrkr_2_spark.operators.multimodal import sample_audio_payloads
+
+    def _encode_audio_demux(batches):
+        import numpy as np
+        import pandas as pd
+
+        from graphrag_mrkr_2_spark.functions.audiodemux import (
+            mux_mkv_audio,
+            mux_ogg,
+        )
+        from graphrag_mrkr_2_spark.functions.mp4mux import mux_mp4_audio
+
+        def fr(d, i, n):
+            j = np.arange(n, dtype=np.int64)
+            return ((d * 131 + i * 31 + j * 7) % 256).astype(np.uint8).tobytes()
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                d = int(rec.doc_id)
+                mode = (d // 4) % 4  # input is doc_id % 4 == 0 (see above)
+                if mode == 3:
+                    payload = b"".join(
+                        b"\xff\xfb\x90\x00" + fr(d, i, 413) for i in range(40)
+                    )
+                elif mode == 2:
+                    payload = mux_ogg(
+                        [fr(d, i, 120 + (d + i) % 40) for i in range(40)])
+                elif mode == 1:
+                    lacing = [None, "xiph", "ebml", "fixed"][(d // 16) % 4]
+                    payload = mux_mkv_audio(
+                        [fr(d, i, 144 if lacing == "fixed"
+                            else 120 + (d + i) % 40) for i in range(40)],
+                        codec_id=b"A_VORBIS", lacing=lacing)
+                else:
+                    payload = mux_mp4_audio(
+                        [fr(d, i, 120 + (d + i) % 40) for i in range(40)],
+                        "fLaC", 48000, 2)
+                rows.append({"media_id": str(d), "kind": "audio",
+                             "payload": payload, "meta": None})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"])
+
+    audio_demux_payloads = (
+        documents.select("doc_id")
+        .where(F.col("doc_id") % 4 == 0)
+        .repartition(cpus * 4)
+        .mapInPandas(
+            _encode_audio_demux,
+            "media_id string, kind string, payload binary, "
+            "meta struct<codec:string,width:int,height:int,"
+            "duration_ms:int,sample_rate:int,channels:int>",
+        )
+        .persist()
+    )
+    n_audio_payloads = audio_demux_payloads.count()
+    extras["audio_demux_sec"] = best_of_2(
+        lambda: sample_audio_payloads(audio_demux_payloads, strict=True).count(),
+        label="audio_demux",
+    )
+    extras["audio_demux_payloads"] = n_audio_payloads
+    extras["audio_demux_frames_per_sec"] = round(
+        n_audio_payloads * 40 / max(extras["audio_demux_sec"], 1e-9), 1
+    )
+    audio_demux_payloads.unpersist()
 
     # --- corpus hygiene (round 3: textclean) --------------------------------
     from graphrag_mrkr_2_spark.operators.textclean import redact_pii, repetition_stats
@@ -828,7 +917,35 @@ def main() -> None:
         "skewed_suite": skew,
         "query_load": query_load,
     }
-    print(json.dumps(diagnostics))
+    # The driver tail-captures a bounded byte window, so one big
+    # diagnostics line gets cut mid-token (VERDICT r6 item "bench extras
+    # truncation": r6 lost image_decode_native_sec/jpeg_decode_* from the
+    # recorded tail).  Durable copy goes to a side file next to bench.py;
+    # stdout gets the same content as MULTIPLE <=1 KB JSON lines, each
+    # independently parseable, so whatever survives the window is usable.
+    diag_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DIAG.json"
+    )
+    try:
+        with open(diag_path, "w") as fh:
+            json.dump(diagnostics, fh, indent=1, sort_keys=True)
+    except OSError:
+        diag_path = None
+    flat: dict[str, object] = {
+        **extras,
+        **{f"skew.{k}": v for k, v in skew.items()},
+        **{f"load.{k}": v for k, v in query_load.items()},
+    }
+    part, cur = 1, {}
+    for k, v in flat.items():
+        candidate = {**cur, k: v}
+        if cur and len(json.dumps({"diagnostics": part, **candidate})) > 1000:
+            print(json.dumps({"diagnostics": part, **cur}))
+            part, cur = part + 1, {k: v}
+        else:
+            cur = candidate
+    if cur:
+        print(json.dumps({"diagnostics": part, **cur}))
     out = {
         "metric": "kg_construction_suite_total",
         "value": total,
@@ -839,6 +956,8 @@ def main() -> None:
         # the north-rule throughput numbers, kept in the headline line
         "docs_per_sec": extras.get("docs_per_sec"),
         "triples_per_sec": extras.get("triples_per_sec"),
+        # full extras/skew/load record, immune to stdout tail truncation
+        "diagnostics_file": diag_path and os.path.basename(diag_path),
     }
     print(json.dumps(out))
     spark.stop()
