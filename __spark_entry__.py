@@ -4,7 +4,7 @@ entry(spark)    — flagship KG-construction run on a deterministic synthetic
                   pages table (BASELINE.json input_hint shape) → triples DF.
 queries()       — one entry per implemented operator family (SURVEY.md §2 +
                   the training-data suite); each callable (spark, sf_dir) →
-                  DataFrame. 70 queries, 62 with exact DuckDB oracles.
+                  DataFrame. 71 queries, 63 with exact DuckDB oracles.
 oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
                   KG-pipeline queries (chunking/extraction/canonicalization/
                   communities) are not ANSI-SQL-expressible → rows-only check
@@ -1315,9 +1315,9 @@ def q_media_tags_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media text-metadata extraction (r6) with an EXACT oracle: per doc,
     deterministic title/artist/album/comment/lyrics strings are written
     into a REAL tag-bearing container — ID3v2.4, ID3v2.3, FLAC
-    VORBIS_COMMENT, Ogg-Opus OpusTags, or MP4 ilst, rotating by doc_id so
-    all five builder/parser paths are exercised
-    (functions/mediatags.py) — then parsed back through
+    VORBIS_COMMENT, Ogg-Opus OpusTags, MP4 ilst, or Matroska Tags
+    (r7: doc_id % 6 rotation), so all six builder/parser paths are
+    exercised (functions/mediatags.py) — then parsed back through
     operators/multimodal.extract_media_tags_table. DuckDB reconstructs
     the rows straight from the formula. Reference has no audio/video
     ingestion at all — this is the companion of subtitle_extract on the
@@ -1332,6 +1332,7 @@ def q_media_tags_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         from graphrag_mrkr_2_spark.functions.mediatags import (
             build_flac_with_tags,
             build_id3v2,
+            build_mkv_with_tags,
             build_mp4_with_tags,
             build_ogg_opus_with_tags,
         )
@@ -1342,6 +1343,7 @@ def q_media_tags_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             build_flac_with_tags,
             build_ogg_opus_with_tags,
             build_mp4_with_tags,
+            build_mkv_with_tags,
         ]
         for pdf in batches:
             rows = []
@@ -1355,7 +1357,7 @@ def q_media_tags_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "lyrics": f"Line one of {doc_id}. Line two.",
                 }
                 rows.append({"media_id": str(doc_id),
-                             "payload": builders[doc_id % 5](tags)})
+                             "payload": builders[doc_id % 6](tags)})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     media = (
@@ -3326,13 +3328,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Media tag extraction: DuckDB reconstructs the normalized rows
         # from the formula; Spark reproduces them through real ID3v2 /
-        # FLAC / OpusTags / MP4-ilst container round-trips. fmt rotates
-        # with the builder (id3 covers both v2.4 and v2.3).
+        # FLAC / OpusTags / MP4-ilst / Matroska-Tags container
+        # round-trips. fmt rotates with the builder (id3 covers both
+        # v2.4 and v2.3).
         "media_tags_extract": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                   CASE doc_id % 5 WHEN 0 THEN 'id3' WHEN 1 THEN 'id3'
+                   CASE doc_id % 6 WHEN 0 THEN 'id3' WHEN 1 THEN 'id3'
                         WHEN 2 THEN 'flac' WHEN 3 THEN 'ogg'
-                        ELSE 'mp4' END AS fmt,
+                        WHEN 4 THEN 'mp4' ELSE 'mkv' END AS fmt,
                    'Title ' || doc_id AS title,
                    'Artist ' || (doc_id % 13) AS artist,
                    'Album ' || (doc_id % 5) AS album,
