@@ -81,18 +81,102 @@ def _mvhd_duration_ms(data: bytes, moov_start: int, moov_end: int):
     return None
 
 
+def _mvhd_timescale(data: bytes, moov_start: int, moov_end: int):
+    """Movie timescale (ticks/second) from the mvhd, or None."""
+    mvhd = _find_box(data, moov_start, moov_end, (b"mvhd",))
+    if mvhd is None:
+        return None
+    ps = mvhd[0]
+    off = 20 if data[ps] == 1 else 12
+    if ps + off + 4 > mvhd[1]:
+        return None
+    (timescale,) = struct.unpack_from(">I", data, ps + off)
+    return timescale or None
+
+
+def _mehd_duration_ms(data: bytes, moov_start: int, moov_end: int):
+    """Fragmented-movie duration from moov/mvex/mehd (ISO 14496-12
+    §8.8.2: fragment_duration in mvhd-timescale ticks, covering the whole
+    fragmented presentation), or None when mehd/mvex is absent.  This is
+    the spec'd fast path for fMP4 probes — mvhd.duration is 0 there."""
+    mehd = _find_box(data, moov_start, moov_end, (b"mvex", b"mehd"))
+    if mehd is None:
+        return None
+    ps, pe = mehd
+    timescale = _mvhd_timescale(data, moov_start, moov_end)
+    if timescale is None:
+        return None
+    if pe - ps >= 12 and data[ps] == 1:
+        (duration,) = struct.unpack_from(">Q", data, ps + 4)
+    elif pe - ps >= 8 and data[ps] == 0:
+        (duration,) = struct.unpack_from(">I", data, ps + 4)
+    else:
+        return None
+    return int(duration * 1000 // timescale)
+
+
+def _sidx_duration_ms(data: bytes):
+    """Presentation duration from top-level segment-index boxes (ISO
+    14496-12 §8.16.3), or None when no usable sidx exists.
+
+    Two spec'd layouts: a hierarchical index (the first sidx carries
+    reference_type=1 entries pointing at child sidx boxes — its own
+    subsegment_durations already sum to the full duration, so later
+    sidx boxes must NOT be added again) and a sequential per-segment
+    chain (one media-referencing sidx per segment, same reference_ID —
+    sum across all of them)."""
+    total_ticks = 0
+    first_timescale = None
+    first_ref_id = None
+    hierarchical = False
+    for btype, ps, pe in _walk_boxes(data, 0, len(data)):
+        if btype != b"sidx":
+            continue
+        if pe - ps < 12:
+            raise ValueError("MP4: sidx header truncated")
+        version = data[ps]
+        ref_id, timescale = struct.unpack_from(">II", data, ps + 4)
+        pos = ps + 12 + (16 if version else 8)  # skip EPT + first_offset
+        if pos + 4 > pe:
+            raise ValueError("MP4: sidx header truncated")
+        (ref_count,) = struct.unpack_from(">H", data, pos + 2)
+        pos += 4
+        if first_timescale is None:
+            first_timescale, first_ref_id = timescale, ref_id
+        elif hierarchical or ref_id != first_ref_id:
+            break  # parent already covered the presentation / other track
+        if pos + 12 * ref_count > pe:
+            raise ValueError("MP4: sidx references truncated")
+        for _ in range(ref_count):
+            (ref_word, dur) = struct.unpack_from(">II", data, pos)
+            if ref_word >> 31:
+                hierarchical = True
+            total_ticks += dur
+            pos += 12
+    if first_timescale:
+        return int(total_ticks * 1000 // first_timescale)
+    return None
+
+
 def probe_mp4(data: bytes) -> dict:
-    """MP4/MOV: duration from mvhd, dims from the first video tkhd, codec
-    from the first stsd sample entry (video preferred)."""
+    """MP4/MOV: duration from mvhd — falling back to mvex/mehd then sidx
+    for fragmented files, where mvhd.duration is 0/absent (r7) — dims
+    from the first video tkhd, codec from the first stsd sample entry
+    (video preferred)."""
     if not sniff_mp4(data):
         raise ValueError("not an MP4 (no ftyp box)")
     out = {"kind": "video", "codec": None, "width": None, "height": None,
            "duration_ms": None}
     moov = _find_box(data, 0, len(data), (b"moov",))
     if moov is None:
-        return out  # streaming/fragmented file with moov beyond the prefix
+        # streaming/fragmented file with moov beyond the prefix — a sidx
+        # in the prefix can still yield the duration
+        out["duration_ms"] = _sidx_duration_ms(data)
+        return out
     ms, me = moov
-    out["duration_ms"] = _mvhd_duration_ms(data, ms, me)
+    out["duration_ms"] = (_mvhd_duration_ms(data, ms, me)
+                          or _mehd_duration_ms(data, ms, me)
+                          or _sidx_duration_ms(data))
     video_seen = False
     for btype, ts, te in _walk_boxes(data, ms, me):
         if btype != b"trak":

@@ -605,7 +605,8 @@ def _parse_fragments(data: bytes, track_id: int, timescale: int,
 
 def mux_fmp4_video(samples, width: int, height: int, codec: str,
                    config_record: bytes, frame_duration_ms: int = 40,
-                   samples_per_fragment: int = 2, keyframes=None) -> bytes:
+                   samples_per_fragment: int = 2, keyframes=None,
+                   mehd: bool = False, sidx: bool = False) -> bytes:
     """Fragmented-MP4 twin of ``mux_mp4_video`` (fixture path for the
     DASH/CMAF demux leg): init segment (ftyp + moov with EMPTY sample
     tables + mvex/trex) followed by one moof+mdat pair per
@@ -613,7 +614,13 @@ def mux_fmp4_video(samples, width: int, height: int, codec: str,
     decode times, trun with data-offset + per-sample sizes.
     ``keyframes`` (default all-key) additionally writes per-sample trun
     flags with sample_is_non_sync_sample set on interframes — the field
-    real DASH video uses to mark its GOP structure."""
+    real DASH video uses to mark its GOP structure.
+
+    ``mehd`` writes the movie-extends header (ISO 14496-12 §8.8.2) with
+    the total fragment_duration; ``sidx`` writes a segment index
+    (§8.16.3) between the init segment and the first moof, one
+    media-referencing entry per fragment — the two spec'd duration fast
+    paths for fMP4 probes (r7, probe_mp4 precedence mvhd→mehd→sidx)."""
     samples = [bytes(s) for s in samples]
     if not samples:
         raise ValueError("mux_fmp4_video: no samples")
@@ -633,8 +640,13 @@ def mux_fmp4_video(samples, width: int, height: int, codec: str,
         _full_box(b"stsz", 0, 0, struct.pack(">II", 0, 0)),
         _full_box(b"stco", 0, 0, struct.pack(">I", 0)),
     ]))
-    mvex = _box(b"mvex", _full_box(b"trex", 0, 0, struct.pack(
-        ">IIIII", 1, 1, frame_duration_ms, 0, 0)))
+    mvex_children = b""
+    if mehd:
+        mvex_children += _full_box(b"mehd", 1, 0, struct.pack(
+            ">Q", len(samples) * frame_duration_ms))
+    mvex_children += _full_box(b"trex", 0, 0, struct.pack(
+        ">IIIII", 1, 1, frame_duration_ms, 0, 0))
+    mvex = _box(b"mvex", mvex_children)
     out = [_box(b"ftyp", b"iso5" + struct.pack(">I", 512) +
                 b"iso5" + b"iso6" + b"mp41"),
            _build_moov(width, height, stbl, 0, mvex)]
@@ -642,6 +654,7 @@ def mux_fmp4_video(samples, width: int, height: int, codec: str,
     spf = max(1, int(samples_per_fragment))
     seq = 0
     tcur = 0
+    frag_meta = []  # (moof+mdat bytes, duration ticks) per fragment
     for i in range(0, len(samples), spf):
         frag = samples[i:i + spf]
         seq += 1
@@ -674,9 +687,19 @@ def mux_fmp4_video(samples, width: int, height: int, codec: str,
         if len(moof) != moof_len:
             raise AssertionError(
                 f"fMP4 muxer offset math drifted: {len(moof)} != {moof_len}")
+        mdat = _box(b"mdat", b"".join(frag))
         out.append(moof)
-        out.append(_box(b"mdat", b"".join(frag)))
+        out.append(mdat)
+        frag_meta.append((len(moof) + len(mdat),
+                          len(frag) * frame_duration_ms))
         tcur += len(frag) * frame_duration_ms
+    if sidx:
+        refs = b"".join(
+            struct.pack(">III", size, dur, 0x90000000)  # SAP=1, type 1
+            for size, dur in frag_meta)
+        sidx_box = _full_box(b"sidx", 0, 0, struct.pack(
+            ">IIIIHH", 1, 1000, 0, 0, 0, len(frag_meta)) + refs)
+        out.insert(2, sidx_box)  # between init segment and first moof
     return b"".join(out)
 
 
