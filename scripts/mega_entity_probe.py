@@ -81,19 +81,31 @@ def main() -> None:
     )
     mentions_skewed = mentions_base.unionByName(planted).localCheckpoint(
         eager=True)
+    # control arm: the SAME number of planted rows but each with a
+    # DISTINCT name — separates "more input rows" from "hot key".  The
+    # honest skew overhead is skewed vs control, not skewed vs base.
+    planted_ctl = planted.withColumn(
+        "name", F.concat(F.lit("PLANTED "), F.col("chunk_id")))
+    mentions_control = mentions_base.unionByName(planted_ctl).localCheckpoint(
+        eager=True)
+    print(f"rows: base {mentions_base.count()}, "
+          f"control {mentions_control.count()}, "
+          f"skewed {mentions_skewed.count()}")
 
     def downstream(mentions_df):
         e_doc, r_doc = canonicalize(mentions_df)
         build_nodes(e_doc).count()
         build_triples(build_edges(r_doc)).count()
 
-    # warm both arms once (JIT + Arrow worker reuse), then alternate
+    # warm all arms once (JIT + Arrow worker reuse), then alternate
     downstream(mentions_base)
+    downstream(mentions_control)
     downstream(mentions_skewed)
 
-    results = {"unskewed": [], "skewed": []}
+    results = {"unskewed": [], "control": [], "skewed": []}
     for t in range(trials):
         for name, df in (("unskewed", mentions_base),
+                         ("control", mentions_control),
                          ("skewed", mentions_skewed)):
             b0, s0 = _proc_stat()
             t0 = time.time()
@@ -105,9 +117,11 @@ def main() -> None:
                   f"(busy {(b1 - b0) / 100:.1f} core-s, "
                   f"steal {(s1 - s0) / 100:.1f} core-s)")
 
-    u, s = min(results["unskewed"]), min(results["skewed"])
-    print(f"best unskewed {u:.3f}s  best skewed {s:.3f}s  "
-          f"ratio {s / u:.3f}")
+    u, c, s = (min(results["unskewed"]), min(results["control"]),
+               min(results["skewed"]))
+    print(f"best unskewed {u:.3f}s  control {c:.3f}s  skewed {s:.3f}s")
+    print(f"ratio vs base {s / u:.3f}  ratio vs row-matched control "
+          f"{s / c:.3f}  (row-count effect alone: {c / u:.3f})")
     spark.stop()
 
 
