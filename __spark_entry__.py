@@ -4,7 +4,7 @@ entry(spark)    — flagship KG-construction run on a deterministic synthetic
                   pages table (BASELINE.json input_hint shape) → triples DF.
 queries()       — one entry per implemented operator family (SURVEY.md §2 +
                   the training-data suite); each callable (spark, sf_dir) →
-                  DataFrame. 71 queries, 63 with exact DuckDB oracles.
+                  DataFrame. 72 queries, 64 with exact DuckDB oracles.
 oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
                   KG-pipeline queries (chunking/extraction/canonicalization/
                   communities) are not ANSI-SQL-expressible → rows-only check
@@ -1607,6 +1607,98 @@ def q_audio_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_web_decompress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP Content-Encoding layer (r7) with an EXACT oracle: per doc, a
+    deterministic formula text is compressed into a REAL HTTP response —
+    rotating by doc_id over gzip, deflate (zlib-wrapped), br (a real
+    libbrotlienc stream decoded by the pure RFC 7932 decoder in
+    functions/brotlidec.py), br (uncompressed-metablock stream), zstd
+    (system libzstd seam) and chunked transfer framing + gzip — wrapped
+    in a WARC response record and pushed through the REAL loader path
+    (sources/loaders.parse_warc_bytes → functions/httppayload.
+    decode_http_payload). DuckDB reconstructs the text from the formula,
+    so a match proves header parsing, de-chunking and every decoder in
+    the chain end-to-end. The reference has no HTTP/compression layer at
+    all (ingestion/loaders/ starts from decoded text)."""
+
+    def _make(batches):
+        import gzip as gzip_mod
+        import zlib
+
+        import pandas as pd
+
+        from graphrag_mrkr_2_spark.functions.brotlidec import (
+            encode_brotli_native,
+            encode_brotli_uncompressed,
+        )
+        from graphrag_mrkr_2_spark.sources.loaders import parse_warc_bytes
+
+        def _zstd(data):
+            import ctypes
+
+            lib = ctypes.CDLL("/lib/x86_64-linux-gnu/libzstd.so.1")
+            lib.ZSTD_compressBound.restype = ctypes.c_size_t
+            lib.ZSTD_compress.restype = ctypes.c_size_t
+            bound = lib.ZSTD_compressBound(len(data))
+            dst = ctypes.create_string_buffer(bound)
+            n = lib.ZSTD_compress(dst, bound, data, len(data), 3)
+            if lib.ZSTD_isError(n):
+                raise ValueError("zstd compress failed")
+            return dst.raw[:n]
+
+        def _chunked(body):
+            out = bytearray()
+            for i in range(0, len(body), 100):
+                chunk = body[i:i + 100]
+                out += b"%x\r\n" % len(chunk) + chunk + b"\r\n"
+            return bytes(out + b"0\r\n\r\n")
+
+        encs = ["gzip", "deflate", "br", "br", "zstd", "chunked+gzip"]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                d = int(rec.doc_id)
+                text = f"Webtext body {d}. " * (20 + d % 60)
+                raw = text.encode()
+                mode = d % 6
+                if mode == 0:
+                    body, hdr = gzip_mod.compress(raw), b"Content-Encoding: gzip\r\n"
+                elif mode == 1:
+                    body, hdr = zlib.compress(raw), b"Content-Encoding: deflate\r\n"
+                elif mode == 2:
+                    body, hdr = encode_brotli_native(raw, 5), b"Content-Encoding: br\r\n"
+                elif mode == 3:
+                    body, hdr = encode_brotli_uncompressed(raw), b"Content-Encoding: br\r\n"
+                elif mode == 4:
+                    body, hdr = _zstd(raw), b"Content-Encoding: zstd\r\n"
+                else:
+                    body = _chunked(gzip_mod.compress(raw))
+                    hdr = (b"Content-Encoding: gzip\r\n"
+                           b"Transfer-Encoding: chunked\r\n")
+                payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                           + hdr + b"\r\n" + body)
+                warc = ((f"WARC/1.0\r\nWARC-Type: response\r\n"
+                         f"WARC-Target-URI: https://w{d}.example/\r\n"
+                         f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                         f"Content-Length: {len(payload)}\r\n\r\n").encode()
+                        + payload + b"\r\n\r\n")
+                page = parse_warc_bytes(warc)[0]
+                got = bytes(page["html"]).decode("utf-8", "replace")
+                rows.append({"doc_id": str(d), "enc": encs[mode],
+                             "text": got, "n_bytes": len(page["html"])})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "enc", "text", "n_bytes"])
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            _make, "doc_id string, enc string, text string, n_bytes long")
+        .orderBy(F.col("doc_id").cast("long"))
+    )
+
+
 def _pii_oracle_sql() -> str:
     """Build the doc_pii_redact oracle from the operator's OWN patterns so
     Spark and DuckDB provably run byte-identical regexes."""
@@ -1961,6 +2053,7 @@ def _register_queries() -> None:
             "chapter_extract": q_chapter_extract,
             # New in r7
             "audio_payload_roundtrip": q_audio_payload_roundtrip,
+            "web_decompress": q_web_decompress,
             # Last driver row: r5 (fell outside the r6 window)
             "dedup_representatives": q_dedup_representatives,
             "doc_corpus_stats": q_doc_corpus_stats,
@@ -2808,6 +2901,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE did % 4 WHEN 2 THEN 0 WHEN 3 THEN 390
                         ELSE 300 END AS BIGINT) AS ts_ms_sum
             FROM b GROUP BY did ORDER BY CAST(did AS BIGINT)
+        """,
+        # HTTP Content-Encoding layer: DuckDB rebuilds the page text from
+        # the formula; Spark recovers it through real WARC records whose
+        # HTTP bodies are gzip/deflate/br/zstd-compressed (and chunked),
+        # decoded by the pure RFC 7932 brotli decoder + stdlib zlib +
+        # the libzstd seam via the actual loader path
+        "web_decompress": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE doc_id % 6 WHEN 0 THEN 'gzip' WHEN 1 THEN 'deflate'
+                        WHEN 2 THEN 'br' WHEN 3 THEN 'br' WHEN 4 THEN 'zstd'
+                        ELSE 'chunked+gzip' END AS enc,
+                   repeat('Webtext body ' || doc_id || '. ',
+                          CAST(20 + doc_id % 60 AS INTEGER)) AS text,
+                   CAST(length(repeat('Webtext body ' || doc_id || '. ',
+                        CAST(20 + doc_id % 60 AS INTEGER))) AS BIGINT)
+                     AS n_bytes
+            FROM documents ORDER BY CAST(doc_id AS BIGINT)
         """,
         # PII redaction: the operator's own RE2-safe patterns (imported, so
         # Spark and DuckDB run byte-identical regexes) on sanitized text

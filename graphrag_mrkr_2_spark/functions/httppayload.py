@@ -1,0 +1,249 @@
+"""HTTP response payload handling for the webtext path: header parsing,
+chunked transfer decoding, and the Content-Encoding chain
+(gzip/deflate/br/zstd).
+
+Common Crawl WARC 'response' records carry the verbatim HTTP response —
+headers, often Transfer-Encoding: chunked framing, and a compressed body
+(Content-Encoding: gzip dominates, br is ubiquitous on modern CDNs, zstd is
+RFC 8878's registered token). The reference (danve93/graphrag-mrkr-2) has
+no HTTP layer at all — its loaders start from decoded text — so this module
+is what makes the WARC loader produce the bytes a browser would have seen.
+
+Decoders: gzip/deflate ride stdlib zlib (bounded, multi-member gzip,
+raw-deflate fallback for the classic server bug); br rides the pure
+RFC 7932 decoder in functions/brotlidec.py (system libbrotlidec injectable,
+bit-identical — see tests/test_brotlidec.py); zstd rides the system libzstd
+via ctypes (no stdlib/pure path yet — a declared seam, callers see a clear
+ValueError when the library is absent).
+
+Every decode is bounded by ``max_output`` (decompression-bomb guard: a
+format-valid gzip or brotli stream expands ~1e3..1e6:1, and a crawl WILL
+contain hostile payloads).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from graphrag_mrkr_2_spark.functions.brotlidec import decode_brotli
+
+_DEFAULT_MAX_OUTPUT = 64 << 20  # 64 MiB decompressed per payload
+
+
+def parse_http_response(raw: bytes):
+    """Split a raw HTTP/1.x response into (status_code, headers, body).
+
+    Headers are lower-cased; duplicate header names are comma-joined (RFC
+    9110 §5.2 list semantics). Tolerates LF-only line endings (seen in
+    old crawls). Raises ValueError when the bytes do not start with an
+    HTTP status line."""
+    if not raw.startswith(b"HTTP/"):
+        raise ValueError("not an HTTP response")
+    sep = raw.find(b"\r\n\r\n")
+    nsep = raw.find(b"\n\n")
+    if sep < 0 or (0 <= nsep < sep):
+        sep, seplen = nsep, 2
+    else:
+        seplen = 4
+    if sep < 0:
+        raise ValueError("HTTP header block not terminated")
+    head = raw[:sep].decode("latin-1")
+    body = raw[sep + seplen:]
+    lines = head.replace("\r\n", "\n").split("\n")
+    parts = lines[0].split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError) as e:
+        raise ValueError("malformed HTTP status line") from e
+    headers: dict[str, str] = {}
+    last = None
+    for line in lines[1:]:
+        if line[:1] in (" ", "\t") and last is not None:  # obsolete folding
+            headers[last] += " " + line.strip()
+            continue
+        if ":" not in line:
+            continue
+        k, v = line.split(":", 1)
+        k = k.strip().lower()
+        v = v.strip()
+        headers[k] = f"{headers[k]}, {v}" if k in headers else v
+        last = k
+    return status, headers, body
+
+
+def dechunk(body: bytes) -> bytes:
+    """Decode Transfer-Encoding: chunked framing (RFC 9112 §7.1).
+
+    Chunk extensions are ignored; trailers are allowed and dropped.
+    Raises ValueError on malformed framing or truncation."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("chunked: missing chunk-size line")
+        size_token = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError as e:
+            raise ValueError("chunked: bad chunk size") from e
+        if size < 0:
+            raise ValueError("chunked: negative chunk size")
+        pos = eol + 2
+        if size == 0:
+            # optional trailer section, terminated by CRLF
+            return bytes(out)
+        if pos + size + 2 > n:
+            raise ValueError("chunked: truncated chunk data")
+        out += body[pos:pos + size]
+        if body[pos + size:pos + size + 2] != b"\r\n":
+            raise ValueError("chunked: missing chunk data CRLF")
+        pos += size + 2
+
+
+def _bounded_inflate(data: bytes, wbits: int, max_output: int) -> bytes:
+    d = zlib.decompressobj(wbits)
+    try:
+        out = d.decompress(data, max_output + 1)
+    except zlib.error as e:
+        raise ValueError(f"deflate: {e}") from e
+    if len(out) > max_output:
+        raise ValueError("deflate: output exceeds max_output")
+    if not d.eof:
+        raise ValueError("deflate: truncated stream")
+    return out
+
+
+def decode_gzip(data: bytes, max_output: int = _DEFAULT_MAX_OUTPUT) -> bytes:
+    """Bounded multi-member gzip decode (zlib wbits 31 per member)."""
+    chunks = []
+    total = 0
+    rest = data
+    while rest:
+        d = zlib.decompressobj(31)
+        try:
+            out = d.decompress(rest, max_output - total + 1)
+        except zlib.error as e:
+            raise ValueError(f"gzip: {e}") from e
+        total += len(out)
+        if total > max_output:
+            raise ValueError("gzip: output exceeds max_output")
+        if not d.eof:
+            raise ValueError("gzip: truncated stream")
+        chunks.append(out)
+        rest = d.unused_data
+    return b"".join(chunks)
+
+
+def decode_deflate(data: bytes,
+                   max_output: int = _DEFAULT_MAX_OUTPUT) -> bytes:
+    """Content-Encoding: deflate — zlib-wrapped per the RFC, with the
+    raw-deflate fallback for the classic IIS/server bug (a crawl sees
+    both)."""
+    try:
+        return _bounded_inflate(data, 15, max_output)
+    except ValueError:
+        return _bounded_inflate(data, -15, max_output)
+
+
+_ZSTD_LIB = "/lib/x86_64-linux-gnu/libzstd.so.1"
+
+
+def decode_zstd_native(data: bytes,
+                       max_output: int = _DEFAULT_MAX_OUTPUT) -> bytes:
+    """zstd (RFC 8878) via the system libzstd streaming API.  A ctypes
+    binding, not a reimplementation — the declared seam for this one
+    format (no stdlib path exists; a pure decoder is future work)."""
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL(_ZSTD_LIB)
+    except OSError as e:
+        raise ValueError(f"libzstd unavailable: {e}") from e
+
+    class _Buf(ctypes.Structure):
+        _fields_ = [("dst", ctypes.c_void_p), ("size", ctypes.c_size_t),
+                    ("pos", ctypes.c_size_t)]
+
+    lib.ZSTD_createDStream.restype = ctypes.c_void_p
+    lib.ZSTD_decompressStream.restype = ctypes.c_size_t
+    lib.ZSTD_decompressStream.argtypes = [ctypes.c_void_p,
+                                          ctypes.POINTER(_Buf),
+                                          ctypes.POINTER(_Buf)]
+    lib.ZSTD_isError.restype = ctypes.c_uint
+    lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+    lib.ZSTD_freeDStream.argtypes = [ctypes.c_void_p]
+    ds = lib.ZSTD_createDStream()
+    if not ds:
+        raise ValueError("libzstd: stream creation failed")
+    try:
+        src = ctypes.create_string_buffer(data, len(data))
+        inb = _Buf(ctypes.cast(src, ctypes.c_void_p), len(data), 0)
+        chunks = []
+        total = 0
+        ret = None
+        while True:
+            dst = ctypes.create_string_buffer(1 << 17)
+            outb = _Buf(ctypes.cast(dst, ctypes.c_void_p), len(dst), 0)
+            ret = lib.ZSTD_decompressStream(ds, ctypes.byref(outb),
+                                            ctypes.byref(inb))
+            if lib.ZSTD_isError(ret):
+                raise ValueError("zstd: malformed stream")
+            if outb.pos:
+                chunks.append(dst.raw[:outb.pos])
+                total += outb.pos
+                if total > max_output:
+                    raise ValueError("zstd: output exceeds max_output")
+            if inb.pos == len(data):
+                if ret != 0:
+                    raise ValueError("zstd: truncated stream")
+                return b"".join(chunks)
+            if outb.pos == 0 and inb.pos == 0:
+                raise ValueError("zstd: decoder made no progress")
+    finally:
+        lib.ZSTD_freeDStream(ctypes.c_void_p(ds))
+
+
+_DECODERS = {
+    "gzip": decode_gzip,
+    "x-gzip": decode_gzip,
+    "deflate": decode_deflate,
+    "br": decode_brotli,
+    "zstd": decode_zstd_native,
+}
+
+
+def decode_content_encoding(body: bytes, encoding: str | None,
+                            max_output: int = _DEFAULT_MAX_OUTPUT) -> bytes:
+    """Apply a Content-Encoding chain (RFC 9110 §8.4) in reverse order.
+    ``encoding`` is the raw header value, e.g. ``"gzip"`` or
+    ``"gzip, br"``. Unknown tokens raise ValueError (the caller decides
+    whether to quarantine or keep the raw bytes)."""
+    if not encoding:
+        return body
+    tokens = [t.strip().lower() for t in encoding.split(",") if t.strip()]
+    for token in reversed(tokens):
+        if token in ("identity", ""):
+            continue
+        dec = _DECODERS.get(token)
+        if dec is None:
+            raise ValueError(f"unknown content-encoding {token!r}")
+        body = dec(body, max_output)
+    return body
+
+
+def decode_http_payload(raw: bytes,
+                        max_output: int = _DEFAULT_MAX_OUTPUT):
+    """Full pipeline for a WARC 'response' payload: parse the HTTP
+    response, undo chunked transfer framing, undo the Content-Encoding
+    chain. Returns (status, headers, body). Raises ValueError on any
+    malformed layer — callers quarantine (keep the raw bytes) on error."""
+    status, headers, body = parse_http_response(raw)
+    te = headers.get("transfer-encoding", "")
+    te_tokens = [t.strip().lower() for t in te.split(",") if t.strip()]
+    if te_tokens and te_tokens[-1] == "chunked":
+        body = dechunk(body)
+    body = decode_content_encoding(body, headers.get("content-encoding"),
+                                   max_output)
+    return status, headers, body

@@ -31,6 +31,8 @@ run_kg_pipeline(read_warc_pages(spark, path)).
 from __future__ import annotations
 
 import gzip
+
+from graphrag_mrkr_2_spark.functions.httppayload import decode_http_payload
 import io
 from collections.abc import Iterator
 
@@ -132,8 +134,22 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
         length = int(headers.get("content-length", "0"))
         payload = buf.read(length)
         if headers.get("warc-type") == "response":
-            http_end = payload.find(b"\r\n\r\n")
-            body = payload[http_end + 4 :] if http_end >= 0 else payload
+            # r7: responses carry the verbatim HTTP exchange — undo chunked
+            # transfer framing and the Content-Encoding chain (gzip/deflate/
+            # br/zstd, functions/httppayload.py) so downstream sees the
+            # bytes a browser would have.  A payload whose declared framing
+            # or encoding fails to decode is kept RAW (per-payload
+            # quarantine: the text extractor rejects it downstream; a
+            # whole-file error for one hostile record is not acceptable).
+            if payload.startswith(b"HTTP/"):
+                try:
+                    _, _, body = decode_http_payload(payload)
+                except ValueError:
+                    http_end = payload.find(b"\r\n\r\n")
+                    body = payload[http_end + 4:] if http_end >= 0 else payload
+            else:
+                http_end = payload.find(b"\r\n\r\n")
+                body = payload[http_end + 4:] if http_end >= 0 else payload
             pages.append(
                 {
                     "url": headers.get("warc-target-uri", ""),
