@@ -1631,20 +1631,10 @@ def q_web_decompress(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode_brotli_native,
             encode_brotli_uncompressed,
         )
+        from graphrag_mrkr_2_spark.functions.httppayload import (
+            encode_zstd_native as _zstd,
+        )
         from graphrag_mrkr_2_spark.sources.loaders import parse_warc_bytes
-
-        def _zstd(data):
-            import ctypes
-
-            lib = ctypes.CDLL("/lib/x86_64-linux-gnu/libzstd.so.1")
-            lib.ZSTD_compressBound.restype = ctypes.c_size_t
-            lib.ZSTD_compress.restype = ctypes.c_size_t
-            bound = lib.ZSTD_compressBound(len(data))
-            dst = ctypes.create_string_buffer(bound)
-            n = lib.ZSTD_compress(dst, bound, data, len(data), 3)
-            if lib.ZSTD_isError(n):
-                raise ValueError("zstd compress failed")
-            return dst.raw[:n]
 
         def _chunked(body):
             out = bytearray()

@@ -879,6 +879,106 @@ def main() -> None:
     )
     audio_demux_payloads.unpersist()
 
+    # --- HTTP Content-Encoding layer (r7) ------------------------------------
+    # extras: WARC records whose HTTP bodies are REALLY compressed
+    # (gzip/deflate/br/zstd + chunked, rotating) pushed through the full
+    # loader path — parse_warc_bytes → decode_http_payload.  The br quarter
+    # rides the pure RFC 7932 decoder (the deliberately slow always-available
+    # path); the pure-vs-native brotli rate is disclosed separately below.
+    def _encode_warc_bodies(batches):
+        import gzip as gzip_mod
+        import zlib
+
+        import pandas as pd
+
+        from graphrag_mrkr_2_spark.functions.brotlidec import (
+            encode_brotli_native,
+        )
+        from graphrag_mrkr_2_spark.functions.httppayload import (
+            encode_zstd_native as _zstd,
+        )
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                d = int(rec.doc_id)
+                raw = (f"<html><body>{'page text %d. ' % d * 400}"
+                       f"</body></html>").encode()
+                mode = (d // 4) % 4  # input is doc_id % 4 == 0 (see above)
+                if mode == 0:
+                    body, hdr = gzip_mod.compress(raw), b"Content-Encoding: gzip\r\n"
+                elif mode == 1:
+                    body, hdr = zlib.compress(raw), b"Content-Encoding: deflate\r\n"
+                elif mode == 2:
+                    body, hdr = encode_brotli_native(raw, 5), b"Content-Encoding: br\r\n"
+                else:
+                    body, hdr = _zstd(raw), b"Content-Encoding: zstd\r\n"
+                payload = (b"HTTP/1.1 200 OK\r\n" + hdr + b"\r\n" + body)
+                warc = ((f"WARC/1.0\r\nWARC-Type: response\r\n"
+                         f"WARC-Target-URI: https://w{d}.example/\r\n"
+                         f"Content-Length: {len(payload)}\r\n\r\n").encode()
+                        + payload + b"\r\n\r\n")
+                rows.append({"doc_id": str(d), "warc": warc,
+                             "n_raw": len(raw)})
+            yield pd.DataFrame(rows, columns=["doc_id", "warc", "n_raw"])
+
+    web_payloads = (
+        documents.select("doc_id")
+        .where(F.col("doc_id") % 4 == 0)
+        .repartition(cpus * 4)
+        .mapInPandas(_encode_warc_bodies,
+                     "doc_id string, warc binary, n_raw long")
+        .persist()
+    )
+    n_web = web_payloads.count()
+
+    def _decode_warc_run():
+        from graphrag_mrkr_2_spark.sources.loaders import parse_warc_bytes
+
+        def _run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                n = sum(len(parse_warc_bytes(bytes(w))[0]["html"])
+                        for w in pdf["warc"])
+                yield pd.DataFrame({"n": [n]})
+
+        return (web_payloads.mapInPandas(_run, "n long")
+                .agg(F.sum("n")).collect()[0][0])
+
+    extras["web_decompress_sec"] = best_of_2(_decode_warc_run,
+                                             label="web_decompress")
+    extras["web_decompress_pages_per_sec"] = round(
+        n_web / max(extras["web_decompress_sec"], 1e-9), 1
+    )
+    web_payloads.unpersist()
+
+    # pure-vs-native brotli decode rate on one representative page blob
+    # (driver-side micro-measure, same disclosure style as SCALE.md codec
+    # rates; the operator path above already exercises both in-pipeline)
+    from graphrag_mrkr_2_spark.functions.brotlidec import (
+        decode_brotli as _br_pure,
+        decode_brotli_native as _br_native,
+        encode_brotli_native as _br_enc,
+    )
+
+    # varied text (not a pure repeat) so the literal/copy mix resembles a
+    # real page rather than one long match
+    _blob_plain = ("<html><body>" + " ".join(
+        f"token{i} value{i * 7 % 97} mixed page content {i % 13}"
+        for i in range(8000)) + "</body></html>").encode()
+    _blob_br = _br_enc(_blob_plain, 9)
+    t0 = time.time()
+    for _ in range(3):
+        _br_pure(_blob_br)
+    extras["brotli_pure_mbps"] = round(
+        3 * len(_blob_plain) / (time.time() - t0) / 1e6, 2)
+    t0 = time.time()
+    for _ in range(200):
+        _br_native(_blob_br)
+    extras["brotli_native_mbps"] = round(
+        200 * len(_blob_plain) / (time.time() - t0) / 1e6, 1)
+
     # --- corpus hygiene (round 3: textclean) --------------------------------
     from graphrag_mrkr_2_spark.operators.textclean import redact_pii, repetition_stats
 

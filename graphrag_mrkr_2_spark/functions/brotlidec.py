@@ -25,8 +25,6 @@ decoder on day one — the seam is proven byte-identical here.
 
 from __future__ import annotations
 
-import struct
-
 from graphrag_mrkr_2_spark.functions._brotlitables import (
     BLOCK_LEN_RANGES,
     CONTEXT_LUT,
@@ -239,13 +237,13 @@ def _read_prefix_code(br: _Bits, alphabet: int) -> tuple:
             num_codes += 1
             if space <= 0:
                 break
-    if num_codes != 1 and space != 0:
-        raise ValueError("brotli: invalid code-length code")
-    cl_code = _canonical(cl_lengths) if num_codes > 1 else (
-        "single", cl_lengths.index(next(L for L in cl_lengths if L)), 0)
     if num_codes == 1:
         cl_code = ("single",
-                   max(range(18), key=lambda s: cl_lengths[s] > 0), 0)
+                   next(s for s, L in enumerate(cl_lengths) if L), 0)
+    elif space != 0:
+        raise ValueError("brotli: invalid code-length code")
+    else:
+        cl_code = _canonical(cl_lengths)
 
     lengths = [0] * alphabet
     space = 32768

@@ -84,12 +84,12 @@ def dechunk(body: bytes) -> bytes:
         if eol < 0:
             raise ValueError("chunked: missing chunk-size line")
         size_token = body[pos:eol].split(b";", 1)[0].strip()
-        try:
-            size = int(size_token, 16)
-        except ValueError as e:
-            raise ValueError("chunked: bad chunk size") from e
-        if size < 0:
-            raise ValueError("chunked: negative chunk size")
+        # RFC 9112 chunk-size is 1*HEXDIG — int(x, 16) alone would also
+        # accept '0x2', '+2' and '1_f' (review r7 finding)
+        if not size_token or any(c not in b"0123456789abcdefABCDEF"
+                                 for c in size_token):
+            raise ValueError("chunked: bad chunk size")
+        size = int(size_token, 16)
         pos = eol + 2
         if size == 0:
             # optional trailer section, terminated by CRLF
@@ -182,8 +182,8 @@ def decode_zstd_native(data: bytes,
         inb = _Buf(ctypes.cast(src, ctypes.c_void_p), len(data), 0)
         chunks = []
         total = 0
-        ret = None
         while True:
+            in_before = inb.pos
             dst = ctypes.create_string_buffer(1 << 17)
             outb = _Buf(ctypes.cast(dst, ctypes.c_void_p), len(dst), 0)
             ret = lib.ZSTD_decompressStream(ds, ctypes.byref(outb),
@@ -199,10 +199,36 @@ def decode_zstd_native(data: bytes,
                 if ret != 0:
                     raise ValueError("zstd: truncated stream")
                 return b"".join(chunks)
-            if outb.pos == 0 and inb.pos == 0:
+            if outb.pos == 0 and inb.pos == in_before:
                 raise ValueError("zstd: decoder made no progress")
     finally:
         lib.ZSTD_freeDStream(ctypes.c_void_p(ds))
+
+
+def encode_zstd_native(data: bytes, level: int = 3) -> bytes:
+    """One-shot zstd compress via libzstd — the fixture/bench twin of
+    decode_zstd_native (shared here so the three fixture sites don't each
+    hand-roll the binding; review r7 finding)."""
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL(_ZSTD_LIB)
+    except OSError as e:
+        raise ValueError(f"libzstd unavailable: {e}") from e
+    lib.ZSTD_compressBound.restype = ctypes.c_size_t
+    lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+    lib.ZSTD_compress.restype = ctypes.c_size_t
+    lib.ZSTD_compress.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                  ctypes.c_char_p, ctypes.c_size_t,
+                                  ctypes.c_int]
+    lib.ZSTD_isError.restype = ctypes.c_uint
+    lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+    bound = lib.ZSTD_compressBound(len(data))
+    dst = ctypes.create_string_buffer(bound)
+    n = lib.ZSTD_compress(dst, bound, data, len(data), level)
+    if lib.ZSTD_isError(n):
+        raise ValueError("zstd: compression failed")
+    return dst.raw[:n]
 
 
 _DECODERS = {

@@ -31,13 +31,13 @@ run_kg_pipeline(read_warc_pages(spark, path)).
 from __future__ import annotations
 
 import gzip
-
-from graphrag_mrkr_2_spark.functions.httppayload import decode_http_payload
 import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+from graphrag_mrkr_2_spark.functions.httppayload import decode_http_payload
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -104,8 +104,12 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
     """Pure-stdlib WARC/1.0 parser: 'response' records → page dicts.
 
     Record grammar (ISO 28500): header block terminated by CRLFCRLF,
-    Content-Length octets of payload, CRLFCRLF separator. The HTTP payload's
-    own headers are stripped at the first CRLFCRLF inside the payload.
+    Content-Length octets of payload, CRLFCRLF separator. The HTTP payload
+    is decoded for real (r7): headers parsed, Transfer-Encoding: chunked
+    framing removed, the Content-Encoding chain (gzip/deflate/br/zstd)
+    undone via functions/httppayload.py; a record whose declared framing or
+    encoding fails to decode keeps its raw post-header bytes (per-payload
+    quarantine).
     """
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)

@@ -9,7 +9,6 @@ from decoded text), cited at ingestion/loaders/.
 
 from __future__ import annotations
 
-import ctypes
 import gzip as gzip_mod
 import os
 import zlib
@@ -26,6 +25,7 @@ from graphrag_mrkr_2_spark.functions.httppayload import (
     decode_http_payload,
     decode_zstd_native,
     dechunk,
+    encode_zstd_native as _zstd_compress,
     parse_http_response,
 )
 
@@ -33,17 +33,6 @@ BODY = ("The quick brown fox. " * 200).encode()
 
 _HAS_ZSTD = os.path.exists("/lib/x86_64-linux-gnu/libzstd.so.1")
 _HAS_BR = os.path.exists("/lib/x86_64-linux-gnu/libbrotlienc.so.1")
-
-
-def _zstd_compress(data: bytes, level: int = 3) -> bytes:
-    lib = ctypes.CDLL("/lib/x86_64-linux-gnu/libzstd.so.1")
-    lib.ZSTD_compressBound.restype = ctypes.c_size_t
-    lib.ZSTD_compress.restype = ctypes.c_size_t
-    bound = lib.ZSTD_compressBound(len(data))
-    dst = ctypes.create_string_buffer(bound)
-    n = lib.ZSTD_compress(dst, bound, data, len(data), level)
-    assert not lib.ZSTD_isError(n)
-    return dst.raw[:n]
 
 
 def _chunked(body: bytes, sizes=(7, 64, 1)) -> bytes:
