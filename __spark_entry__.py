@@ -1613,7 +1613,8 @@ def q_web_decompress(spark: SparkSession, sf_dir: str) -> DataFrame:
     rotating by doc_id over gzip, deflate (zlib-wrapped), br (a real
     libbrotlienc stream decoded by the pure RFC 7932 decoder in
     functions/brotlidec.py), br (uncompressed-metablock stream), zstd
-    (system libzstd seam) and chunked transfer framing + gzip — wrapped
+    (a real libzstd stream decoded by the pure RFC 8878 decoder in
+    functions/zstddec.py) and chunked transfer framing + gzip — wrapped
     in a WARC response record and pushed through the REAL loader path
     (sources/loaders.parse_warc_bytes → functions/httppayload.
     decode_http_payload). DuckDB reconstructs the text from the formula,

@@ -12,9 +12,9 @@ is what makes the WARC loader produce the bytes a browser would have seen.
 Decoders: gzip/deflate ride stdlib zlib (bounded, multi-member gzip,
 raw-deflate fallback for the classic server bug); br rides the pure
 RFC 7932 decoder in functions/brotlidec.py (system libbrotlidec injectable,
-bit-identical — see tests/test_brotlidec.py); zstd rides the system libzstd
-via ctypes (no stdlib/pure path yet — a declared seam, callers see a clear
-ValueError when the library is absent).
+bit-identical — see tests/test_brotlidec.py); zstd rides the pure RFC 8878
+decoder in functions/zstddec.py (system libzstd injectable via
+decode_zstd_native, A/B'd in tests/test_zstddec.py).
 
 Every decode is bounded by ``max_output`` (decompression-bomb guard: a
 format-valid gzip or brotli stream expands ~1e3..1e6:1, and a crawl WILL
@@ -231,12 +231,18 @@ def encode_zstd_native(data: bytes, level: int = 3) -> bytes:
     return dst.raw[:n]
 
 
+def _decode_zstd(body: bytes, max_output: int = _DEFAULT_MAX_OUTPUT) -> bytes:
+    from graphrag_mrkr_2_spark.functions.zstddec import decode_zstd
+
+    return decode_zstd(body, max_output)
+
+
 _DECODERS = {
     "gzip": decode_gzip,
     "x-gzip": decode_gzip,
     "deflate": decode_deflate,
     "br": decode_brotli,
-    "zstd": decode_zstd_native,
+    "zstd": _decode_zstd,
 }
 
 
