@@ -152,9 +152,10 @@ _ZSTD_LIB = "/lib/x86_64-linux-gnu/libzstd.so.1"
 
 def decode_zstd_native(data: bytes,
                        max_output: int = _DEFAULT_MAX_OUTPUT) -> bytes:
-    """zstd (RFC 8878) via the system libzstd streaming API.  A ctypes
-    binding, not a reimplementation — the declared seam for this one
-    format (no stdlib path exists; a pure decoder is future work)."""
+    """zstd (RFC 8878) via the system libzstd streaming API — the
+    injected scale path; the always-available default is the pure
+    decoder in functions/zstddec.py (A/B'd against this binding in
+    tests/test_zstddec.py)."""
     import ctypes
 
     try:

@@ -356,6 +356,8 @@ def _huffman_decode(stream: bytes, table, table_log: int, count: int) -> bytes:
 
 def _decode_literals(block: bytes, pos: int, prev_huffman):
     """§3.1.1.3.1 literals section → (literals, new pos, huffman state)."""
+    if pos >= len(block):
+        raise ValueError("zstd: missing literals section")
     b0 = block[pos]
     ltype = b0 & 3
     size_format = (b0 >> 2) & 3
@@ -364,9 +366,13 @@ def _decode_literals(block: bytes, pos: int, prev_huffman):
             regen = b0 >> 3
             pos += 1
         elif size_format == 1:
+            if pos + 2 > len(block):
+                raise ValueError("zstd: literals header truncated")
             regen = (b0 >> 4) | (block[pos + 1] << 4)
             pos += 2
         else:
+            if pos + 3 > len(block):
+                raise ValueError("zstd: literals header truncated")
             regen = (b0 >> 4) | (block[pos + 1] << 4) | (block[pos + 2] << 12)
             pos += 3
         if ltype == 0:
@@ -379,29 +385,26 @@ def _decode_literals(block: bytes, pos: int, prev_huffman):
         return bytes([block[pos]]) * regen, pos + 1, prev_huffman
 
     # compressed (2) / treeless (3)
+    hdr_bytes = (3, 3, 4, 5)[size_format]
+    if pos + hdr_bytes > len(block):
+        raise ValueError("zstd: literals header truncated")
+    hdr = int.from_bytes(block[pos:pos + hdr_bytes], "little")
+    pos += hdr_bytes
     if size_format == 0:
-        hdr = int.from_bytes(block[pos:pos + 3], "little")
         regen = (hdr >> 4) & 0x3FF
         comp = (hdr >> 14) & 0x3FF
-        pos += 3
         streams = 1
     elif size_format == 1:
-        hdr = int.from_bytes(block[pos:pos + 3], "little")
         regen = (hdr >> 4) & 0x3FF
         comp = (hdr >> 14) & 0x3FF
-        pos += 3
         streams = 4
     elif size_format == 2:
-        hdr = int.from_bytes(block[pos:pos + 4], "little")
         regen = (hdr >> 4) & 0x3FFF
         comp = (hdr >> 18) & 0x3FFF
-        pos += 4
         streams = 4
     else:
-        hdr = int.from_bytes(block[pos:pos + 5], "little")
         regen = (hdr >> 4) & 0x3FFFF
         comp = (hdr >> 22) & 0x3FFFF
-        pos += 5
         streams = 4
     section = block[pos:pos + comp]
     if len(section) != comp:
@@ -546,6 +549,11 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
     huffman = None
     tables = {"ll": None, "of": None, "ml": None}
     rep = [1, 4, 8]
+    # §3.1.1.2.3/4: every block's DECOMPRESSED size is capped at
+    # min(Window_Size, 128 KiB) — also the memory bound one hostile block
+    # can claim before the bomb guard fires (review r7 finding: without
+    # this, 38 crafted bytes expanded to gigabytes)
+    block_max = min(window if window is not None else 1 << 40, 128 << 10)
     while True:
         if pos + 3 > n:
             raise ValueError("zstd: truncated block header")
@@ -555,11 +563,15 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
         btype = (bh >> 1) & 3
         bsize = bh >> 3
         if btype == 0:  # raw
+            if bsize > block_max:
+                raise ValueError("zstd: block exceeds Block_Maximum_Size")
             if pos + bsize > n:
                 raise ValueError("zstd: raw block truncated")
             out += data[pos:pos + bsize]
             pos += bsize
         elif btype == 1:  # RLE
+            if bsize > block_max:
+                raise ValueError("zstd: block exceeds Block_Maximum_Size")
             if pos >= n:
                 raise ValueError("zstd: RLE block truncated")
             out += bytes([data[pos]]) * bsize
@@ -568,7 +580,8 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
             if pos + bsize > n:
                 raise ValueError("zstd: compressed block truncated")
             huffman = _decode_block(data[pos:pos + bsize], out, huffman,
-                                    tables, rep, frame_start, window)
+                                    tables, rep, frame_start, window,
+                                    block_max, max_output)
             pos += bsize
         else:
             raise ValueError("zstd: reserved block type")
@@ -582,15 +595,19 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
         if pos + 4 > n:
             raise ValueError("zstd: truncated content checksum")
         want = int.from_bytes(data[pos:pos + 4], "little")
-        if xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF != want:
+        if xxh64(memoryview(out)[frame_start:]) & 0xFFFFFFFF != want:
             raise ValueError("zstd: content checksum mismatch")
         pos += 4
     return pos, len(out) - frame_start
 
 
 def _decode_block(block: bytes, out: bytearray, huffman, tables, rep,
-                  frame_start: int, window) -> object:
+                  frame_start: int, window, block_max: int,
+                  max_output) -> object:
+    block_start = len(out)
     lits, pos, huffman = _decode_literals(block, 0, huffman)
+    if len(lits) > block_max:
+        raise ValueError("zstd: literals exceed Block_Maximum_Size")
 
     # sequences section header
     if pos >= len(block):
@@ -683,9 +700,17 @@ def _decode_block(block: bytes, out: bytearray, huffman, tables, rep,
         if offset >= ml:
             out += out[src:src + ml]
         else:
-            for _ in range(ml):
-                out.append(out[src])
-                src += 1
+            # overlapping copy: replicate the trailing `offset` bytes
+            # cyclically by doubling — O(log(ml/offset)) slice ops, not
+            # one interpreter iteration per byte (review r7 finding)
+            frag = bytes(out[src:])
+            while len(frag) < ml:
+                frag += frag
+            out += frag[:ml]
+        if len(out) - block_start > block_max:
+            raise ValueError("zstd: block exceeds Block_Maximum_Size")
+        if max_output is not None and len(out) > max_output:
+            raise ValueError("zstd: output exceeds max_output")
 
         if i != nseq - 1:
             ll_state.update(br)

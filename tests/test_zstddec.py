@@ -175,6 +175,45 @@ class TestPureOnly:
                  + ((10 << 3) | (1 << 1) | 1).to_bytes(3, "little") + b"z")
         assert decode_zstd(frame) == b"z" * 10
 
+    def test_block_maximum_size_bomb_guard(self):
+        """Review r7 repro: a hand-crafted ~25-byte frame whose one
+        sequence expands to 65 KiB against a 1 KiB window must trip the
+        Block_Maximum_Size check promptly (it used to expand unbounded
+        before the max_output check between blocks)."""
+        block = bytes([
+            0x51, 0x41,        # RLE literals, regen 10, byte 'A'
+            0x01,              # one sequence
+            0x54,              # LL/OF/ML all RLE mode
+            10, 0, 52,         # LL sym 10 (ll=10), OF sym 0, ML sym 52
+            0x00, 0x00, 0x01,  # backward bitstream: 16 ml-extra bits + sentinel
+        ])
+        frame = ((0xFD2FB528).to_bytes(4, "little")
+                 + bytes([0x00, 0x00])  # window descriptor: 1 KiB window
+                 + ((len(block) << 3) | (2 << 1) | 1).to_bytes(3, "little")
+                 + block)
+        with pytest.raises(ValueError, match="Block_Maximum_Size"):
+            decode_zstd(frame)
+        if os.path.exists(_LIB):  # libzstd rejects it too (never looser)
+            from graphrag_mrkr_2_spark.functions.httppayload import (
+                decode_zstd_native,
+            )
+
+            with pytest.raises(ValueError):
+                decode_zstd_native(frame)
+
+    def test_hostile_headers_raise_valueerror_not_indexerror(self):
+        """Review r7 repros: truncated literal headers escaped as
+        IndexError, breaking the loader's ValueError-only quarantine."""
+        # zero-size compressed block
+        f1 = bytes.fromhex("28b52ffd0000050000")
+        # compressed block of 1 byte: raw literals with size_format 1
+        f2 = ((0xFD2FB528).to_bytes(4, "little") + bytes([0x00, 0x00])
+              + ((1 << 3) | (2 << 1) | 1).to_bytes(3, "little")
+              + bytes([0x04]))
+        for f in (f1, f2):
+            with pytest.raises(ValueError):
+                decode_zstd(f)
+
     def test_fuzz_never_crashes(self):
         rng = random.Random(3)
         magic = (0xFD2FB528).to_bytes(4, "little")
