@@ -4,7 +4,7 @@ entry(spark)    — flagship KG-construction run on a deterministic synthetic
                   pages table (BASELINE.json input_hint shape) → triples DF.
 queries()       — one entry per implemented operator family (SURVEY.md §2 +
                   the training-data suite); each callable (spark, sf_dir) →
-                  DataFrame. 72 queries, 64 with exact DuckDB oracles.
+                  DataFrame. 73 queries, 65 with exact DuckDB oracles.
 oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
                   KG-pipeline queries (chunking/extraction/canonicalization/
                   communities) are not ANSI-SQL-expressible → rows-only check
@@ -1690,6 +1690,69 @@ def q_web_decompress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHATWG charset sniffing (r7) with an EXACT oracle: per doc, a
+    deterministic page is encoded in a REAL legacy encoding — rotating by
+    doc_id over plain UTF-8 with a meta tag, BOM'd UTF-8, BOM'd UTF-16LE,
+    windows-1252 declared via the iso-8859-1 label (the WHATWG
+    latin-1→1252 remap), Shift_JIS and GBK declared as gb2312 — then
+    decoded back through functions/charsets.decode_html_bytes (the same
+    path operators/extract.extract_text rides). DuckDB reconstructs the
+    decoded text and detected encoding from the formula. The reference
+    assumes pre-decoded text and has no charset handling
+    (ingestion/loaders/)."""
+
+    def _make(batches):
+        import pandas as pd
+
+        from graphrag_mrkr_2_spark.functions.charsets import (
+            decode_html_bytes,
+        )
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                d = int(rec.doc_id)
+                mode = d % 6
+                if mode == 0:
+                    page = (f"<html><head><meta charset=\"utf-8\"></head>"
+                            f"<body>Café résumé {d}</body></html>")
+                    raw = page.encode("utf-8")
+                elif mode == 1:
+                    page = f"<html><body>Æther ünïcøde {d}</body></html>"
+                    raw = b"\xef\xbb\xbf" + page.encode("utf-8")
+                elif mode == 2:
+                    page = f"<html><body>Wide chars € {d}</body></html>"
+                    raw = b"\xff\xfe" + page.encode("utf-16-le")
+                elif mode == 3:
+                    page = (f"<html><head><meta charset=\"iso-8859-1\">"
+                            f"</head><body>Smart “quotes” café "
+                            f"{d}</body></html>")
+                    raw = page.encode("cp1252")
+                elif mode == 4:
+                    page = (f"<html><head><meta charset=\"shift_jis\">"
+                            f"</head><body>日本語のページ {d}</body></html>")
+                    raw = page.encode("shift_jis")
+                else:
+                    page = (f"<html><head><meta charset=\"gb2312\"></head>"
+                            f"<body>中文网页内容 {d}</body></html>")
+                    raw = page.encode("gbk")
+                text, enc = decode_html_bytes(raw)
+                rows.append({"doc_id": str(d), "encoding": enc,
+                             "text": text, "match": int(text == page)})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "encoding", "text", "match"])
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            _make, "doc_id string, encoding string, text string, match int")
+        .orderBy(F.col("doc_id").cast("long"))
+    )
+
+
 def _pii_oracle_sql() -> str:
     """Build the doc_pii_redact oracle from the operator's OWN patterns so
     Spark and DuckDB provably run byte-identical regexes."""
@@ -2045,6 +2108,7 @@ def _register_queries() -> None:
             # New in r7
             "audio_payload_roundtrip": q_audio_payload_roundtrip,
             "web_decompress": q_web_decompress,
+            "charset_decode": q_charset_decode,
             # Last driver row: r5 (fell outside the r6 window)
             "dedup_representatives": q_dedup_representatives,
             "doc_corpus_stats": q_doc_corpus_stats,
@@ -2908,6 +2972,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(repeat('Webtext body ' || doc_id || '. ',
                         CAST(20 + doc_id % 60 AS INTEGER))) AS BIGINT)
                      AS n_bytes
+            FROM documents ORDER BY CAST(doc_id AS BIGINT)
+        """,
+        # Charset sniffing: DuckDB rebuilds the decoded page text and the
+        # detected encoding from the formula; Spark recovers them through
+        # real legacy-encoded bytes (BOMs, meta labels incl. the WHATWG
+        # latin-1->1252 remap, Shift_JIS, GBK-as-gb2312)
+        "charset_decode": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE doc_id % 6
+                        WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8'
+                        WHEN 2 THEN 'utf-16-le' WHEN 3 THEN 'cp1252'
+                        WHEN 4 THEN 'shift_jis' ELSE 'gbk' END AS encoding,
+                   CASE doc_id % 6
+                        WHEN 0 THEN '<html><head><meta charset="utf-8"></head><body>Café résumé ' || doc_id || '</body></html>'
+                        WHEN 1 THEN '<html><body>Æther ünïcøde ' || doc_id || '</body></html>'
+                        WHEN 2 THEN '<html><body>Wide chars € ' || doc_id || '</body></html>'
+                        WHEN 3 THEN '<html><head><meta charset="iso-8859-1"></head><body>Smart “quotes” café ' || doc_id || '</body></html>'
+                        WHEN 4 THEN '<html><head><meta charset="shift_jis"></head><body>日本語のページ ' || doc_id || '</body></html>'
+                        ELSE '<html><head><meta charset="gb2312"></head><body>中文网页内容 ' || doc_id || '</body></html>'
+                   END AS text,
+                   CAST(1 AS INTEGER) AS match
             FROM documents ORDER BY CAST(doc_id AS BIGINT)
         """,
         # PII redaction: the operator's own RE2-safe patterns (imported, so

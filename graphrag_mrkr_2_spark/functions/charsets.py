@@ -1,0 +1,159 @@
+"""HTML character-set sniffing and decoding for the webtext path.
+
+A real crawl is ~5% non-UTF-8 (windows-125x, shift_jis, gbk, euc-kr,
+big5, iso-8859-*); hard-coding ``utf-8/replace`` silently mojibakes those
+pages into the corpus. This implements the practical subset of the WHATWG
+encoding-sniffing algorithm browsers use, on top of CPython's codec
+registry (which ships every web-relevant codec):
+
+1. byte-order marks (UTF-8 / UTF-16LE / UTF-16BE),
+2. a ``charset`` parameter from the transport (Content-Type header),
+3. a bounded prescan of the first bytes for ``<meta charset=...>`` /
+   ``<meta http-equiv="Content-Type" ...>`` / an XML declaration,
+4. strict UTF-8 attempt, falling back to windows-1252 (the WHATWG
+   default for the general web) with replacement.
+
+Encoding labels are normalized per the WHATWG Encoding Standard's label
+table (the subset that differs from Python's own aliases: x-user-defined
+aside, browsers decode ``iso-8859-1``/``ascii`` as windows-1252,
+``gb2312`` as GBK, ``tis-620`` as windows-874, ...). The reference
+(danve93/graphrag-mrkr-2) assumes decoded text throughout and has no
+charset handling at all.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+
+# WHATWG label → Python codec, where they differ from Python's alias table
+# (plus the high-traffic exact labels so lookups skip codecs.lookup)
+_WHATWG_LABELS = {
+    # the latin-1 family is DECODED as windows-1252 on the web
+    "iso-8859-1": "windows-1252",
+    "iso8859-1": "windows-1252",
+    "latin1": "windows-1252",
+    "latin-1": "windows-1252",
+    "us-ascii": "windows-1252",
+    "ascii": "windows-1252",
+    "ansi_x3.4-1968": "windows-1252",
+    "iso-8859-9": "windows-1254",
+    "iso-8859-11": "cp874",
+    "tis-620": "cp874",
+    "gb2312": "gbk",
+    "gb_2312-80": "gbk",
+    "csgb2312": "gbk",
+    "x-euc-jp": "euc_jp",
+    "ks_c_5601-1987": "cp949",
+    "korean": "cp949",
+    "euc-kr": "cp949",
+    "macintosh": "mac_roman",
+    "x-mac-cyrillic": "mac_cyrillic",
+    "utf8": "utf-8",
+    "unicode-1-1-utf-8": "utf-8",
+    # UTF-16 labels: WHATWG decodes the generic label as LE
+    "utf-16": "utf-16-le",
+    "ucs-2": "utf-16-le",
+}
+
+# meta/header charset scan, ASCII-compatible prefix only
+_META_RE = re.compile(
+    rb"""<meta[^>]+?charset\s*=\s*["']?\s*([a-zA-Z0-9._:-]+)""",
+    re.IGNORECASE | re.DOTALL,
+)
+_XML_RE = re.compile(
+    rb"""<\?xml[^>]+?encoding\s*=\s*["']([a-zA-Z0-9._:-]+)["']""",
+    re.IGNORECASE,
+)
+_CT_CHARSET_RE = re.compile(r"charset\s*=\s*\"?([a-zA-Z0-9._:-]+)\"?",
+                            re.IGNORECASE)
+
+_PRESCAN_BYTES = 1024
+
+
+def _c1_controls(err: UnicodeError):
+    """WHATWG's windows-1252 index defines all 256 bytes — 0x81/0x8D/
+    0x8F/0x90/0x9D map to the C1 controls — while Python's cp1252 leaves
+    them undefined. This error handler supplies the browser mapping."""
+    if isinstance(err, UnicodeDecodeError):
+        return ("".join(chr(b) for b in err.object[err.start:err.end]),
+                err.end)
+    raise err
+
+
+codecs.register_error("whatwg-c1", _c1_controls)
+
+
+def resolve_encoding(label: str | None) -> str | None:
+    """WHATWG-style label → Python codec name, or None when unknown."""
+    if not label:
+        return None
+    label = label.strip().strip("\"'").lower()
+    try:
+        name = codecs.lookup(_WHATWG_LABELS.get(label, label)).name
+    except LookupError:
+        return None
+    # Python resolves iso-8859-1 to 'iso8859-1'; the web decodes it (and
+    # anything else that normalizes to latin-1/ascii) as windows-1252
+    if name in ("iso8859-1", "latin-1", "ascii"):
+        return "cp1252"
+    if name == "utf-16":
+        return "utf-16-le"
+    return name
+
+
+def sniff_html_encoding(raw: bytes, content_type: str | None = None):
+    """(encoding, bom_length) for an HTML byte payload, BOM > transport
+    header > meta prescan > None (caller applies the UTF-8→1252 policy)."""
+    if raw.startswith(b"\xef\xbb\xbf"):
+        return "utf-8", 3
+    if raw.startswith(b"\xff\xfe"):
+        return "utf-16-le", 2
+    if raw.startswith(b"\xfe\xff"):
+        return "utf-16-be", 2
+    if content_type:
+        m = _CT_CHARSET_RE.search(content_type)
+        if m:
+            enc = resolve_encoding(m.group(1))
+            if enc:
+                return enc, 0
+    head = raw[:_PRESCAN_BYTES]
+    m = _META_RE.search(head) or _XML_RE.search(head)
+    if m:
+        enc = resolve_encoding(m.group(1).decode("ascii", "replace"))
+        if enc:
+            # a meta claiming UTF-16 on an ASCII-compatible prescan is
+            # self-contradictory; WHATWG coerces it to UTF-8
+            if enc.startswith("utf-16"):
+                enc = "utf-8"
+            return enc, 0
+    return None, 0
+
+
+def decode_html_bytes(raw: bytes, content_type: str | None = None):
+    """Decode an HTML payload to text: returns (text, encoding_used).
+
+    Declared/sniffed encodings decode with 'replace' (a stray bad byte
+    must not drop a page); with no declaration, strict UTF-8 is tried
+    first and windows-1252 is the fallback."""
+    if not raw:
+        return "", "utf-8"
+    enc, bom = sniff_html_encoding(raw, content_type)
+    if enc is not None:
+        errors = "whatwg-c1" if enc == "cp1252" else "replace"
+        try:
+            return raw[bom:].decode(enc, errors), enc
+        except LookupError:  # pragma: no cover - resolve_encoding vetted it
+            pass
+    try:
+        return raw.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        return raw.decode("cp1252", "whatwg-c1"), "cp1252"
+
+
+def to_text(value) -> str:
+    """The pipeline's bytes-or-str html column → text (sniffing decode
+    for bytes, pass-through for str)."""
+    if isinstance(value, (bytes, bytearray)):
+        return decode_html_bytes(bytes(value))[0]
+    return value or ""

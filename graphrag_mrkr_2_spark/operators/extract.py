@@ -29,6 +29,7 @@ from pyspark.sql.types import (
 )
 
 from ..config import ChunkingConfig, ContentFilterConfig
+from ..functions.charsets import to_text
 from ..functions.chunking import chunk_document
 from ..functions.html_text import HtmlHeadingChunker, extract_plain_text
 
@@ -60,15 +61,18 @@ def repartition_by_url(df: DataFrame, num_partitions: int, salt: int = 1) -> Dat
 
 
 def extract_text(pages: DataFrame, html_col: str = "html", out_col: str = "text") -> DataFrame:
-    """Decode the html binary column to the byte-identical plain text (T1)."""
+    """Decode the html binary column to the byte-identical plain text (T1).
+
+    Bytes → str rides the WHATWG charset sniffer (r7,
+    functions/charsets.py): BOM, meta prescan, strict-UTF-8 with a
+    windows-1252 fallback — a crawl is ~5% legacy-encoded and a flat
+    utf-8/replace mojibakes those pages into the corpus."""
 
     @F.pandas_udf(StringType())
     def _extract(html: pd.Series) -> pd.Series:
-        return html.map(
-            lambda b: extract_plain_text(
-                b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else (b or "")
-            )
-        )
+        from graphrag_mrkr_2_spark.functions.charsets import to_text
+
+        return html.map(lambda b: extract_plain_text(to_text(b)))
 
     return pages.withColumn(out_col, _extract(F.col(html_col)))
 
@@ -161,11 +165,7 @@ def chunk_pages(
                 doc_id = document_id_for_url(str(url))
                 if use_html:
                     raw = getattr(rec, html_col)
-                    html = (
-                        raw.decode("utf-8", "replace")
-                        if isinstance(raw, (bytes, bytearray))
-                        else (raw or "")
-                    )
+                    html = to_text(raw)  # charset-sniffing decode (r7)
                     pieces = chunker.chunk_html(html)
                     base_text = (
                         getattr(rec, text_col, None) if text_col in pdf.columns else None
