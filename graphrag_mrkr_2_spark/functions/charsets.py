@@ -38,6 +38,8 @@ _WHATWG_LABELS = {
     "ascii": "windows-1252",
     "ansi_x3.4-1968": "windows-1252",
     "iso-8859-9": "windows-1254",
+    "iso-8859-8-i": "iso8859-8",
+    "logical": "iso8859-8",
     "iso-8859-11": "cp874",
     "tis-620": "cp874",
     "gb2312": "gbk",
@@ -56,13 +58,31 @@ _WHATWG_LABELS = {
     "ucs-2": "utf-16-le",
 }
 
+# the closed set of encodings the WHATWG Encoding Standard defines, as
+# Python canonical codec names — anything else (utf-7, hz-gb-2312, utf-32,
+# EBCDIC, ...) is an UNKNOWN label to a browser, and honoring it would
+# reopen the encoding-confusion attacks (e.g. utf-7 '+ADw-script+AD4-')
+# the standard removed those encodings to prevent
+_WHATWG_ENCODINGS = frozenset({
+    "utf-8", "utf-16-le", "utf-16-be",
+    "cp866", "koi8-r", "koi8-u", "mac-roman", "mac-cyrillic",
+    "cp874", "cp1250", "cp1251", "cp1252", "cp1253", "cp1254", "cp1255",
+    "cp1256", "cp1257", "cp1258",
+    "iso8859-2", "iso8859-3", "iso8859-4", "iso8859-5", "iso8859-6",
+    "iso8859-7", "iso8859-8", "iso8859-10", "iso8859-13", "iso8859-14",
+    "iso8859-15", "iso8859-16",
+    "gbk", "gb18030", "big5", "big5hkscs",
+    "euc_jp", "iso2022_jp", "shift_jis",
+    "cp949", "euc_kr",
+})
+
 # meta/header charset scan, ASCII-compatible prefix only
-_META_RE = re.compile(
-    rb"""<meta[^>]+?charset\s*=\s*["']?\s*([a-zA-Z0-9._:-]+)""",
-    re.IGNORECASE | re.DOTALL,
-)
+_COMMENT_RE = re.compile(rb"<!--.*?(-->|\Z)", re.DOTALL)
+_META_TAG_RE = re.compile(rb"<meta\b([^>]*)>", re.IGNORECASE | re.DOTALL)
+_ATTR_RE = re.compile(
+    rb"""([a-zA-Z-]+)\s*=\s*("[^"]*"|'[^']*'|[^\s"'>]+)""")
 _XML_RE = re.compile(
-    rb"""<\?xml[^>]+?encoding\s*=\s*["']([a-zA-Z0-9._:-]+)["']""",
+    rb"""\A\s*<\?xml[^>]+?encoding\s*=\s*["']([a-zA-Z0-9._:-]+)["']""",
     re.IGNORECASE,
 )
 _CT_CHARSET_RE = re.compile(r"charset\s*=\s*\"?([a-zA-Z0-9._:-]+)\"?",
@@ -72,11 +92,13 @@ _PRESCAN_BYTES = 1024
 
 
 def _c1_controls(err: UnicodeError):
-    """WHATWG's windows-1252 index defines all 256 bytes — 0x81/0x8D/
-    0x8F/0x90/0x9D map to the C1 controls — while Python's cp1252 leaves
-    them undefined. This error handler supplies the browser mapping."""
+    """The WHATWG windows-125x/874 indexes map most 0x80-0x9F bytes that
+    Python's codecs leave undefined to the C1 controls (e.g. cp1252
+    0x81→U+0081, cp1251 0x98→U+0098); bytes undefined outside that range
+    stay U+FFFD like errors='replace'."""
     if isinstance(err, UnicodeDecodeError):
-        return ("".join(chr(b) for b in err.object[err.start:err.end]),
+        return ("".join(chr(b) if 0x80 <= b <= 0x9F else "�"
+                        for b in err.object[err.start:err.end]),
                 err.end)
     raise err
 
@@ -85,7 +107,8 @@ codecs.register_error("whatwg-c1", _c1_controls)
 
 
 def resolve_encoding(label: str | None) -> str | None:
-    """WHATWG-style label → Python codec name, or None when unknown."""
+    """WHATWG-style label → Python codec name, or None when the label is
+    unknown to (or forbidden by) the Encoding Standard."""
     if not label:
         return None
     label = label.strip().strip("\"'").lower()
@@ -96,10 +119,34 @@ def resolve_encoding(label: str | None) -> str | None:
     # Python resolves iso-8859-1 to 'iso8859-1'; the web decodes it (and
     # anything else that normalizes to latin-1/ascii) as windows-1252
     if name in ("iso8859-1", "latin-1", "ascii"):
-        return "cp1252"
-    if name == "utf-16":
-        return "utf-16-le"
-    return name
+        name = "cp1252"
+    elif name == "utf-16":
+        name = "utf-16-le"
+    return name if name in _WHATWG_ENCODINGS else None
+
+
+def _prescan_meta(head: bytes) -> bytes | None:
+    """WHATWG-style prescan: comment-stripped, attribute-parsed meta tags
+    — a ``charset`` attribute, or ``content`` when http-equiv is
+    content-type. A bare regex over the head would let 'charset=' inside
+    comments or unrelated content= values hijack the decoder (review r7
+    finding)."""
+    head = _COMMENT_RE.sub(b" ", head)
+    for m in _META_TAG_RE.finditer(head):
+        attrs = {}
+        for am in _ATTR_RE.finditer(m.group(1)):
+            name = am.group(1).lower()
+            if name not in attrs:  # first occurrence wins, per spec
+                attrs[name] = am.group(2).strip(b"\"'")
+        if b"charset" in attrs:
+            return attrs[b"charset"]
+        if (attrs.get(b"http-equiv", b"").lower() == b"content-type"
+                and b"content" in attrs):
+            cm = _CT_CHARSET_RE.search(
+                attrs[b"content"].decode("ascii", "replace"))
+            if cm:
+                return cm.group(1).encode("ascii")
+    return None
 
 
 def sniff_html_encoding(raw: bytes, content_type: str | None = None):
@@ -118,9 +165,13 @@ def sniff_html_encoding(raw: bytes, content_type: str | None = None):
             if enc:
                 return enc, 0
     head = raw[:_PRESCAN_BYTES]
-    m = _META_RE.search(head) or _XML_RE.search(head)
-    if m:
-        enc = resolve_encoding(m.group(1).decode("ascii", "replace"))
+    label = _prescan_meta(head)
+    if label is None:
+        xm = _XML_RE.match(head)
+        if xm:
+            label = xm.group(1)
+    if label is not None:
+        enc = resolve_encoding(label.decode("ascii", "replace"))
         if enc:
             # a meta claiming UTF-16 on an ASCII-compatible prescan is
             # self-contradictory; WHATWG coerces it to UTF-8
@@ -140,7 +191,9 @@ def decode_html_bytes(raw: bytes, content_type: str | None = None):
         return "", "utf-8"
     enc, bom = sniff_html_encoding(raw, content_type)
     if enc is not None:
-        errors = "whatwg-c1" if enc == "cp1252" else "replace"
+        errors = ("whatwg-c1"
+                  if enc.startswith("cp12") or enc == "cp874"
+                  else "replace")
         try:
             return raw[bom:].decode(enc, errors), enc
         except LookupError:  # pragma: no cover - resolve_encoding vetted it

@@ -61,17 +61,18 @@ def repartition_by_url(df: DataFrame, num_partitions: int, salt: int = 1) -> Dat
 
 
 def extract_text(pages: DataFrame, html_col: str = "html", out_col: str = "text") -> DataFrame:
-    """Decode the html binary column to the byte-identical plain text (T1).
+    """Decode the html binary column to plain text (T1).
 
     Bytes → str rides the WHATWG charset sniffer (r7,
     functions/charsets.py): BOM, meta prescan, strict-UTF-8 with a
     windows-1252 fallback — a crawl is ~5% legacy-encoded and a flat
-    utf-8/replace mojibakes those pages into the corpus."""
+    utf-8/replace mojibakes those pages into the corpus. Undeclared
+    valid UTF-8 decodes exactly as before; a page DECLARING a legacy
+    charset now follows its declaration like a browser would, even when
+    its bytes happen to be valid UTF-8."""
 
     @F.pandas_udf(StringType())
     def _extract(html: pd.Series) -> pd.Series:
-        from graphrag_mrkr_2_spark.functions.charsets import to_text
-
         return html.map(lambda b: extract_plain_text(to_text(b)))
 
     return pages.withColumn(out_col, _extract(F.col(html_col)))

@@ -57,6 +57,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..functions.charsets import to_text
 from ..functions.extraction import extract_chunk_with_gleaning
 from ..functions.mock_llm import mock_llm_response
 
@@ -251,11 +252,10 @@ def extract_mentions_fused(
                 doc_id = document_id_for_url(url)
                 if use_html:
                     raw = getattr(rec, html_col)
-                    html = (
-                        raw.decode("utf-8", "replace")
-                        if isinstance(raw, (bytes, bytearray))
-                        else (raw or "")
-                    )
+                    # charset-sniffing decode (r7) — MUST match the
+                    # modular chunk_pages path byte-for-byte or the
+                    # fused/modular parity breaks on legacy-encoded pages
+                    html = to_text(raw)
                     pieces = chunker.chunk_html(html)
                     base_text = (
                         getattr(rec, text_col, None) if text_col in pdf.columns else None

@@ -100,6 +100,46 @@ def read_csv_pages(spark: SparkSession, path: str) -> DataFrame:
     ).where(F.col("url").isNotNull())
 
 
+def _apply_transport_charset(body: bytes, content_type: str | None) -> bytes:
+    """Make the HTTP-header charset effective downstream (review r7).
+
+    The pages schema carries body BYTES with no header column, so a
+    transport-declared legacy charset would be invisible to the sniffer in
+    operators/extract.py. Per WHATWG the BOM outranks the transport header
+    and the header outranks meta, so: when the header declares a charset
+    and the body has no BOM, transcode to BOM'd UTF-8 here — the BOM then
+    wins over any (stale) meta tag downstream, preserving exactly the
+    browser's priority order. Bodies without a transport charset, or with
+    their own BOM, or already consistent UTF-8, pass through verbatim."""
+    if not content_type or not body:
+        return body
+    from graphrag_mrkr_2_spark.functions.charsets import (
+        _CT_CHARSET_RE,
+        decode_html_bytes,
+        resolve_encoding,
+        sniff_html_encoding,
+    )
+
+    m = _CT_CHARSET_RE.search(content_type)
+    enc = resolve_encoding(m.group(1)) if m else None
+    if enc is None:
+        return body
+    if body.startswith((b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff")):
+        return body  # BOM outranks the transport header
+    if enc == "utf-8":
+        # consistent UTF-8 needs no transcode unless a meta tag would
+        # override it downstream
+        meta_enc = sniff_html_encoding(body)[0]
+        if meta_enc in (None, "utf-8"):
+            try:
+                body.decode("utf-8")
+                return body
+            except UnicodeDecodeError:
+                pass
+    text, _ = decode_html_bytes(body, content_type)
+    return b"\xef\xbb\xbf" + text.encode("utf-8")
+
+
 def parse_warc_bytes(data: bytes) -> list[dict]:
     """Pure-stdlib WARC/1.0 parser: 'response' records → page dicts.
 
@@ -147,7 +187,9 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
             # whole-file error for one hostile record is not acceptable).
             if payload.startswith(b"HTTP/"):
                 try:
-                    _, _, body = decode_http_payload(payload)
+                    _, http_headers, body = decode_http_payload(payload)
+                    body = _apply_transport_charset(
+                        body, http_headers.get("content-type"))
                 except ValueError:
                     http_end = payload.find(b"\r\n\r\n")
                     body = payload[http_end + 4:] if http_end >= 0 else payload

@@ -64,11 +64,17 @@ class TestSniff:
         (b"<meta charset = 'gb2312' >", "gbk"),
         (b'<meta http-equiv="Content-Type" '
          b'content="text/html; charset=iso-8859-1">', "cp1252"),
-        (b"<?xml version='1.0' encoding='EUC-JP'?><root/>", "euc_jp"),
     ])
     def test_meta_forms(self, html, enc):
         page = b"<html><head>" + html + b"</head><body>x</body></html>"
         assert sniff_html_encoding(page)[0] == enc
+
+    def test_xml_declaration_at_document_start(self):
+        page = b"<?xml version='1.0' encoding='EUC-JP'?><root>x</root>"
+        assert sniff_html_encoding(page)[0] == "euc_jp"
+        # an xml decl buried mid-document is not a declaration
+        assert sniff_html_encoding(
+            b"<html><body><?xml encoding='koi8-r'?></body>") == (None, 0)
 
     def test_meta_outside_prescan_window_ignored(self):
         page = b"<html>" + b" " * 2000 + b"<meta charset='koi8-r'>"
@@ -77,6 +83,36 @@ class TestSniff:
     def test_meta_utf16_coerced_to_utf8(self):
         # an ASCII-readable meta claiming UTF-16 is self-contradictory
         assert sniff_html_encoding(b"<meta charset='utf-16'>x")[0] == "utf-8"
+
+    def test_forbidden_encodings_rejected(self):
+        """Review r7: labels outside the WHATWG encoding set must be
+        unknown — honoring utf-7 reopens '+ADw-script+AD4-' smuggling."""
+        for label in ("utf-7", "hz-gb-2312", "utf-32", "utf-32-le",
+                      "cp500", "ebcdic-cp-be"):
+            assert resolve_encoding(label) is None, label
+        raw = b"<meta charset='utf-7'>+ADw-script+AD4-alert(1)"
+        text, enc = decode_html_bytes(raw)
+        assert "<script>" not in text
+
+    def test_charset_in_comment_ignored(self):
+        """Review r7: the prescan must not read charset= out of comments
+        or unrelated content= attributes."""
+        page = (b"<!-- <meta charset=big5> -->"
+                b"<meta charset='utf-8'><body>x</body>")
+        assert sniff_html_encoding(page)[0] == "utf-8"
+        page2 = (b'<meta name=description content="about charset=koi8-r">'
+                 b"<p>plain</p>")
+        assert sniff_html_encoding(page2) == (None, 0)
+
+    def test_http_equiv_content_form(self):
+        page = (b'<meta http-equiv="Content-Type" '
+                b'content="text/html; charset=windows-1251"><p>x</p>')
+        assert sniff_html_encoding(page)[0] == "cp1251"
+
+    def test_c1_holes_other_windows_codepages(self):
+        # cp1251 leaves 0x98 undefined; WHATWG maps it to U+0098
+        text, enc = decode_html_bytes(b"<meta charset='windows-1251'>a\x98b")
+        assert enc == "cp1251" and "a\x98b" in text
 
 
 class TestDecode:
@@ -150,3 +186,54 @@ class TestPipeline:
         assert "café" in rows["https://a/"]
         assert "Björk “ok”" in rows["https://b/"]
         assert "日本語ページ" in rows["https://c/"]
+
+    def test_fused_and_modular_paths_agree_on_legacy_pages(self, spark):
+        """Review r7: the fused chunk+extract pass must decode exactly
+        like the modular chunk_pages path, or chunk ids diverge on
+        legacy-encoded pages."""
+        from graphrag_mrkr_2_spark.operators.extract import chunk_pages
+        from graphrag_mrkr_2_spark.operators.triples import (
+            extract_mentions_fused,
+        )
+
+        html = ("<html><head><meta charset='shift_jis'></head><body>"
+                + "".join(f"<p>日本語の文章その{i}。データ処理の話。</p>"
+                          for i in range(30))
+                + "</body></html>").encode("shift_jis")
+        pages = spark.createDataFrame([("https://jp.example/", html)],
+                                      "url string, html binary")
+        chunks = chunk_pages(pages).select("chunk_id", "content").collect()
+        assert chunks and all("日本語" in c.content for c in chunks)
+        fused = extract_mentions_fused(pages)
+        # the fused pass re-chunks internally; mention provenance must
+        # reference the SAME chunk ids the modular path produced
+        fused_chunk_ids = {
+            cid for r in fused.select("source_chunks").collect()
+            for cid in (r.source_chunks or [])
+        }
+        assert fused_chunk_ids <= {c.chunk_id for c in chunks}
+
+    def test_warc_transport_charset_reaches_downstream(self):
+        """Review r7: a header-only charset declaration (no meta, no BOM)
+        must survive the pages schema — the loader transcodes to BOM'd
+        UTF-8 so the sniffer downstream sees the right text."""
+        from graphrag_mrkr_2_spark.sources.loaders import parse_warc_bytes
+
+        body = "<html><body>Русский текст</body></html>".encode("cp1251")
+        payload = (b"HTTP/1.1 200 OK\r\n"
+                   b"Content-Type: text/html; charset=windows-1251\r\n"
+                   b"\r\n" + body)
+        rec = ((f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: https://ru.example/\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n").encode()
+               + payload + b"\r\n\r\n")
+        page = parse_warc_bytes(rec)[0]
+        assert to_text(page["html"]) == "<html><body>Русский текст</body></html>"
+        # and a body with no transport charset passes through verbatim
+        plain = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                 b"\x00raw\xffbytes")
+        rec2 = ((f"WARC/1.0\r\nWARC-Type: response\r\n"
+                 f"WARC-Target-URI: https://x/\r\n"
+                 f"Content-Length: {len(plain)}\r\n\r\n").encode()
+                + plain + b"\r\n\r\n")
+        assert parse_warc_bytes(rec2)[0]["html"] == b"\x00raw\xffbytes"
