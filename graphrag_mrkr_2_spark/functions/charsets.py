@@ -74,6 +74,7 @@ _WHATWG_ENCODINGS = frozenset({
     "gbk", "gb18030", "big5", "big5hkscs",
     "euc_jp", "iso2022_jp", "shift_jis",
     "cp949", "euc_kr",
+    "x-user-defined",
 })
 
 # meta/header charset scan, ASCII-compatible prefix only
@@ -104,6 +105,34 @@ def _c1_controls(err: UnicodeError):
 
 
 codecs.register_error("whatwg-c1", _c1_controls)
+
+
+def _x_user_defined_decode(data, errors="strict"):
+    """WHATWG x-user-defined: ASCII passes through, 0x80-0xFF map to the
+    private-use range U+F780..U+F7FF (used by sites that ship binary
+    glyph data through a text channel)."""
+    b = bytes(data)
+    return ("".join(chr(c) if c < 0x80 else chr(0xF780 + c - 0x80)
+                    for c in b), len(b))
+
+
+class _XUserDefinedCodec(codecs.Codec):
+    def decode(self, data, errors="strict"):
+        return _x_user_defined_decode(data, errors)
+
+    def encode(self, text, errors="strict"):  # pragma: no cover - unused
+        raise UnicodeError("x-user-defined is decode-only here")
+
+
+def _x_user_defined_search(name):
+    if name in ("x-user-defined", "x_user_defined"):
+        codec = _XUserDefinedCodec()
+        return codecs.CodecInfo(codec.encode, codec.decode,
+                                name="x-user-defined")
+    return None
+
+
+codecs.register(_x_user_defined_search)
 
 
 def resolve_encoding(label: str | None) -> str | None:

@@ -109,6 +109,13 @@ class TestSniff:
                 b'content="text/html; charset=windows-1251"><p>x</p>')
         assert sniff_html_encoding(page)[0] == "cp1251"
 
+    def test_x_user_defined(self):
+        # WHATWG: ASCII passthrough, 0x80+b -> U+F780+b
+        text, enc = decode_html_bytes(
+            b"<meta charset='x-user-defined'>ab\x80\xff")
+        assert enc == "x-user-defined"
+        assert text.endswith("ab")
+
     def test_c1_holes_other_windows_codepages(self):
         # cp1251 leaves 0x98 undefined; WHATWG maps it to U+0098
         text, enc = decode_html_bytes(b"<meta charset='windows-1251'>a\x98b")
