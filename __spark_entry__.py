@@ -4,7 +4,7 @@ entry(spark)    — flagship KG-construction run on a deterministic synthetic
                   pages table (BASELINE.json input_hint shape) → triples DF.
 queries()       — one entry per implemented operator family (SURVEY.md §2 +
                   the training-data suite); each callable (spark, sf_dir) →
-                  DataFrame. 73 queries, 65 with exact DuckDB oracles.
+                  DataFrame. 74 queries, 66 with exact DuckDB oracles.
 oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
                   KG-pipeline queries (chunking/extraction/canonicalization/
                   communities) are not ANSI-SQL-expressible → rows-only check
@@ -1753,6 +1753,78 @@ def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mime_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload routing (r7) with an EXACT oracle: per doc, a REAL payload
+    of a rotating format — HTML (with a lying text/plain header: magic
+    must win), PDF (declared octet-stream), DOCX, PNG (declared
+    text/html: magic must win), MP3 frames, gzip member, JSON, bare
+    text — is classified by operators/multimodal.route_web_payloads
+    (functions/mimesniff.py, WHATWG magic-first sniffing). DuckDB
+    reconstructs kind/subtype from the formula. The reference routes by
+    file extension only (ingestion/loaders/document_loader.py:61-118) —
+    crawl payloads have no extensions."""
+    from graphrag_mrkr_2_spark.operators.multimodal import route_web_payloads
+
+    def _make(batches):
+        import gzip as gzip_mod
+
+        import numpy as np
+        import pandas as pd
+
+        from graphrag_mrkr_2_spark.functions.docformats import (
+            encode_docx,
+            encode_pdf,
+        )
+        from graphrag_mrkr_2_spark.functions.imagecodecs import encode_png
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                d = int(rec.doc_id)
+                mode = d % 8
+                ct = None
+                if mode == 0:
+                    payload = f"<html><body>Page {d}</body></html>".encode()
+                    ct = "text/plain"  # lying header; magic wins
+                elif mode == 1:
+                    payload = encode_pdf([[f"Document {d}"]])
+                    ct = "application/octet-stream"
+                elif mode == 2:
+                    payload = encode_docx([f"Paragraph {d}"])
+                elif mode == 3:
+                    px = np.full((4, 4, 3), d % 256, dtype=np.uint8)
+                    payload = encode_png(px)
+                    ct = "text/html"  # lying header; magic wins
+                elif mode == 4:
+                    payload = b"".join(
+                        b"\xff\xfb\x90\x00" + bytes([(d + i) % 256]) * 413
+                        for i in range(3))
+                elif mode == 5:
+                    payload = gzip_mod.compress(f"inner {d}".encode())
+                elif mode == 6:
+                    payload = ('{"doc": %d, "kind": "json"}' % d).encode()
+                else:
+                    payload = f"plain words for doc {d}".encode()
+                    ct = "text/plain"
+                rows.append({"doc_id": str(d), "payload": payload,
+                             "content_type": ct})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "content_type"])
+
+    routed = route_web_payloads(
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            _make, "doc_id string, payload binary, content_type string"),
+        content_type_col="content_type",
+    )
+    return (
+        routed.select("doc_id", "kind", "subtype")
+        .orderBy(F.col("doc_id").cast("long"))
+    )
+
+
 def _pii_oracle_sql() -> str:
     """Build the doc_pii_redact oracle from the operator's OWN patterns so
     Spark and DuckDB provably run byte-identical regexes."""
@@ -2109,6 +2181,7 @@ def _register_queries() -> None:
             "audio_payload_roundtrip": q_audio_payload_roundtrip,
             "web_decompress": q_web_decompress,
             "charset_decode": q_charset_decode,
+            "mime_route": q_mime_route,
             # Last driver row: r5 (fell outside the r6 window)
             "dedup_representatives": q_dedup_representatives,
             "doc_corpus_stats": q_doc_corpus_stats,
@@ -2993,6 +3066,23 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '<html><head><meta charset="gb2312"></head><body>中文网页内容 ' || doc_id || '</body></html>'
                    END AS text,
                    CAST(1 AS INTEGER) AS match
+            FROM documents ORDER BY CAST(doc_id AS BIGINT)
+        """,
+        # MIME routing: DuckDB rebuilds kind/subtype from the rotation
+        # formula; Spark classifies REAL payloads (incl. two with lying
+        # Content-Type headers) through the WHATWG magic-first sniffer
+        "mime_route": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE doc_id % 8
+                        WHEN 0 THEN 'text' WHEN 1 THEN 'document'
+                        WHEN 2 THEN 'document' WHEN 3 THEN 'image'
+                        WHEN 4 THEN 'audio' WHEN 5 THEN 'archive'
+                        WHEN 6 THEN 'text' ELSE 'text' END AS kind,
+                   CASE doc_id % 8
+                        WHEN 0 THEN 'html' WHEN 1 THEN 'pdf'
+                        WHEN 2 THEN 'docx' WHEN 3 THEN 'png'
+                        WHEN 4 THEN 'mp3' WHEN 5 THEN 'gzip'
+                        WHEN 6 THEN 'json' ELSE 'plain' END AS subtype
             FROM documents ORDER BY CAST(doc_id AS BIGINT)
         """,
         # PII redaction: the operator's own RE2-safe patterns (imported, so

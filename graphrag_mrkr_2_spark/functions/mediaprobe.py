@@ -26,7 +26,11 @@ import struct
 _MP4_VIDEO_CODECS = {b"avc1", b"avc3", b"hvc1", b"hev1", b"vp09", b"av01",
                      b"mp4v", b"h263", b"s263"}
 _MP4_AUDIO_CODECS = {b"mp4a", b"opus", b"ac-3", b"ec-3", b"alac", b"flac",
-                     b"samr", b"sawb"}
+                     b"samr", b"sawb",
+                     # the registered fourccs are mixed-case (Encapsulation
+                     # of Opus/FLAC in ISO-BMFF): an audio-only MP4 with a
+                     # fLaC entry was misrouted kind=video (r7 review)
+                     b"Opus", b"fLaC"}
 
 
 def sniff_mp4(data: bytes) -> bool:

@@ -1746,3 +1746,55 @@ def extract_chapter_text(media: DataFrame, strict: bool = False) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         _extract, CHAPTER_SCHEMA
     )
+
+
+def route_web_payloads(
+    df: DataFrame,
+    payload_col: str = "payload",
+    content_type_col: str | None = None,
+) -> DataFrame:
+    """Classify raw crawled payloads into decoder families (r7): adds
+    ``kind``/``subtype`` columns via functions/mimesniff.sniff_web_payload
+    — WHATWG magic-byte sniffing first, the declared Content-Type (when a
+    column is supplied) only as the text/binary tie-break. The output is
+    the routing layer a 100 TB crawl job fans out on: one filtered branch
+    per decoder family, each a separate narrow scan of the same
+    materialized table, no Python in the partitioning decision.
+
+    The reference routes on file extension only
+    (ingestion/loaders/document_loader.py:61-118); crawl payloads have no
+    extensions."""
+
+    def _route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from graphrag_mrkr_2_spark.functions.mimesniff import (
+            sniff_web_payload,
+        )
+
+        for pdf in batches:
+            kinds, subtypes = [], []
+            cts = (pdf[content_type_col]
+                   if content_type_col and content_type_col in pdf.columns
+                   else [None] * len(pdf))
+            for payload, ct in zip(pdf[payload_col], cts):
+                try:
+                    kind, subtype = sniff_web_payload(
+                        bytes(payload) if payload is not None else b"",
+                        ct if isinstance(ct, str) else None,
+                    )
+                except Exception:  # hostile payload: quarantine, not crash
+                    kind, subtype = None, None
+                kinds.append(kind)
+                subtypes.append(subtype)
+            out = pdf.copy()
+            out["kind"] = pd.array(kinds, dtype="string")
+            out["subtype"] = pd.array(subtypes, dtype="string")
+            yield out
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField("kind", StringType(), True),
+           StructField("subtype", StringType(), True)]
+    )
+    return df.mapInPandas(_route, schema)
