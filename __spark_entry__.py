@@ -4,7 +4,7 @@ entry(spark)    — flagship KG-construction run on a deterministic synthetic
                   pages table (BASELINE.json input_hint shape) → triples DF.
 queries()       — one entry per implemented operator family (SURVEY.md §2 +
                   the training-data suite); each callable (spark, sf_dir) →
-                  DataFrame. 74 queries, 66 with exact DuckDB oracles.
+                  DataFrame. 75 queries, 67 with exact DuckDB oracles.
 oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
                   KG-pipeline queries (chunking/extraction/canonicalization/
                   communities) are not ANSI-SQL-expressible → rows-only check
@@ -1825,6 +1825,53 @@ def q_mime_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots evaluation (r7) with an EXACT oracle: per doc, a
+    URL on a rotating path shape — public, disallowed prefix, the
+    longer-Allow carve-out inside it, and a '$'-anchored wildcard rule —
+    is joined to its domain's robots.txt and evaluated by
+    operators/urlops.evaluate_robots (functions/robots.py: group
+    selection by product token, longest-match with allow winning ties,
+    */$ wildcards). The fixture robots.txt also carries a decoy group
+    for a different agent (group selection must skip it). DuckDB
+    reconstructs the expected verdicts from the rotation formula. The
+    reference has no crawling layer (ingestion starts from files)."""
+    from graphrag_mrkr_2_spark.operators.urlops import evaluate_robots
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    urls = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit("/public/"), F.col("doc_id").cast("string")))
+             .when(F.col("doc_id") % 4 == 1,
+                   F.concat(F.lit("/private/"), F.col("doc_id").cast("string")))
+             .when(F.col("doc_id") % 4 == 2,
+                   F.concat(F.lit("/private/open/"),
+                            F.col("doc_id").cast("string")))
+             .otherwise(F.concat(F.lit("/files/"),
+                                 F.col("doc_id").cast("string"),
+                                 F.lit(".gif"))),
+        ).alias("url"),
+    )
+    robots_txt = ("User-agent: otherbot\nDisallow: /\n\n"
+                  "User-agent: *\nDisallow: /private/\n"
+                  "Allow: /private/open\nDisallow: /*.gif$\n")
+    robots = (
+        spark.range(20)
+        .select(F.concat(F.lit("site"), F.col("id").cast("string"),
+                         F.lit(".example")).alias("domain"),
+                F.lit(robots_txt).alias("robots_txt"))
+    )
+    return (
+        evaluate_robots(urls, robots, user_agent="graftbot/1.0")
+        .select("doc_id", "url", "path", "robots_allowed")
+        .orderBy(F.col("doc_id").cast("long"))
+    )
+
+
 def _pii_oracle_sql() -> str:
     """Build the doc_pii_redact oracle from the operator's OWN patterns so
     Spark and DuckDB provably run byte-identical regexes."""
@@ -2182,6 +2229,7 @@ def _register_queries() -> None:
             "web_decompress": q_web_decompress,
             "charset_decode": q_charset_decode,
             "mime_route": q_mime_route,
+            "robots_eval": q_robots_eval,
             # Last driver row: r5 (fell outside the r6 window)
             "dedup_representatives": q_dedup_representatives,
             "doc_corpus_stats": q_doc_corpus_stats,
@@ -3083,6 +3131,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 2 THEN 'docx' WHEN 3 THEN 'png'
                         WHEN 4 THEN 'mp3' WHEN 5 THEN 'gzip'
                         WHEN 6 THEN 'json' ELSE 'plain' END AS subtype
+            FROM documents ORDER BY CAST(doc_id AS BIGINT)
+        """,
+        # Robots evaluation: DuckDB rebuilds url/path/verdict from the
+        # rotation formula; Spark evaluates real RFC 9309 semantics
+        # (group selection, longest-match, allow-tie, wildcards+anchor)
+        "robots_eval": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'https://site' || (doc_id % 20) || '.example' ||
+                   CASE doc_id % 4
+                        WHEN 0 THEN '/public/' || doc_id
+                        WHEN 1 THEN '/private/' || doc_id
+                        WHEN 2 THEN '/private/open/' || doc_id
+                        ELSE '/files/' || doc_id || '.gif' END AS url,
+                   CASE doc_id % 4
+                        WHEN 0 THEN '/public/' || doc_id
+                        WHEN 1 THEN '/private/' || doc_id
+                        WHEN 2 THEN '/private/open/' || doc_id
+                        ELSE '/files/' || doc_id || '.gif' END AS path,
+                   (doc_id % 4 = 0 OR doc_id % 4 = 2) AS robots_allowed
             FROM documents ORDER BY CAST(doc_id AS BIGINT)
         """,
         # PII redaction: the operator's own RE2-safe patterns (imported, so

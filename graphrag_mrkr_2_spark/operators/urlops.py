@@ -15,6 +15,8 @@ engine ($1 Java / \\1 RE2), which the oracle mirrors.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -121,3 +123,77 @@ def cap_per_domain(
         .where(F.col("__rn") <= max_per_domain)
         .drop("__rn")
     )
+
+
+def evaluate_robots(
+    urls: DataFrame,
+    robots: DataFrame,
+    user_agent: str = "graphrag-mrkr-2-spark",
+    url_col: str = "url",
+    domain_col: str = "domain",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """RFC 9309 robots evaluation at corpus scale (r7): join each URL to
+    its domain's robots.txt and add ``robots_allowed`` (plus the
+    extracted ``path``). 100-TB shape: the join is a plain equi-join on
+    the domain key (robots corpora are tiny next to URL corpora — AQE
+    broadcasts them when they fit); evaluation is one Arrow pass with a
+    per-batch parse cache, so each distinct robots.txt is parsed once
+    per partition rather than once per URL. URLs whose domain has no
+    robots row are allowed (fetch-failure semantics per RFC 9309 §2.3.1).
+
+    The reference has no crawling layer; this is corpus curation —
+    retroactively filtering to what today's rules permit, the same
+    posture as the C4/CC-Net URL hygiene ops above."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    with_domain = urls.withColumn("__dom", url_domain(F.col(url_col)))
+    # the robots side carries bare hosts; normalize them the same way
+    # url_domain normalizes URL hosts (lowercase, no leading www.)
+    robots_key = F.regexp_replace(F.lower(F.col(domain_col)), r"^www\.", "")
+    joined = with_domain.join(
+        robots.select(robots_key.alias("__dom"),
+                      F.col(robots_col).alias("__robots")),
+        "__dom",
+        "left",
+    )
+
+    out_fields = joined.drop("__robots").schema
+
+    def _eval(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from graphrag_mrkr_2_spark.functions.robots import parse_robots_txt
+
+        cache: dict[str, object] = {}
+        for pdf in batches:
+            allowed = []
+            paths = []
+            for url, txt in zip(pdf[url_col], pdf["__robots"]):
+                m = re.match(r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$",
+                             str(url or ""), re.IGNORECASE)
+                path = (m.group(1) or "/") if m else "/"
+                paths.append(path)
+                if txt is None or not isinstance(txt, str):
+                    allowed.append(True)
+                    continue
+                policy = cache.get(txt)
+                if policy is None:
+                    if len(cache) > 4096:  # bound per-task memory
+                        cache.clear()
+                    policy = parse_robots_txt(txt)
+                    cache[txt] = policy
+                allowed.append(policy.is_allowed(user_agent, path))
+            out = pdf.drop(columns=["__robots"])
+            out["path"] = pd.array(paths, dtype="string")
+            out["robots_allowed"] = pd.array(allowed, dtype="boolean")
+            yield out
+
+    from pyspark.sql.types import BooleanType, StringType, StructField, StructType
+
+    schema = StructType(
+        list(out_fields.fields)
+        + [StructField("path", StringType(), True),
+           StructField("robots_allowed", BooleanType(), True)]
+    )
+    return joined.mapInPandas(_eval, schema).drop("__dom")

@@ -1,0 +1,167 @@
+"""robots.txt evaluation (functions/robots.py, RFC 9309).
+
+Two independent checks: the RFC's own worked examples (§2.2.2 / §5) as
+goldens, and a differential A/B against CPython's urllib.robotparser on
+generated rule sets restricted to the dialect subset where the 1996
+draft and RFC 9309 agree (wildcard-free, mutually non-prefix rules — at
+most one rule matches any URL, so first-match and longest-match
+coincide)."""
+
+from __future__ import annotations
+
+import random
+import urllib.robotparser
+
+import pytest
+
+from graphrag_mrkr_2_spark.functions.robots import (
+    parse_robots_txt,
+    robots_allowed,
+)
+
+
+class TestRfcExamples:
+    def test_longest_match_allow_wins_tie(self):
+        # RFC 9309 §2.2.2 example set
+        txt = "User-agent: *\nAllow: /example/page/\nDisallow: /example/\n"
+        p = parse_robots_txt(txt)
+        assert not p.is_allowed("bot", "/example/")
+        assert not p.is_allowed("bot", "/example/other")
+        assert p.is_allowed("bot", "/example/page/")
+        assert p.is_allowed("bot", "/example/page/deep")
+
+    def test_allow_wins_equal_length(self):
+        txt = "User-agent: *\nAllow: /page\nDisallow: /page\n"
+        assert robots_allowed(txt, "bot", "/page")
+
+    def test_wildcards_and_anchor(self):
+        txt = ("User-agent: *\n"
+               "Disallow: /*.gif$\n"
+               "Disallow: /private*/\n")
+        p = parse_robots_txt(txt)
+        assert not p.is_allowed("bot", "/images/cat.gif")
+        assert p.is_allowed("bot", "/images/cat.gif?v=1")  # $ anchors end
+        assert not p.is_allowed("bot", "/private-stuff/x")
+        assert p.is_allowed("bot", "/private")  # no trailing slash match
+
+    def test_group_selection_most_specific_token(self):
+        txt = ("User-agent: googlebot-news\nDisallow: /news-only\n\n"
+               "User-agent: googlebot\nDisallow: /general\n\n"
+               "User-agent: *\nDisallow: /everything\n")
+        p = parse_robots_txt(txt)
+        # product token 'googlebot-news' picks the most specific group
+        assert not p.is_allowed("Googlebot-News/2.1", "/news-only")
+        assert p.is_allowed("Googlebot-News/2.1", "/general")
+        assert p.is_allowed("Googlebot-News/2.1", "/everything")
+        assert not p.is_allowed("Googlebot/2.1", "/general")
+        assert not p.is_allowed("SomeOtherBot", "/everything")
+        assert p.is_allowed("SomeOtherBot", "/general")
+
+    def test_groups_with_same_agent_merge(self):
+        txt = ("User-agent: bot\nDisallow: /a\n\n"
+               "User-agent: bot\nDisallow: /b\n")
+        p = parse_robots_txt(txt)
+        assert not p.is_allowed("bot", "/a") and not p.is_allowed("bot", "/b")
+
+    def test_multi_agent_group(self):
+        txt = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+        p = parse_robots_txt(txt)
+        assert not p.is_allowed("a", "/x") and not p.is_allowed("b", "/x")
+
+    def test_empty_disallow_is_allow_all(self):
+        assert robots_allowed("User-agent: *\nDisallow:\n", "bot", "/any")
+
+    def test_no_group_allows(self):
+        assert robots_allowed("", "bot", "/x")
+        assert robots_allowed("User-agent: other\nDisallow: /\n", "bot", "/x")
+
+    def test_robots_txt_itself_always_allowed(self):
+        assert robots_allowed("User-agent: *\nDisallow: /\n",
+                              "bot", "/robots.txt")
+
+    def test_rules_before_any_group_ignored(self):
+        assert robots_allowed("Disallow: /x\nUser-agent: *\nAllow: /\n",
+                              "bot", "/x")
+
+    def test_percent_encoding_normalized(self):
+        # %7E is the unreserved '~': rule and URL must compare equal
+        txt = "User-agent: *\nDisallow: /%7Ejoe/\n"
+        assert not robots_allowed(txt, "bot", "/~joe/page")
+        txt2 = "User-agent: *\nDisallow: /~joe/\n"
+        assert not robots_allowed(txt2, "bot", "/%7Ejoe/page")
+
+    def test_sitemaps_and_crawl_delay(self):
+        txt = ("Sitemap: https://x/s1.xml\nUser-agent: bot\n"
+               "Crawl-delay: 2.5\nDisallow: /x\n"
+               "Sitemap: https://x/s2.xml\n")
+        p = parse_robots_txt(txt)
+        assert p.sitemaps == ["https://x/s1.xml", "https://x/s2.xml"]
+        assert p.crawl_delay("bot UA/1.0") == 2.5
+        assert p.crawl_delay("other") is None
+
+    def test_comments_stripped(self):
+        txt = "User-agent: * # all\nDisallow: /x # private\n"
+        assert not robots_allowed(txt, "bot", "/x")
+
+
+class TestDifferentialVsRobotparser:
+    """Generated wildcard-free, mutually non-prefix rule sets: at most
+    one rule matches any URL, so robotparser's first-match and RFC
+    9309's longest-match agree exactly."""
+
+    def test_differential(self):
+        rng = random.Random(42)
+        segments = ["alpha", "beta", "gamma", "delta", "eps"]
+        for trial in range(60):
+            # distinct first segments guarantee non-prefix rules
+            picks = rng.sample(segments, rng.randint(1, len(segments)))
+            lines = ["User-agent: *"]
+            rules = []
+            for s in picks:
+                allow = rng.random() < 0.4
+                rule = f"/{s}/{rng.randint(0, 9)}"
+                rules.append(rule)
+                lines.append(f"{'Allow' if allow else 'Disallow'}: {rule}")
+            txt = "\n".join(lines) + "\n"
+            rp = urllib.robotparser.RobotFileParser()
+            rp.parse(txt.splitlines())
+            mine = parse_robots_txt(txt)
+            for s in segments:
+                for i in range(10):
+                    for suffix in ("", "/deep", "x"):
+                        path = f"/{s}/{i}{suffix}"
+                        url = f"https://h.example{path}"
+                        assert mine.is_allowed("anybot", path) == \
+                            rp.can_fetch("anybot", url), (txt, path)
+
+
+@pytest.mark.spark
+class TestOperator:
+    def test_evaluate_robots(self, spark):
+        from graphrag_mrkr_2_spark.operators.urlops import evaluate_robots
+
+        robots = spark.createDataFrame(
+            [("a.example",
+              "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"),
+             ("b.example", "User-agent: *\nDisallow: /\n")],
+            "domain string, robots_txt string",
+        )
+        urls = spark.createDataFrame(
+            [("https://a.example/public/1",),
+             ("https://a.example/private/1",),
+             ("https://a.example/private/ok/2",),
+             ("https://b.example/anything",),
+             ("https://c.example/no-robots",),
+             ("https://a.example/",)],
+            "url string",
+        )
+        got = {r.url: r.robots_allowed
+               for r in evaluate_robots(urls, robots).collect()}
+        assert got == {
+            "https://a.example/public/1": True,
+            "https://a.example/private/1": False,
+            "https://a.example/private/ok/2": True,
+            "https://b.example/anything": False,
+            "https://c.example/no-robots": True,  # no robots row: allowed
+            "https://a.example/": True,
+        }
