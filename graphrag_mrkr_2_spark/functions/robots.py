@@ -22,18 +22,63 @@ provided files (ingestion/).
 from __future__ import annotations
 
 import re
-from urllib.parse import quote, unquote
+
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~")
+_HEX = set("0123456789abcdefABCDEF")
 
 
 def _normalize_path(path: str) -> str:
-    """Percent-normalize a rule or URL path per RFC 9309 §2.2.2: decode
-    unreserved octets, uppercase remaining escapes, keep everything else.
-    quote(unquote(x)) with a generous safe set approximates the RFC's
-    octet rules over ASCII paths and, critically, is applied IDENTICALLY
-    to rules and URLs so comparisons are stable."""
+    """Percent-normalize per RFC 9309 §2.2.2: decode ONLY unreserved
+    octets, uppercase the hex of escapes that stay encoded, pass invalid
+    escapes through literally. Reserved escapes are NOT decoded — %2F is
+    not a path slash, %2A in a rule is not a wildcard, and two distinct
+    invalid escapes must not collide (review r7 findings). Applied
+    identically to rules and URL paths so comparisons are stable."""
     if not path:
         return "/"
-    return quote(unquote(path), safe="/$*%?=&;:@+,()[]!'~")
+    out = []
+    i = 0
+    n = len(path)
+    while i < n:
+        c = path[i]
+        if c == "%" and i + 2 < n and path[i + 1] in _HEX \
+                and path[i + 2] in _HEX:
+            decoded = chr(int(path[i + 1:i + 3], 16))
+            if decoded in _UNRESERVED:
+                out.append(decoded)
+            else:
+                out.append("%" + path[i + 1:i + 3].upper())
+            i += 3
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _match_rule(parts: list[str], anchored: bool, path: str) -> bool:
+    """Linear-time wildcard match: ``parts`` are the rule split on '*'.
+    Leftmost-greedy two-pointer scan — no regex, so a hostile
+    many-wildcard rule cannot trigger catastrophic backtracking (review
+    r7: a 14-star rule hung a regex matcher for minutes)."""
+    first = parts[0]
+    if not path.startswith(first):
+        return False
+    pos = len(first)
+    if len(parts) == 1:  # no '*': only '$'-anchored rules land here
+        return path == first if anchored else True
+    for part in parts[1:-1]:
+        if part:
+            found = path.find(part, pos)
+            if found < 0:
+                return False
+            pos = found + len(part)
+    last = parts[-1]
+    if anchored:
+        return path.endswith(last) and len(path) - len(last) >= pos
+    if not last:
+        return True
+    return path.find(last, pos) >= 0
 
 
 class RobotsGroup:
@@ -41,8 +86,25 @@ class RobotsGroup:
 
     def __init__(self):
         self.agents: list[str] = []
-        self.rules: list[tuple[bool, str, re.Pattern | None]] = []
+        # (allow, rule_length, parts-or-None, anchored, prefix)
+        self.rules: list[tuple] = []
         self.crawl_delay: float | None = None
+
+    def is_allowed(self, path: str) -> bool:
+        """§2.2.2 most-specific-match over this (merged) group."""
+        path = _normalize_path(path)
+        best_len = -1
+        best_allow = True
+        for allow, length, parts, anchored, prefix in self.rules:
+            if parts is None:
+                if not path.startswith(prefix):
+                    continue
+            elif not _match_rule(parts, anchored, path):
+                continue
+            if length > best_len or (length == best_len and allow
+                                     and not best_allow):
+                best_len, best_allow = length, allow
+        return best_allow if best_len >= 0 else True
 
 
 class RobotsPolicy:
@@ -53,11 +115,14 @@ class RobotsPolicy:
         self.groups = groups
         self.sitemaps = sitemaps
 
-    def _group_for(self, user_agent: str) -> RobotsGroup | None:
+    def group_for(self, user_agent: str) -> RobotsGroup | None:
         """§2.2.1: the group whose agent token is the LONGEST prefix
         match of the product token; '*' only when nothing matches.
         Groups tied at the winning specificity MUST be merged (the spec's
-        combine rule — sites repeat 'User-agent: x' sections)."""
+        combine rule — sites repeat 'User-agent: x' sections). Hot-loop
+        callers (evaluate_robots) cache the returned merged group and
+        call its ``is_allowed`` directly — this scan runs once per
+        (robots.txt, agent), not once per URL."""
         token = re.split(r"[/\s]", user_agent.strip().lower(), 1)[0]
         best_len = -1
         for g in self.groups:
@@ -78,46 +143,35 @@ class RobotsPolicy:
         return merged if merged.agents else None
 
     def is_allowed(self, user_agent: str, path: str) -> bool:
-        """§2.2.2: most-specific (longest) rule wins; allow wins equal
-        lengths; no matching rule or no group → allowed. /robots.txt
-        itself is always allowed."""
-        if path.startswith("/robots.txt"):
+        """§2.2.2 via the matched group; no group → allowed. The literal
+        /robots.txt resource is always allowed (exactly that path, not
+        prefixes of it — review r7)."""
+        if path == "/robots.txt":
             return True
-        group = self._group_for(user_agent)
+        group = self.group_for(user_agent)
         if group is None:
             return True
-        path = _normalize_path(path)
-        best_len = -1
-        best_allow = True
-        for allow, rule, pattern in group.rules:
-            if pattern is not None:
-                m = pattern.match(path)
-                if not m:
-                    continue
-                length = len(rule)
-            else:
-                if not path.startswith(rule):
-                    continue
-                length = len(rule)
-            if length > best_len or (length == best_len and allow
-                                     and not best_allow):
-                best_len, best_allow = length, allow
-        return best_allow if best_len >= 0 else True
+        return group.is_allowed(path)
 
     def crawl_delay(self, user_agent: str) -> float | None:
-        group = self._group_for(user_agent)
+        group = self.group_for(user_agent)
         return group.crawl_delay if group else None
 
 
-def _compile_rule(rule: str) -> re.Pattern | None:
-    """'*' → any run, trailing '$' → end anchor; a rule without either
-    stays a plain prefix (None pattern, cheaper startswith)."""
-    if "*" not in rule and not rule.endswith("$"):
-        return None
-    anchored = rule.endswith("$")
-    body = rule[:-1] if anchored else rule
-    parts = [re.escape(p) for p in body.split("*")]
-    return re.compile(".*".join(parts) + ("$" if anchored else ""))
+def _compile_rule(allow: bool, raw_rule: str) -> tuple:
+    """Rule → (allow, length, parts, anchored, prefix): split on raw '*'
+    FIRST (so a %2A escape can never become a wildcard), then
+    percent-normalize each literal segment; plain prefix rules keep
+    parts=None for the cheap startswith path."""
+    anchored = raw_rule.endswith("$")
+    body = raw_rule[:-1] if anchored else raw_rule
+    if "*" not in body and not anchored:
+        rule = _normalize_path(body)
+        return (allow, len(rule), None, False, rule)
+    parts = [_normalize_path(p) if p else "" for p in body.split("*")]
+    # length for specificity uses the normalized text length
+    length = sum(len(p) for p in parts) + (len(parts) - 1) + anchored
+    return (allow, length, parts, anchored, None)
 
 
 def parse_robots_txt(text: str) -> RobotsPolicy:
@@ -136,6 +190,8 @@ def parse_robots_txt(text: str) -> RobotsPolicy:
         field = field.strip().lower()
         value = value.strip()
         if field == "user-agent":
+            if not value:
+                continue  # malformed empty agent must not shadow '*'
             if not collecting_agents:
                 current = RobotsGroup()
                 groups.append(current)
@@ -152,12 +208,8 @@ def parse_robots_txt(text: str) -> RobotsPolicy:
             continue  # rules before any user-agent line
         if field in ("allow", "disallow"):
             if not value:
-                if field == "disallow":
-                    continue  # empty Disallow: allow-all marker, no rule
-                continue
-            rule = _normalize_path(value)
-            current.rules.append(
-                (field == "allow", rule, _compile_rule(rule)))
+                continue  # empty rule value contributes no rule
+            current.rules.append(_compile_rule(field == "allow", value))
         elif field == "crawl-delay":
             try:
                 current.crawl_delay = float(value)

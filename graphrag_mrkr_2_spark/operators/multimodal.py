@@ -1764,6 +1764,10 @@ def route_web_payloads(
     The reference routes on file extension only
     (ingestion/loaders/document_loader.py:61-118); crawl payloads have no
     extensions."""
+    clash = {"kind", "subtype"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"route_web_payloads output columns collide with input: {clash}")
 
     def _route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from graphrag_mrkr_2_spark.functions.mimesniff import (

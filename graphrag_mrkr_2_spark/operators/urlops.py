@@ -160,30 +160,56 @@ def evaluate_robots(
         "left",
     )
 
+    clash = {"path", "robots_allowed"} & set(urls.columns)
+    if clash:
+        raise ValueError(
+            f"evaluate_robots output columns collide with input: {clash}")
     out_fields = joined.drop("__robots").schema
+
+    def _url_path(url: str) -> str:
+        """Matchable target per RFC 9309 / Google semantics: path plus
+        query string, fragment excluded; authority-only URLs are '/'."""
+        m = re.match(r"^[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)", url,
+                     re.IGNORECASE)
+        if not m:
+            return "/"
+        rest = m.group(1)
+        if not rest:
+            return "/"
+        if rest.startswith("?"):
+            return "/" + rest
+        return rest
 
     def _eval(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from graphrag_mrkr_2_spark.functions.robots import parse_robots_txt
 
+        # cache key: robots text -> the MERGED group for our (constant)
+        # user agent, so group selection runs once per distinct robots.txt
+        # per task, not once per URL
         cache: dict[str, object] = {}
+        missing = object()
         for pdf in batches:
             allowed = []
             paths = []
             for url, txt in zip(pdf[url_col], pdf["__robots"]):
-                m = re.match(r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$",
-                             str(url or ""), re.IGNORECASE)
-                path = (m.group(1) or "/") if m else "/"
+                path = _url_path(str(url or ""))
                 paths.append(path)
                 if txt is None or not isinstance(txt, str):
                     allowed.append(True)
                     continue
-                policy = cache.get(txt)
-                if policy is None:
+                group = cache.get(txt, missing)
+                if group is missing:
                     if len(cache) > 4096:  # bound per-task memory
                         cache.clear()
-                    policy = parse_robots_txt(txt)
-                    cache[txt] = policy
-                allowed.append(policy.is_allowed(user_agent, path))
+                    try:
+                        group = parse_robots_txt(txt).group_for(user_agent)
+                    except Exception:  # hostile robots.txt: quarantine
+                        group = None
+                    cache[txt] = group
+                if path == "/robots.txt" or group is None:
+                    allowed.append(True)
+                else:
+                    allowed.append(group.is_allowed(path))
             out = pdf.drop(columns=["__robots"])
             out["path"] = pd.array(paths, dtype="string")
             out["robots_allowed"] = pd.array(allowed, dtype="boolean")
