@@ -4,7 +4,7 @@ entry(spark)    — flagship KG-construction run on a deterministic synthetic
                   pages table (BASELINE.json input_hint shape) → triples DF.
 queries()       — one entry per implemented operator family (SURVEY.md §2 +
                   the training-data suite); each callable (spark, sf_dir) →
-                  DataFrame. 75 queries, 67 with exact DuckDB oracles.
+                  DataFrame. 76 queries, 68 with exact DuckDB oracles.
 oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
                   KG-pipeline queries (chunking/extraction/canonicalization/
                   communities) are not ANSI-SQL-expressible → rows-only check
@@ -1872,6 +1872,67 @@ def q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (r7) with an EXACT oracle: per doc, a REAL sitemap
+    document — namespaced XML urlset with lastmod, sitemapindex,
+    plain-text, or a gzip-compressed urlset, rotating by doc_id — is
+    parsed by functions/sitemaps.parse_sitemap (expat with entity
+    declarations rejected) into two entries. DuckDB reconstructs kind/
+    loc/lastmod from the formula. Completes the crawl-frontier leg next
+    to robots_eval; the reference has no crawling layer."""
+
+    def _make(batches):
+        import gzip as gzip_mod
+
+        import pandas as pd
+
+        from graphrag_mrkr_2_spark.functions.sitemaps import parse_sitemap
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                d = int(rec.doc_id)
+                mode = d % 4
+                locs = [f"https://s{d}.example/page/{i}" for i in range(2)]
+                if mode == 1:
+                    xml = ("<sitemapindex xmlns=\"http://www.sitemaps.org/"
+                           "schemas/sitemap/0.9\">"
+                           + "".join(f"<sitemap><loc>{u}</loc>"
+                                     f"<lastmod>2026-0{i + 1}-01</lastmod>"
+                                     f"</sitemap>"
+                                     for i, u in enumerate(locs))
+                           + "</sitemapindex>").encode()
+                elif mode == 2:
+                    xml = ("\n".join(locs) + "\n").encode()
+                else:
+                    xml = ("<urlset xmlns=\"http://www.sitemaps.org/"
+                           "schemas/sitemap/0.9\">"
+                           + "".join(f"<url><loc>{u}</loc>"
+                                     f"<lastmod>2026-0{i + 1}-01</lastmod>"
+                                     f"</url>"
+                                     for i, u in enumerate(locs))
+                           + "</urlset>").encode()
+                    if mode == 3:
+                        xml = gzip_mod.compress(xml)
+                kind, entries = parse_sitemap(xml)
+                for i, e in enumerate(entries):
+                    rows.append({"doc_id": str(d), "entry_index": i,
+                                 "kind": kind, "loc": e["loc"],
+                                 "lastmod": e["lastmod"]})
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "entry_index", "kind", "loc", "lastmod"])
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_make, "doc_id string, entry_index int, kind string, "
+                            "loc string, lastmod string")
+        .orderBy(F.col("doc_id").cast("long"), "entry_index")
+    )
+
+
 def _pii_oracle_sql() -> str:
     """Build the doc_pii_redact oracle from the operator's OWN patterns so
     Spark and DuckDB provably run byte-identical regexes."""
@@ -2230,6 +2291,7 @@ def _register_queries() -> None:
             "charset_decode": q_charset_decode,
             "mime_route": q_mime_route,
             "robots_eval": q_robots_eval,
+            "sitemap_parse": q_sitemap_parse,
             # Last driver row: r5 (fell outside the r6 window)
             "dedup_representatives": q_dedup_representatives,
             "doc_corpus_stats": q_doc_corpus_stats,
@@ -3151,6 +3213,21 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '/files/' || doc_id || '.gif' END AS path,
                    (doc_id % 4 = 0 OR doc_id % 4 = 2) AS robots_allowed
             FROM documents ORDER BY CAST(doc_id AS BIGINT)
+        """,
+        # Sitemap parsing: DuckDB rebuilds kind/loc/lastmod from the
+        # rotation formula; Spark parses real urlset/sitemapindex/text/
+        # gzipped documents through the entity-rejecting expat walk
+        "sitemap_parse": """
+            SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+                   CAST(i.i AS INTEGER) AS entry_index,
+                   CASE d.doc_id % 4 WHEN 1 THEN 'sitemapindex'
+                        WHEN 2 THEN 'text' ELSE 'urlset' END AS kind,
+                   'https://s' || d.doc_id || '.example/page/' || i.i
+                     AS loc,
+                   CASE WHEN d.doc_id % 4 = 2 THEN NULL
+                        ELSE '2026-0' || (i.i + 1) || '-01' END AS lastmod
+            FROM documents d, generate_series(0, 1) i(i)
+            ORDER BY CAST(d.doc_id AS BIGINT), entry_index
         """,
         # PII redaction: the operator's own RE2-safe patterns (imported, so
         # Spark and DuckDB run byte-identical regexes) on sanitized text
