@@ -17,6 +17,8 @@ callers quarantine per payload. The reference has no crawling layer.
 from __future__ import annotations
 
 import gzip
+import io
+import zlib
 
 _MAX_SITEMAP_BYTES = 52_428_800  # the protocol's own 50 MB limit
 _MAX_URLS = 50_000               # likewise
@@ -24,15 +26,22 @@ _MAX_URLS = 50_000               # likewise
 
 def parse_sitemap(data: bytes) -> tuple[str, list[dict]]:
     if data[:2] == b"\x1f\x8b":
+        # STREAM-decompress with the cap applied as bytes materialize — a
+        # one-shot gzip.decompress would fully expand a ~1000:1 bomb
+        # before any size check could run (review r7)
         try:
-            data = gzip.decompress(data)
-        except (OSError, EOFError) as e:
+            with gzip.GzipFile(fileobj=io.BytesIO(data)) as gf:
+                data = gf.read(_MAX_SITEMAP_BYTES + 1)
+                if len(data) > _MAX_SITEMAP_BYTES:
+                    raise ValueError(
+                        "sitemap: exceeds the 50 MB protocol limit")
+        except (OSError, EOFError, zlib.error) as e:
             raise ValueError(f"sitemap: bad gzip member: {e}") from e
     if len(data) > _MAX_SITEMAP_BYTES:
         raise ValueError("sitemap: exceeds the 50 MB protocol limit")
+    if data.startswith(b"\xef\xbb\xbf"):
+        data = data[3:]  # BOM stripped for BOTH the XML and text paths
     head = data.lstrip()[:200]
-    if head.startswith(b"\xef\xbb\xbf"):
-        head = head[3:]
     if head.startswith(b"<"):
         return _parse_xml(data)
     # plain-text sitemap: one absolute URL per line

@@ -63,14 +63,15 @@ class TestParse:
         assert kind == "text"
         assert [e["loc"] for e in entries] == ["https://a/1", "https://a/2"]
 
-    def test_bom_text(self):
-        # XML detection must see past a BOM; text path decodes it away
-        raw = b"\xef\xbb\xbf" + URLSET
-        # BOM'd XML is still XML (lstrip doesn't remove BOM; the head
-        # check does)
-        assert parse_sitemap(raw)[0] == "urlset" or True  # tolerant
-        kind, entries = parse_sitemap(raw)
-        assert kind in ("urlset",)
+    def test_bom_variants(self):
+        # BOM'd XML, BOM+whitespace XML, and BOM'd text sitemaps (common
+        # from Windows tooling) must all route correctly (review r7)
+        assert parse_sitemap(b"\xef\xbb\xbf" + URLSET)[0] == "urlset"
+        raw = (b"\xef\xbb\xbf\n<urlset><url><loc>https://x/</loc></url>"
+               b"</urlset>")
+        assert parse_sitemap(raw)[0] == "urlset"
+        kind, entries = parse_sitemap(b"\xef\xbb\xbfhttps://a/1\n")
+        assert kind == "text" and entries[0]["loc"] == "https://a/1"
 
     def test_entry_without_loc_dropped(self):
         raw = b"<urlset><url><lastmod>2026-01-01</lastmod></url>" \
@@ -90,6 +91,20 @@ class TestHostile:
     def test_bad_gzip(self):
         with pytest.raises(ValueError):
             parse_sitemap(b"\x1f\x8b\x00broken")
+        # valid gzip header, corrupt deflate body: zlib.error must
+        # surface as ValueError (quarantine contract — review r7)
+        good = gzip.compress(b"https://a/1\n")
+        broken = good[:12] + b"\xff\xfe\xfd\xfc" + good[16:]
+        with pytest.raises(ValueError):
+            parse_sitemap(broken)
+
+    def test_gzip_bomb_capped_without_expansion(self):
+        # ~60 MB of zeros compresses to ~60 KB; the cap must fire from
+        # the streaming read, not after full materialization
+        bomb = gzip.compress(b"\x00" * (60 << 20))
+        assert len(bomb) < 200_000
+        with pytest.raises(ValueError, match="50 MB"):
+            parse_sitemap(bomb)
 
     def test_malformed_xml(self):
         with pytest.raises(ValueError):
