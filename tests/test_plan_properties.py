@@ -200,3 +200,19 @@ def test_supplier_part_counts_two_phase_distinct(spark):
 
     plan = _plan(em.q_supplier_part_counts(spark, SF_DIR))
     assert plan.count("HashAggregate") >= 4
+
+
+@pytest.mark.spark
+def test_evaluate_robots_broadcasts_small_robots_side(spark):
+    """The robots table is tiny next to a URL corpus — the domain join
+    must broadcast it (no shuffle of the URL side for the join key)."""
+    from graphrag_mrkr_2_spark.operators.urlops import evaluate_robots
+
+    urls = spark.range(2000).selectExpr(
+        "concat('https://site', id % 50, '.example/p/', id) AS url")
+    robots = spark.range(50).selectExpr(
+        "concat('site', id, '.example') AS domain",
+        "'User-agent: *\nDisallow: /private/\n' AS robots_txt")
+    plan = _plan(evaluate_robots(urls, robots))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
