@@ -4,7 +4,7 @@ entry(spark)    — flagship KG-construction run on a deterministic synthetic
                   pages table (BASELINE.json input_hint shape) → triples DF.
 queries()       — one entry per implemented operator family (SURVEY.md §2 +
                   the training-data suite); each callable (spark, sf_dir) →
-                  DataFrame. 76 queries, 68 with exact DuckDB oracles.
+                  DataFrame. 77 queries, 69 with exact DuckDB oracles.
 oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
                   KG-pipeline queries (chunking/extraction/canonicalization/
                   communities) are not ANSI-SQL-expressible → rows-only check
@@ -1933,6 +1933,65 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parsing (r7) with an EXACT oracle: per doc, a REAL
+    feed document — RSS 2.0 channel/items or a namespaced Atom feed with
+    rel=self decoys and published/updated precedence — is built from the
+    formula and parsed back by functions/feeds.parse_feed (the
+    entity-rejecting expat walk). DuckDB reconstructs kind/title/link/
+    published per entry. Completes the URL-discovery leg next to
+    sitemap_parse; the reference has no feed handling."""
+
+    def _make(batches):
+        import pandas as pd
+
+        from graphrag_mrkr_2_spark.functions.feeds import parse_feed
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                d = int(rec.doc_id)
+                if d % 2 == 0:
+                    xml = ("<rss version=\"2.0\"><channel><title>S</title>"
+                           + "".join(
+                               f"<item><title>Post {d}-{i}</title>"
+                               f"<link>https://f{d}.example/p/{i}</link>"
+                               f"<pubDate>0{i + 1} Jan 2026</pubDate>"
+                               f"</item>" for i in range(2))
+                           + "</channel></rss>").encode()
+                else:
+                    xml = ("<feed xmlns=\"http://www.w3.org/2005/Atom\">"
+                           "<title>S</title>"
+                           + "".join(
+                               f"<entry><title>Post {d}-{i}</title>"
+                               f"<link rel=\"self\" href=\"https://f{d}"
+                               f".example/self/{i}\"/>"
+                               f"<link rel=\"alternate\" href=\"https://"
+                               f"f{d}.example/p/{i}\"/>"
+                               f"<published>2026-01-0{i + 1}</published>"
+                               f"<updated>2026-02-0{i + 1}</updated>"
+                               f"</entry>" for i in range(2))
+                           + "</feed>").encode()
+                kind, entries = parse_feed(xml)
+                for i, e in enumerate(entries):
+                    rows.append({"doc_id": str(d), "entry_index": i,
+                                 "kind": kind, "title": e["title"],
+                                 "link": e["link"],
+                                 "published": e["published"]})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "entry_index", "kind", "title",
+                               "link", "published"])
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_make, "doc_id string, entry_index int, kind string, "
+                            "title string, link string, published string")
+        .orderBy(F.col("doc_id").cast("long"), "entry_index")
+    )
+
+
 def _pii_oracle_sql() -> str:
     """Build the doc_pii_redact oracle from the operator's OWN patterns so
     Spark and DuckDB provably run byte-identical regexes."""
@@ -2292,6 +2351,7 @@ def _register_queries() -> None:
             "mime_route": q_mime_route,
             "robots_eval": q_robots_eval,
             "sitemap_parse": q_sitemap_parse,
+            "feed_parse": q_feed_parse,
             # Last driver row: r5 (fell outside the r6 window)
             "dedup_representatives": q_dedup_representatives,
             "doc_corpus_stats": q_doc_corpus_stats,
@@ -3226,6 +3286,22 @@ def oracle_sql() -> dict[str, str]:
                      AS loc,
                    CASE WHEN d.doc_id % 4 = 2 THEN NULL
                         ELSE '2026-0' || (i.i + 1) || '-01' END AS lastmod
+            FROM documents d, generate_series(0, 1) i(i)
+            ORDER BY CAST(d.doc_id AS BIGINT), entry_index
+        """,
+        # Feed parsing: DuckDB rebuilds the entry rows from the rotation
+        # formula; Spark parses real RSS/Atom documents (rel=self decoys
+        # skipped, published preferred over updated)
+        "feed_parse": """
+            SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+                   CAST(i.i AS INTEGER) AS entry_index,
+                   CASE WHEN d.doc_id % 2 = 0 THEN 'rss'
+                        ELSE 'atom' END AS kind,
+                   'Post ' || d.doc_id || '-' || i.i AS title,
+                   'https://f' || d.doc_id || '.example/p/' || i.i AS link,
+                   CASE WHEN d.doc_id % 2 = 0
+                        THEN '0' || (i.i + 1) || ' Jan 2026'
+                        ELSE '2026-01-0' || (i.i + 1) END AS published
             FROM documents d, generate_series(0, 1) i(i)
             ORDER BY CAST(d.doc_id AS BIGINT), entry_index
         """,
