@@ -223,3 +223,55 @@ def evaluate_robots(
            StructField("robots_allowed", BooleanType(), True)]
     )
     return joined.mapInPandas(_eval, schema).drop("__dom")
+
+
+def expand_discovery_payloads(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "url",
+) -> DataFrame:
+    """Explode crawled discovery documents — sitemaps (urlset/
+    sitemapindex/text/gzip) and RSS/Atom feeds — into one row per
+    discovered URL (r7): columns (id, doc_kind, entry_index, loc, title,
+    lastmod). Per-payload quarantine: a malformed document contributes
+    zero rows instead of failing the task. 100-TB shape: one Arrow pass,
+    no shuffle; the output unions into the URL-curation chain
+    (normalize → registered_domain → caps → evaluate_robots)."""
+
+    def _expand(batches):
+        import pandas as pd
+
+        from graphrag_mrkr_2_spark.functions.feeds import parse_feed
+        from graphrag_mrkr_2_spark.functions.sitemaps import parse_sitemap
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                kind = None
+                entries = []
+                try:
+                    kind, entries = parse_sitemap(data)
+                except ValueError:
+                    try:
+                        kind, entries = parse_feed(data)
+                    except ValueError:
+                        continue  # quarantine: neither format
+                for i, e in enumerate(entries):
+                    rows.append({
+                        "id": str(rid),
+                        "doc_kind": kind,
+                        "entry_index": i,
+                        "loc": e.get("loc") or e.get("link"),
+                        "title": e.get("title"),
+                        "lastmod": e.get("lastmod") or e.get("published"),
+                    })
+            yield pd.DataFrame(
+                rows, columns=["id", "doc_kind", "entry_index", "loc",
+                               "title", "lastmod"])
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _expand,
+        "id string, doc_kind string, entry_index int, loc string, "
+        "title string, lastmod string",
+    )

@@ -98,3 +98,39 @@ class TestHostile:
                 parse_feed(blob)
             except ValueError:
                 pass
+
+
+@pytest.mark.spark
+class TestDiscoveryOperator:
+    def test_expand_discovery_payloads(self, spark):
+        import gzip
+
+        from graphrag_mrkr_2_spark.operators.urlops import (
+            expand_discovery_payloads,
+        )
+
+        rows = [
+            ("https://a/sm.xml",
+             b"<urlset><url><loc>https://a/1</loc>"
+             b"<lastmod>2026-01-01</lastmod></url></urlset>"),
+            ("https://a/sm.txt", b"https://a/2\n"),
+            ("https://a/sm.gz", gzip.compress(
+                b"<urlset><url><loc>https://a/3</loc></url></urlset>")),
+            ("https://a/feed", RSS),
+            ("https://a/atom", ATOM),
+            ("https://a/junk", b"\x00not a discovery doc"),  # quarantined
+        ]
+        df = spark.createDataFrame(rows, "url string, payload binary")
+        got = expand_discovery_payloads(df).collect()
+        by_id = {}
+        for r in got:
+            by_id.setdefault(r.id, []).append((r.doc_kind, r.loc, r.lastmod))
+        assert by_id["https://a/sm.xml"] == [
+            ("urlset", "https://a/1", "2026-01-01")]
+        assert by_id["https://a/sm.txt"] == [("text", "https://a/2", None)]
+        assert by_id["https://a/sm.gz"] == [("urlset", "https://a/3", None)]
+        assert [x[1] for x in by_id["https://a/feed"]] == [
+            "https://x.example/1", "https://x.example/2"]
+        assert by_id["https://a/atom"][0] == (
+            "atom", "https://x.example/e1", "2026-01-05T10:00:00Z")
+        assert "https://a/junk" not in by_id
