@@ -115,7 +115,25 @@ def run_kg_pipeline(
             curated = cap_per_domain(curated, max_pages_per_domain, order_col="url")
         pages = curated.select(*keep)
     if num_partitions:
-        pages = repartition_by_url(pages, num_partitions)
+        # Scale-adaptive (optimization guide §2.4 "remove shuffles outright"):
+        # the url-hash exchange exists to rebalance COARSE or LAYOUT-SKEWED
+        # sources (a handful of unsplittable .warc.gz files of wildly varying
+        # size) before the Python-heavy fused stage. A splittable columnar
+        # scan already arrives bytes-balanced at >= core-width parallelism
+        # (maxPartitionBytes splits), so the exchange buys nothing there and
+        # costs a full shuffle of the page payloads plus a task-count blowup
+        # (measured r8 at sf0.1/local[32]: fused stage 1.9-3.0 s unexchanged
+        # vs 3.7-6.0 s through the 192-partition exchange, identical output).
+        # Only repartition when the source offers fewer partitions than the
+        # cluster has cores; the mention/chunk outputs are identical either
+        # way (ids are content/url-derived, aggregations keyed).
+        sc = pages.sparkSession.sparkContext
+        try:
+            n_input = pages.rdd.getNumPartitions()
+        except Exception:
+            n_input = 0
+        if n_input < min(num_partitions, sc.defaultParallelism):
+            pages = repartition_by_url(pages, num_partitions)
 
     if "text" not in pages.columns:
         pages = extract_text(pages)
