@@ -70,8 +70,15 @@ def shingle_tokens(
     from pyspark.sql.window import Window
 
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = df.select(
-        F.col(id_col).alias("doc"), F.posexplode(words).alias("pos", "w"), F.size(words).alias("nw")
+    # repartition by doc BEFORE the explode: the window's exchange then
+    # carries one text row per document instead of one row per token
+    # (guide §2.3 — shuffle compact rows, fan out after the exchange); the
+    # window and every downstream doc-keyed distinct/groupBy reuse the
+    # partitioning, so the whole signature chain still has ONE exchange.
+    base = df.select(F.col(id_col).alias("doc"), F.col(text_col)).repartition(
+        F.col("doc")
+    ).select(
+        "doc", F.posexplode(words).alias("pos", "w"), F.size(words).alias("nw")
     )
     w_spec = Window.partitionBy("doc").orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", j).over(w_spec) for j in range(1, n)]

@@ -265,9 +265,17 @@ def with_content_filter(
     n_words = F.size(words)
     unique_ratio = F.size(F.array_distinct(words)) / n_words
     first_word = F.lower(F.element_at(words, 1))
-    first_word_count = F.size(
-        F.filter(words, lambda w: F.lower(w) == first_word)
-    )
+    # count of words equal (case-folded) to the first word. NOT
+    # F.filter(words, lambda w: lower(w) == first_word): an interpreted
+    # higher-order filter re-evaluates the captured first_word expression —
+    # which embeds the full split — once PER ELEMENT, making the predicate
+    # O(words^2) per row (measured r8: this one expression was 2.6 s of the
+    # 2.8 s content-filter pass at sf0.1). array_remove evaluates both
+    # operands once and scans linearly; count = |words| - |words without
+    # first_word|, value-identical (pinned by the DuckDB oracle and the
+    # quality.py twin tests).
+    lowered = F.transform(words, lambda w: F.lower(w))
+    first_word_count = F.size(lowered) - F.size(F.array_remove(lowered, first_word))
     # character classes: \p{L}\p{N} ≈ Python str.isalnum (exact on ASCII)
     alnum = F.length(F.regexp_replace(c, r"[^\p{L}\p{N}]", ""))
     space = F.length(F.regexp_replace(c, r"[^\s]", ""))

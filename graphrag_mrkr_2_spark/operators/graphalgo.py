@@ -108,6 +108,13 @@ def _local_components(edges: DataFrame) -> DataFrame:
     latency — pure waste on a graph that fits in one collect. Component ids
     (min node id) are identical to the distributed result by construction.
     """
+    return _local_components_rows(edges.collect(), edges.sparkSession)
+
+
+def _local_components_rows(rows, spark) -> DataFrame:
+    """Union-find over already-collected (u, v) rows. Tolerates directed,
+    duplicated and self-loop-free-or-not input — the result is the same
+    (node, component=min id) mapping the symmetric-distinct loop computes."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -118,9 +125,13 @@ def _local_components(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    rows = edges.collect()
     for r in rows:
         u, v = r["u"], r["v"]
+        if u == v:
+            # pure self-loops never enter the symmetric-distinct loop either
+            # (its u != v filter) — identical node coverage matters: callers
+            # left-join this and coalesce(component, node)
+            continue
         parent.setdefault(u, u)
         parent.setdefault(v, v)
         ru, rv = find(u), find(v)
@@ -131,7 +142,7 @@ def _local_components(edges: DataFrame) -> DataFrame:
             else:
                 parent[ru] = rv
     out = [(n, find(n)) for n in parent]
-    return edges.sparkSession.createDataFrame(out, "node string, component string")
+    return spark.createDataFrame(out, "node string, component string")
 
 
 def label_propagation(
@@ -262,12 +273,22 @@ def connected_components(
     would recompute the whole upstream lineage (and the plan would double
     per round).
     """
-    e = _symmetric(
-        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-    ).localCheckpoint(eager=True)
+    raw = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    if local_threshold > 0:
+        # limit-probe instead of symmetrize+checkpoint+count+collect: for
+        # the common small-graph case this evaluates the (possibly
+        # expensive) edge lineage once, skips the _symmetric distinct
+        # exchange and the checkpoint materialization entirely, and feeds
+        # the very rows it fetched to the union-find — union-find is
+        # insensitive to direction/duplicates, so the (node, component)
+        # values are identical to the r1-r7 path. Only when the probe
+        # overflows (big graph — the loop dominates anyway) does the
+        # distributed path pay its symmetrize+checkpoint.
+        probe = raw.limit(local_threshold + 1).collect()
+        if len(probe) <= local_threshold:
+            return _local_components_rows(probe, edges.sparkSession)
 
-    if local_threshold > 0 and e.count() <= local_threshold:
-        return _local_components(e)
+    e = _symmetric(raw).localCheckpoint(eager=True)
     prev = None
     for _ in range(max_iterations):
         e = _large_star(e)

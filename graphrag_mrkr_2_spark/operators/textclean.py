@@ -188,7 +188,14 @@ def ngram_hashes(
         ascii_word_tokens(F.col(text_col)).alias("__toks"),
     )
     if unique_id:
-        base = toks_df.select(
+        # repartition by id BEFORE the explode: the window's exchange then
+        # moves one compact token-array row per document instead of one row
+        # per token (~25x fewer shuffle rows; guide §2.3 "project before the
+        # exchange" applied to row fan-out). The window's required
+        # clustering is satisfied by the explicit hash partitioning, so no
+        # second exchange appears; downstream distinct/groupBys keyed by id
+        # reuse it exactly as before.
+        base = toks_df.repartition(F.col(id_col)).select(
             F.col(id_col),
             F.posexplode(F.col("__toks")).alias("pos", "w"),
             F.size(F.col("__toks")).alias("nw"),
