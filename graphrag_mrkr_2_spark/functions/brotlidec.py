@@ -688,6 +688,33 @@ def encode_brotli_native(data: bytes, quality: int = 5, lgwin: int = 22,
     return buf.raw[:n.value]
 
 
+_NATIVE_DEC_LIB = None
+
+
+def _load_brotli_dec():
+    """One-time ctypes load + prototype setup per process (the hot WARC
+    path decodes one payload per record — re-running CDLL + argtype
+    assignment per payload is avoidable overhead)."""
+    global _NATIVE_DEC_LIB
+    if _NATIVE_DEC_LIB is None:
+        import ctypes
+
+        lib = ctypes.CDLL(_BROTLI_LIB)
+        lib.BrotliDecoderCreateInstance.restype = ctypes.c_void_p
+        lib.BrotliDecoderCreateInstance.argtypes = [ctypes.c_void_p] * 3
+        lib.BrotliDecoderDecompressStream.restype = ctypes.c_int
+        lib.BrotliDecoderDecompressStream.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+        _NATIVE_DEC_LIB = lib
+    return _NATIVE_DEC_LIB
+
+
 def decode_brotli_native(data: bytes, max_output: int | None = None) -> bytes:
     """Decode via the system libbrotlidec (streaming API). Raises
     ValueError on malformed input or when the library is unavailable —
@@ -695,20 +722,9 @@ def decode_brotli_native(data: bytes, max_output: int | None = None) -> bytes:
     import ctypes
 
     try:
-        lib = ctypes.CDLL(_BROTLI_LIB)
+        lib = _load_brotli_dec()
     except OSError as e:  # pragma: no cover - lib present in this image
         raise ValueError(f"libbrotlidec unavailable: {e}") from e
-    lib.BrotliDecoderCreateInstance.restype = ctypes.c_void_p
-    lib.BrotliDecoderCreateInstance.argtypes = [ctypes.c_void_p] * 3
-    lib.BrotliDecoderDecompressStream.restype = ctypes.c_int
-    lib.BrotliDecoderDecompressStream.argtypes = [
-        ctypes.c_void_p,
-        ctypes.POINTER(ctypes.c_size_t),
-        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
-        ctypes.POINTER(ctypes.c_size_t),
-        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
-        ctypes.POINTER(ctypes.c_size_t),
-    ]
     st = lib.BrotliDecoderCreateInstance(None, None, None)
     if not st:
         raise ValueError("libbrotlidec: instance creation failed")

@@ -70,11 +70,16 @@ def parse_feed(data: bytes) -> tuple[str, list[dict]]:
                     rel = v
                 elif lk == "href":
                     href = v
-            if href and (rel in (None, "alternate")
-                         or state["cur"]["link"] is None):
-                if rel in (None, "alternate") or not state["link_rel_alt"]:
+            if href:
+                is_alt = rel in (None, "alternate")
+                if is_alt and not state["link_rel_alt"]:
+                    # FIRST rel=alternate wins (feed convention; ADVICE r7
+                    # — later alternates no longer overwrite it)
                     state["cur"]["link"] = href
-                    state["link_rel_alt"] = rel in (None, "alternate")
+                    state["link_rel_alt"] = True
+                elif not is_alt and state["cur"]["link"] is None:
+                    # non-alternate only ever fills an empty placeholder
+                    state["cur"]["link"] = href
         state["text"] = []
 
     def chars(text):

@@ -205,6 +205,33 @@ IMAGE_FEATURE_SCHEMA = StructType(
 )
 
 
+_AUTO_IMAGE_DECODER = None
+
+
+def _auto_image_decoder():
+    """Default decoder for ``image_features``: the system libjpeg/libwebp
+    via ``NativeImageDecoder``, RESTRICTED to the two formats whose native
+    decode is pinned bit-identical to the pure kernels
+    (tests/test_nativecodecs.py) — so the default only accelerates, never
+    changes a single pixel or widens coverage (AVIF/HEIC stay explicit
+    injection). Returns a decoder whose per-format ctypes handles load
+    lazily per worker and that yields None (→ pure fallback) wherever the
+    libraries or the compiler for the jpeg shim are absent, so hosts
+    without them behave exactly as before at pure-kernel speed.
+
+    r8 (optimization guide §4.2 — native code inside the batch loop): the
+    pure JPEG/WEBP kernels dominated the image-decode pass ~10:1; the
+    prior posture only reached native through an explicit ``decoder=``
+    argument, leaving the default path on the slow kernels.
+    """
+    global _AUTO_IMAGE_DECODER
+    if _AUTO_IMAGE_DECODER is None:
+        from graphrag_mrkr_2_spark.functions.nativecodecs import NativeImageDecoder
+
+        _AUTO_IMAGE_DECODER = NativeImageDecoder(formats=("jpeg", "webp"))
+    return _AUTO_IMAGE_DECODER
+
+
 def image_features(
     media: DataFrame,
     dim: int = 16,
@@ -239,6 +266,14 @@ def image_features(
     ``image_decode_native`` bench line).
     """
     from graphrag_mrkr_2_spark.functions.imagecodecs import decode_image, sniff_image
+
+    if decoder is None:
+        # prefer-native default (bit-identical jpeg/webp only; see
+        # _auto_image_decoder). ``decoder=False`` forces the pure kernels
+        # (the A/B baseline); any callable injects as before.
+        decoder = _auto_image_decoder()
+    elif decoder is False:
+        decoder = None
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

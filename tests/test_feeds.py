@@ -134,3 +134,46 @@ class TestDiscoveryOperator:
         assert by_id["https://a/atom"][0] == (
             "atom", "https://x.example/e1", "2026-01-05T10:00:00Z")
         assert "https://a/junk" not in by_id
+
+
+def test_atom_first_alternate_link_wins():
+    """ADVICE r7: a second rel=alternate must not overwrite the first."""
+    from graphrag_mrkr_2_spark.functions.feeds import parse_feed
+
+    feed = b"""<?xml version="1.0"?>
+<feed xmlns="http://www.w3.org/2005/Atom">
+  <title>t</title>
+  <entry>
+    <title>e1</title>
+    <link rel="self" href="https://x.example/self"/>
+    <link rel="alternate" href="https://x.example/first"/>
+    <link rel="alternate" href="https://x.example/second"/>
+  </entry>
+  <entry>
+    <title>e2</title>
+    <link rel="self" href="https://x.example/self2"/>
+  </entry>
+</feed>"""
+    kind, entries = parse_feed(feed)
+    assert kind == "atom"
+    assert entries[0]["link"] == "https://x.example/first"
+    # self-only entry still falls back to the non-alternate placeholder
+    assert entries[1]["link"] == "https://x.example/self2"
+
+
+def test_gzipped_feed_expands_through_discovery(spark):
+    """ADVICE r7: .xml.gz feeds must survive expand_discovery_payloads."""
+    import gzip
+
+    from graphrag_mrkr_2_spark.operators.urlops import expand_discovery_payloads
+
+    feed = (b'<?xml version="1.0"?><rss version="2.0"><channel><title>c</title>'
+            b"<item><title>i1</title><link>https://g.example/a</link></item>"
+            b"</channel></rss>")
+    df = spark.createDataFrame(
+        [("https://g.example/feed.xml.gz", bytearray(gzip.compress(feed)))],
+        "url string, payload binary",
+    )
+    rows = expand_discovery_payloads(df).collect()
+    assert len(rows) == 1 and rows[0]["loc"] == "https://g.example/a"
+    assert rows[0]["doc_kind"] == "rss"

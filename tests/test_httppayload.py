@@ -188,3 +188,58 @@ class TestWarcIntegration:
         pages = parse_warc_bytes(
             self._record(junk, b"Content-Encoding: gzip\r\n"))
         assert pages[0]["html"] == junk  # raw bytes kept, record not dropped
+
+
+class TestPreferNativeSeam:
+    """r8 (VERDICT r7 #1): br/zstd default to the bit-identical native
+    decoders with automatic pure fallback; set_content_decoders is the
+    public override mirroring the NativeImageDecoder posture."""
+
+    def _fixtures(self):
+        from graphrag_mrkr_2_spark.functions.brotlidec import encode_brotli_native
+        from graphrag_mrkr_2_spark.functions.httppayload import encode_zstd_native
+
+        raw = b"<html>" + b"decoder seam fixture " * 500 + b"</html>"
+        return raw, encode_brotli_native(raw, 5), encode_zstd_native(raw)
+
+    def test_default_auto_decodes_bit_identical(self):
+        raw, br, zs = self._fixtures()
+        assert decode_content_encoding(br, "br") == raw
+        assert decode_content_encoding(zs, "zstd") == raw
+
+    def test_pure_and_native_modes_agree(self):
+        from graphrag_mrkr_2_spark.functions import httppayload as hp
+
+        raw, br, zs = self._fixtures()
+        try:
+            hp.set_content_decoders(br="pure", zstd="pure")
+            assert hp.decode_content_encoding(br, "br") == raw
+            assert hp.decode_content_encoding(zs, "zstd") == raw
+            hp.set_content_decoders(br="native", zstd="native")
+            assert hp.decode_content_encoding(br, "br") == raw
+            assert hp.decode_content_encoding(zs, "zstd") == raw
+        finally:
+            hp.set_content_decoders(br="auto", zstd="auto")
+
+    def test_auto_falls_back_when_library_missing(self, monkeypatch):
+        from graphrag_mrkr_2_spark.functions import brotlidec as bd
+        from graphrag_mrkr_2_spark.functions import httppayload as hp
+
+        raw, br, _zs = self._fixtures()
+        monkeypatch.setattr(bd, "_NATIVE_DEC_LIB", None)
+        monkeypatch.setattr(bd, "_BROTLI_LIB", "/nonexistent/libbrotlidec.so")
+        fresh = hp._prefer_native(bd.decode_brotli_native, hp._decode_brotli_pure)
+        assert fresh(br) == raw  # pure fallback, availability memoized
+        assert fresh(br) == raw
+
+    def test_malformed_stream_still_raises_for_quarantine(self):
+        with pytest.raises(ValueError):
+            decode_content_encoding(b"\x00\x01\x02garbage", "br")
+        with pytest.raises(ValueError):
+            decode_content_encoding(b"\x28\xb5\x2f\xfdgarbage", "zstd")
+
+    def test_unknown_choice_rejected(self):
+        from graphrag_mrkr_2_spark.functions import httppayload as hp
+
+        with pytest.raises(ValueError, match="unknown decoder choice"):
+            hp.set_content_decoders(br="fast")

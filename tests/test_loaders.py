@@ -105,3 +105,63 @@ def test_csv_loader(spark, tmp_path):
     rows = got.collect()
     assert len(rows) == 1 and rows[0]["url"] == "https://c/1"
     assert bytes(rows[0]["html"]) == b"<p>hi</p>"
+
+
+# ---------------------------------------------------------------------------
+# r8 hardening: hostile record headers + file-level gzip quarantine
+# (VERDICT r7 'What's wrong' #2) and the transport-charset binary gate
+# (ADVICE r7 #1)
+# ---------------------------------------------------------------------------
+
+def _hostile_record(url: str, body: bytes = b"HTTP/1.1 200 OK\r\n\r\nok",
+                 length: str | None = None) -> bytes:
+    n = length if length is not None else str(len(body))
+    return (f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\nContent-Length: {n}\r\n\r\n"
+            ).encode() + body + b"\r\n\r\n"
+
+
+def test_nonnumeric_content_length_quarantines_record_only():
+    data = (_hostile_record("https://bad.example/", length="banana")
+            + _hostile_record("https://good.example/")
+            + _hostile_record("https://neg.example/", length="-5")
+            + _hostile_record("https://good2.example/"))
+    urls = [p["url"] for p in parse_warc_bytes(data)]
+    assert "https://good.example/" in urls and "https://good2.example/" in urls
+    assert "https://bad.example/" not in urls and "https://neg.example/" not in urls
+
+
+def test_corrupt_whole_file_gzip_quarantines_file():
+    assert parse_warc_bytes(b"\x1f\x8b" + b"not really gzip") == []
+
+
+def test_truncated_final_record_keeps_siblings():
+    data = _hostile_record("https://ok.example/") + (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://trunc.example/\r\n"
+        b"Content-Length: 999999\r\n\r\nHTTP/1.1 200 OK\r\n\r\nshort")
+    urls = [p["url"] for p in parse_warc_bytes(data)]
+    assert "https://ok.example/" in urls
+
+
+def test_transport_charset_skips_binary_payloads():
+    from graphrag_mrkr_2_spark.sources.loaders import _apply_transport_charset
+
+    png = b"\x89PNG\r\n\x1a\n" + bytes(range(64))
+    # PNG served as text/html with a legacy charset: verbatim passthrough
+    assert _apply_transport_charset(png, "text/html; charset=iso-8859-1") == png
+    # non-text declared type: charset param is meaningless, passthrough
+    assert _apply_transport_charset(png, "image/png; charset=utf-8") == png
+    mp4 = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16
+    assert _apply_transport_charset(mp4, "text/plain; charset=utf-8") == mp4
+    # control bytes in a declared single-byte-charset body: not text
+    blob = b"ab\x00\x01cd" * 20
+    assert _apply_transport_charset(blob, "text/html; charset=windows-1252") == blob
+    # real legacy text still transcodes to BOM'd UTF-8
+    legacy = "caffè".encode("cp1252")
+    out = _apply_transport_charset(legacy, "text/html; charset=windows-1252")
+    assert out.startswith(b"\xef\xbb\xbf") and out[3:].decode("utf-8") == "caffè"
+    # utf-16 declared by header keeps transcoding despite its NUL bytes
+    u16 = "hello".encode("utf-16-le")
+    out16 = _apply_transport_charset(u16, "text/html; charset=utf-16le")
+    assert out16.startswith(b"\xef\xbb\xbf") and out16[3:].decode("utf-8") == "hello"
