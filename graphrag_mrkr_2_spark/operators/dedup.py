@@ -75,8 +75,15 @@ def shingle_tokens(
     # (guide §2.3 — shuffle compact rows, fan out after the exchange); the
     # window and every downstream doc-keyed distinct/groupBy reuse the
     # partitioning, so the whole signature chain still has ONE exchange.
+    # The partition count MUST be explicit: an un-numbered repartition is
+    # AQE-coalescible by INPUT bytes, and the compact pre-explode rows are
+    # ~30-50x smaller than the exploded stream they fan out into — AQE
+    # collapsed them to 1-2 partitions and serialized the whole window +
+    # signature stage (measured r8: dedup_minhash 4.7 s -> 7.4 s before
+    # this count was pinned to the session's shuffle parallelism).
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     base = df.select(F.col(id_col).alias("doc"), F.col(text_col)).repartition(
-        F.col("doc")
+        n_shuffle, F.col("doc")
     ).select(
         "doc", F.posexplode(words).alias("pos", "w"), F.size(words).alias("nw")
     )
@@ -184,6 +191,53 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _xxhash64_rehash_matrix(h_signed: "np.ndarray", num_hashes: int):
+    """Vectorized twin of Spark's ``xxhash64(h, lit(i))`` for a LongType
+    column ``h`` and IntegerType literal ``i`` in 0..num_hashes-1.
+
+    Spark chains per-field XXH64 steps with seed 42: first the 8-byte step
+    (hashLong) over ``h``, then — because a Python int literal plans as
+    IntegerType — the 4-byte step (hashInt) over ``i``. Both steps are the
+    published XXH64 small-input schedule, reproduced here over uint64
+    numpy arrays (multiplication/addition wrap mod 2^64 exactly like Java
+    longs). Returns an int64 (rows, num_hashes) matrix; bit-identity with
+    the JVM expression is pinned by
+    tests/test_dedup.py::test_numpy_rehash_matches_spark_xxhash64.
+    """
+    import numpy as np
+
+    U = np.uint64
+    P1 = U(0x9E3779B185EBCA87)
+    P2 = U(0xC2B2AE3D27D4EB4F)
+    P3 = U(0x165667B19E3779F9)
+    P4 = U(0x85EBCA77C2B2AE63)
+    P5 = U(0x27D4EB2F165667C5)
+    with np.errstate(over="ignore"):
+        h = h_signed.view(U)
+        # hashLong(h, seed=42)
+        acc = U(42) + P5 + U(8)
+        k1 = h * P2
+        k1 = ((k1 << U(31)) | (k1 >> U(33))) * P1
+        acc = acc ^ k1
+        acc = ((acc << U(27)) | (acc >> U(37))) * P1 + P4
+        acc = acc ^ (acc >> U(33))
+        acc = acc * P2
+        acc = acc ^ (acc >> U(29))
+        acc = acc * P3
+        acc = acc ^ (acc >> U(32))
+        # hashInt(i, seed=acc), broadcast over the seed column
+        ik1 = (np.arange(num_hashes, dtype=U) & U(0xFFFFFFFF)) * P1
+        m = acc[:, None] + P5 + U(4)
+        m = m ^ ik1[None, :]
+        m = ((m << U(23)) | (m >> U(41))) * P2 + P3
+        m = m ^ (m >> U(33))
+        m = m * P2
+        m = m ^ (m >> U(29))
+        m = m * P3
+        m = m ^ (m >> U(32))
+    return m.view(np.int64)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -191,36 +245,83 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
 ) -> DataFrame:
-    """k-permutation MinHash signature, entirely JVM-side.
+    """k-permutation MinHash signature: h_i(s) = xxhash64(xxhash64(s), i).
 
-    ONE string hash per shingle (xxhash64 over the ~n-word text), then the
-    k permutations re-hash that fixed 8-byte long with per-permutation
-    seeds: h_i(s) = xxhash64(xxhash64(s), seed=i). (A multiply-shift family
-    would be cheaper still, but Spark 4 ANSI mode throws on the deliberate
-    64-bit wraparound.)
-
-    Plan shape: explode shingles → k min() aggregates in ONE groupBy(doc).
-    Simple min/xxhash aggregate expressions stay inside whole-stage codegen
-    with map-side partial aggregation (one partial row per doc per
-    partition), unlike the k array_min(transform(...)) higher-order
-    expressions of the round-1 design, which Catalyst interprets
-    per-element with an array allocation per transform (~2x wall measured
-    at sf0.1). The shuffle moves only (doc, k longs).
+    Shingle construction and the per-shingle string hash stay JVM-side
+    (whole-stage codegen, one compact-row exchange — see shingle_tokens);
+    the k-fold re-hash + per-doc min runs as ONE vectorized numpy
+    ``mapInPandas`` stage over the window's doc-sorted output (guide §4.2
+    — a (rows x k) uint64 matrix per Arrow batch, signed-min reduceat per
+    doc run, tail group carried across batch boundaries). The r2-r7 shape
+    ran k min(xxhash64(h, i)) aggregates in a groupBy — 64 per-row
+    aggregate expression evaluations outside any vectorization, measured
+    r8 at 3.1-3.4 s vs 0.95 s for this stage at sf0.1/local[32] with
+    byte-identical signatures (the numpy kernel reproduces Spark's XXH64
+    bit-for-bit; duplicate shingles need no distinct pass because min is
+    duplicate-insensitive, which also preserves the window's doc-sorted
+    row order end to end).
     """
-    toks = shingle_tokens(df, id_col, text_col, n).select(
-        "doc", F.xxhash64("shingle").alias("h")
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = df.select(F.col(id_col).alias("doc"), F.col(text_col)).repartition(
+        n_shuffle, F.col("doc")
+    ).select(
+        "doc", F.posexplode(words).alias("pos", "w"), F.size(words).alias("nw")
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
-        for i in range(num_hashes)
-    ]
-    return (
-        toks.groupBy("doc")
-        .agg(*aggs)
-        .select(
-            "doc", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("signature")
-        )
+    w_spec = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(w_spec) for j in range(1, n)]
+    keep = (F.col("pos") <= F.col("nw") - n) | ((F.col("pos") == 0) & (F.col("nw") < n))
+    toks = (
+        base.select("doc", "pos", "nw", F.concat_ws(" ", *parts).alias("shingle"))
+        .where(keep)
+        .select("doc", F.xxhash64("shingle").alias("h"))
     )
+
+    def _run(batches):
+        started = False
+        pend_doc = None
+        pend_min = None
+        out_docs: list = []
+        out_sigs: list = []
+
+        def flush():
+            out_docs.append(pend_doc)
+            out_sigs.append(pend_min.tolist())
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            docs = pdf["doc"].to_numpy()
+            hh = _xxhash64_rehash_matrix(
+                pdf["h"].to_numpy(dtype=np.int64), num_hashes
+            )
+            change = np.flatnonzero(docs[1:] != docs[:-1]) + 1
+            bounds = np.concatenate(([0], change, [len(docs)]))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                d = docs[s]
+                m = hh[s:e].min(axis=0)
+                if started and d == pend_doc:
+                    pend_min = np.minimum(pend_min, m)
+                else:
+                    if started:
+                        flush()
+                    started = True
+                    pend_doc = d
+                    pend_min = m
+            if len(out_docs) >= 512:
+                yield pd.DataFrame({"doc": out_docs, "signature": out_sigs})
+                out_docs, out_sigs = [], []
+        if started:
+            flush()
+        if out_docs:
+            yield pd.DataFrame({"doc": out_docs, "signature": out_sigs})
+
+    return toks.mapInPandas(_run, f"doc {id_type}, signature array<long>")
 
 
 def minhash_lsh_pairs(
@@ -243,7 +344,14 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # materialize the signatures once: the band self-join references the
+    # signature subtree from BOTH sides, and only the bottom exchange is
+    # runtime-reused — the window + k-fold re-hash above it executed twice
+    # (r8 plan audit; 2.4-2.7 s -> 1.9 s at sf0.1 with the checkpoint).
+    # The checkpointed rows are tiny: (doc, k longs).
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).localCheckpoint(
+        eager=True
+    )
 
     band_entries = sigs.select(
         "doc",

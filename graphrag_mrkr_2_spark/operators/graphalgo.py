@@ -275,20 +275,21 @@ def connected_components(
     """
     raw = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     if local_threshold > 0:
-        # limit-probe instead of symmetrize+checkpoint+count+collect: for
-        # the common small-graph case this evaluates the (possibly
-        # expensive) edge lineage once, skips the _symmetric distinct
-        # exchange and the checkpoint materialization entirely, and feeds
-        # the very rows it fetched to the union-find — union-find is
-        # insensitive to direction/duplicates, so the (node, component)
-        # values are identical to the r1-r7 path. Only when the probe
-        # overflows (big graph — the loop dominates anyway) does the
-        # distributed path pay its symmetrize+checkpoint.
-        probe = raw.limit(local_threshold + 1).collect()
-        if len(probe) <= local_threshold:
-            return _local_components_rows(probe, edges.sparkSession)
-
-    e = _symmetric(raw).localCheckpoint(eager=True)
+        # checkpoint the RAW edges (one evaluation of the possibly
+        # expensive lineage), then count + collect the materialized blocks.
+        # The r1-r7 shape symmetrized + distinct-exchanged BEFORE the
+        # checkpoint, paying a full explode+shuffle+dedup even when the
+        # graph then fit in one collect; union-find is insensitive to
+        # direction/duplicates, so feeding it the raw rows yields the
+        # identical (node, component) mapping. (An incremental limit-probe
+        # was tried first and rejected: CollectLimit's scale-up rounds cost
+        # more scheduling latency than the count they avoid.)
+        raw_ckpt = raw.localCheckpoint(eager=True)
+        if raw_ckpt.count() <= local_threshold:
+            return _local_components_rows(raw_ckpt.collect(), edges.sparkSession)
+        e = _symmetric(raw_ckpt).localCheckpoint(eager=True)
+    else:
+        e = _symmetric(raw).localCheckpoint(eager=True)
     prev = None
     for _ in range(max_iterations):
         e = _large_star(e)

@@ -207,9 +207,14 @@ def chunk_similarity_edges_grams(
                     out, columns=["document_id", "id1", "id2", "score", "rank"]
                 )
 
+    # explicit partition count: the per-row payload here is tiny (id + a
+    # 32-float vector), so an AQE-coalescible un-numbered repartition would
+    # collapse to one partition by bytes and serialize the CPU-bound gram
+    # kernel; the session's shuffle parallelism is the scale-adaptive knob
+    n_shuffle = int(chunks.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     src = (
         chunks.select(doc_col, id_col, vec_col)
-        .repartition(F.col(doc_col))
+        .repartition(n_shuffle, F.col(doc_col))
         .sortWithinPartitions(doc_col)
     )
     out = src.mapInPandas(

@@ -194,8 +194,11 @@ def ngram_hashes(
         # exchange" applied to row fan-out). The window's required
         # clustering is satisfied by the explicit hash partitioning, so no
         # second exchange appears; downstream distinct/groupBys keyed by id
-        # reuse it exactly as before.
-        base = toks_df.repartition(F.col(id_col)).select(
+        # reuse it exactly as before. Explicit count: an un-numbered
+        # repartition is AQE-coalescible by its (compact) INPUT bytes,
+        # which under-parallelizes the exploded gram stream it feeds.
+        n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        base = toks_df.repartition(n_shuffle, F.col(id_col)).select(
             F.col(id_col),
             F.posexplode(F.col("__toks")).alias("pos", "w"),
             F.size(F.col("__toks")).alias("nw"),

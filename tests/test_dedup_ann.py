@@ -324,3 +324,56 @@ def test_ivf_train_requires_enough_vectors(spark):
     )
     with pytest.raises(ValueError, match="train"):
         ivf_train(df, n_lists=5)
+
+
+def test_numpy_rehash_matches_spark_xxhash64(spark):
+    """r8: minhash_signatures' vectorized k-fold re-hash must reproduce the
+    JVM expression xxhash64(h_long, lit(int_i)) bit-for-bit — the whole
+    LSH candidate set rides on it."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from graphrag_mrkr_2_spark.operators.dedup import _xxhash64_rehash_matrix
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(-2**63, 2**63 - 1, 500, dtype=np.int64)
+    vals[:4] = [0, -1, 2**63 - 1, -2**63]  # boundary longs
+    mat = _xxhash64_rehash_matrix(vals, 8)
+    df = spark.createDataFrame([(int(v),) for v in vals], "h long")
+    for i in (0, 3, 7):
+        got = [r[0] for r in df.select(F.xxhash64("h", F.lit(i))).collect()]
+        assert got == mat[:, i].tolist()
+
+
+def test_minhash_signatures_match_jvm_aggregate_form(spark):
+    """The r8 numpy signature stage must equal the r2-r7 JVM k-min-agg
+    form exactly (same hash family over the same shingle set)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from graphrag_mrkr_2_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_tokens,
+    )
+
+    random.seed(3)
+    words = [f"w{j}" for j in range(40)]
+    rows = [
+        (i, " ".join(random.choice(words) for _ in range(random.randint(0, 30))))
+        for i in range(60)
+    ] + [(1000, ""), (1001, "one two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc"]: list(r["signature"])
+           for r in minhash_signatures(df, num_hashes=16).collect()}
+    toks = shingle_tokens(df).select("doc", F.xxhash64("shingle").alias("h"))
+    aggs = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}") for i in range(16)]
+    ref = {r["doc"]: [r[f"m{i}"] for i in range(16)]
+           for r in toks.groupBy("doc").agg(*aggs).collect()}
+    assert got == ref
+
+    # string ids keep their type through the python stage
+    sdf = df.select(F.concat(F.lit("d"), F.col("doc_id")).alias("doc_id"), "text")
+    srows = minhash_signatures(sdf, num_hashes=4).collect()
+    assert srows and all(isinstance(r["doc"], str) for r in srows)

@@ -62,10 +62,24 @@ def test_exact_dedup_partial_aggregates(spark):
 
 
 @pytest.mark.spark
-def test_minhash_scan_path_is_jvm_only(spark):
-    from graphrag_mrkr_2_spark.operators.dedup import minhash_lsh_pairs
+def test_minhash_scan_path_shape(spark):
+    """Shingle build + string hashing stay JVM codegen; the ONLY Python in
+    the signature plan is the single vectorized mapInPandas re-hash stage
+    (r8 — numpy k-fold XXH64, bit-identical to the JVM aggregate form per
+    test_dedup_ann), fed by ONE exchange that carries compact pre-explode
+    rows; never row-at-a-time Python, never a cross join."""
+    from graphrag_mrkr_2_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sig_plan = _plan(minhash_signatures(docs))
+    assert "BatchEvalPython" not in sig_plan and "ArrowEvalPython" not in sig_plan
+    tree = sig_plan.split("\n\n")[0]
+    assert tree.count("MapInPandas") == 1
+    assert tree.count("Exchange") == 1
+
     plan = _plan(minhash_lsh_pairs(docs, threshold=0.5, verify=False))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
