@@ -183,8 +183,11 @@ def detect_communities(
     small_mem = small.groupBy("component").applyInPandas(_cluster, _MEMBERSHIP_SCHEMA)
 
     # cheap scalar gate: LPA's iterative loop runs actions, so don't enter it
-    # when there is no giant component (the overwhelmingly common case)
-    if giant.limit(1).isEmpty():
+    # when there is no giant component (the overwhelmingly common case).
+    # Probe comp_sizes, not `giant`: the condition is identical (a giant
+    # exists iff some component exceeds the cap) and the lineage is one
+    # aggregate instead of aggregate + two joins + filter (r8).
+    if comp_sizes.where(F.col("n_edges") > max_component_size).limit(1).isEmpty():
         return small_mem
 
     lpa = label_propagation(giant, "src", "dst", "weight")
