@@ -440,6 +440,9 @@ def xlsx_text(data: bytes, max_rows_per_sheet: int = 1000, max_sheets: int = 20)
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b", re.S)
 _NAME_RE = re.compile(rb"/([^\s/<>\[\]()]+)")
+_REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
+_NUM_RE = re.compile(rb"[-+]?[\d.]+")
+_BOOL_RE = re.compile(rb"true|false|null")
 
 
 def _parse_pdf_value(buf: bytes, pos: int):
@@ -498,19 +501,23 @@ def _parse_pdf_value(buf: bytes, pos: int):
                 depth -= 1
             pos0 += 1
         return ("string", buf[pos + 1 : pos0 - 1]), pos0
-    m = re.match(rb"(\d+)\s+(\d+)\s+R\b", buf[pos:])
+    # pattern.match(buf, pos) — NOT re.match(pat, buf[pos:]): slicing the
+    # remaining buffer copies O(file) bytes per parsed token, which made
+    # the object parser quadratic in file size (r8: 0.23 ms/KB at 50 KB
+    # degrading to 0.65 ms/KB at 800 KB; flat after this fix)
+    m = _REF_RE.match(buf, pos)
     if m:
-        return ("ref", int(m.group(1))), pos + m.end()
-    m = re.match(rb"[-+]?[\d.]+", buf[pos:])
+        return ("ref", int(m.group(1))), m.end()
+    m = _NUM_RE.match(buf, pos)
     if m:
         try:
             num = float(m.group(0))
         except ValueError:
             num = 0.0
-        return num, pos + m.end()
-    m = re.match(rb"true|false|null", buf[pos:])
+        return num, m.end()
+    m = _BOOL_RE.match(buf, pos)
     if m:
-        return m.group(0) == b"true", pos + m.end()
+        return m.group(0) == b"true", m.end()
     return None, pos + 1
 
 
