@@ -255,12 +255,15 @@ def entity_mapping(
     OR (when ``tfidf_threshold`` is given) name TF-IDF cosine ≥ it — the
     north star's three scoring legs, each computed on candidates only."""
     cands = candidate_pairs(entities, id_col, name_col, n, num_hashes, bands)
-    # materialize the blocking output once (r8: ALWAYS, not only under
-    # tfidf): score_pairs joins the pair table against the gram table from
-    # both endpoint sides, and the downstream CC probe evaluates the match
-    # lineage again — without the checkpoint the LSH DAG ran 2-3x per call
-    # (measured 3.9 s -> 2.3 s at sf0.1 on the er_blocking shape).
-    cands = cands.localCheckpoint(eager=True)
+    if tfidf_threshold is not None:
+        # two consumers (jaccard scoring + tfidf scoring) — materialize the
+        # blocking output once instead of recomputing the LSH DAG per branch.
+        # (r8: an UNCONDITIONAL checkpoint here was tried and reverted — the
+        # extra job barrier measured 0.3-0.5 s slower than letting the two
+        # scoring-side joins re-read the one-job pipelined plan at sf0.1;
+        # the signature subtree, the expensive half, is already
+        # checkpointed inside candidate_pairs.)
+        cands = cands.localCheckpoint(eager=True)
     scored = score_pairs(cands, entities, id_col, name_col, n, vec_col=vec_col)
     gate = F.col("jaccard") >= threshold
     if vec_col and cosine_threshold is not None:
