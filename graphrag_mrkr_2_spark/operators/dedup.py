@@ -490,7 +490,12 @@ def simhash_pairs(
     large r means narrow bands and fatter buckets — the candidate join grows
     accordingly; web-scale dedup wants r<=4.
     """
-    fp = simhash_fingerprints(df, id_col, text_col, min_words)
+    # materialize the fingerprints once (r8): the band self-join references
+    # this subtree from both sides, so without the checkpoint the per-doc
+    # fingerprint UDF ran twice per call. Rows are (doc, one long).
+    fp = simhash_fingerprints(df, id_col, text_col, min_words).localCheckpoint(
+        eager=True
+    )
     nbands = max_hamming + 1
     assert 1 <= nbands <= 64, "max_hamming must be in [0, 63]"
     base, rem = divmod(64, nbands)
@@ -643,7 +648,11 @@ def embedding_near_dupes(
     if method != "lsh":
         raise ValueError(f"unknown method {method!r} (use 'lsh' or 'exact')")
 
-    bb = _multiband_hyperplane_buckets(df, id_col, vec_col, bands, planes_per_band, seed)
+    # checkpoint: the banded self-join reads this from both sides — without
+    # it the hyperplane-projection UDF ran twice per call (r8)
+    bb = _multiband_hyperplane_buckets(
+        df, id_col, vec_col, bands, planes_per_band, seed
+    ).localCheckpoint(eager=True)
     ba, bcol = bb.alias("ba"), bb.alias("bb")
     candidates = (
         ba.join(

@@ -265,7 +265,7 @@ def entity_similarity_edges(
 
         bb = _multiband_hyperplane_buckets(
             nodes, id_col, vec_col, bands, planes_per_band, seed
-        )
+        ).localCheckpoint(eager=True)  # read from both band-join sides (r8)
         cand = (
             bb.alias("ba")
             .join(
