@@ -24,19 +24,30 @@ _MAX_SITEMAP_BYTES = 52_428_800  # the protocol's own 50 MB limit
 _MAX_URLS = 50_000               # likewise
 
 
+def bounded_gunzip(data: bytes, cap: int = _MAX_SITEMAP_BYTES) -> bytes:
+    """STREAM-decompress a gzip member with the cap applied as bytes
+    materialize — a one-shot gzip.decompress would fully expand a ~1000:1
+    bomb before any size check could run (review r7). Raises ValueError on
+    a bad member or a cap overflow (shared by parse_sitemap and the
+    discovery-expansion operator; review r8)."""
+    try:
+        with gzip.GzipFile(fileobj=io.BytesIO(data)) as gf:
+            out = gf.read(cap + 1)
+    except (OSError, EOFError, zlib.error) as e:
+        raise ValueError(f"bad gzip member: {e}") from e
+    if len(out) > cap:
+        raise ValueError(
+            f"gzip member exceeds the {cap >> 20} MB decompression cap"
+        )
+    return out
+
+
 def parse_sitemap(data: bytes) -> tuple[str, list[dict]]:
     if data[:2] == b"\x1f\x8b":
-        # STREAM-decompress with the cap applied as bytes materialize — a
-        # one-shot gzip.decompress would fully expand a ~1000:1 bomb
-        # before any size check could run (review r7)
         try:
-            with gzip.GzipFile(fileobj=io.BytesIO(data)) as gf:
-                data = gf.read(_MAX_SITEMAP_BYTES + 1)
-                if len(data) > _MAX_SITEMAP_BYTES:
-                    raise ValueError(
-                        "sitemap: exceeds the 50 MB protocol limit")
-        except (OSError, EOFError, zlib.error) as e:
-            raise ValueError(f"sitemap: bad gzip member: {e}") from e
+            data = bounded_gunzip(data)
+        except ValueError as e:
+            raise ValueError(f"sitemap: {e}") from e
     if len(data) > _MAX_SITEMAP_BYTES:
         raise ValueError("sitemap: exceeds the 50 MB protocol limit")
     if data.startswith(b"\xef\xbb\xbf"):

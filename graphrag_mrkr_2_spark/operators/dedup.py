@@ -56,16 +56,25 @@ def with_shingles(
 
 
 def shingle_tokens(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct (doc, shingle) ROWS — the scan-path twin of with_shingles.
+    """(doc, shingle) ROWS — the scan-path twin of with_shingles.
 
     posexplode the word array once, then build each n-gram with window
     lead()s (concat_ws skips trailing nulls, which exactly reproduces the
     slice-shortening of with_shingles for the sub-n-word tail). Everything
-    stays in whole-stage codegen; the only exchange is the window hash by
-    doc — the same key the downstream groupBys use. Output set is
-    identical to exploding with_shingles (tests assert it).
+    stays in whole-stage codegen; the only exchange is the (pre-explode)
+    hash by doc — the same key the downstream groupBys use. With the
+    default ``distinct=True`` the output SET is identical to exploding
+    with_shingles (tests assert it). ``distinct=False`` keeps duplicate
+    shingle occurrences AND guarantees rows arrive doc-contiguous in the
+    window's (doc, pos) order — minhash_signatures' vectorized group walk
+    depends on that contract (min over a multiset equals min over its
+    set, so signatures are unaffected by the duplicates).
     """
     from pyspark.sql.window import Window
 
@@ -90,12 +99,12 @@ def shingle_tokens(
     w_spec = Window.partitionBy("doc").orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", j).over(w_spec) for j in range(1, n)]
     keep = (F.col("pos") <= F.col("nw") - n) | ((F.col("pos") == 0) & (F.col("nw") < n))
-    return (
+    out = (
         base.select("doc", "pos", "nw", F.concat_ws(" ", *parts).alias("shingle"))
         .where(keep)
         .select("doc", "shingle")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def char_ngram_tokens(
@@ -263,23 +272,12 @@ def minhash_signatures(
     """
     import numpy as np
 
-    from pyspark.sql.window import Window
-
     id_type = df.schema[id_col].dataType.simpleString()
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    base = df.select(F.col(id_col).alias("doc"), F.col(text_col)).repartition(
-        n_shuffle, F.col("doc")
-    ).select(
-        "doc", F.posexplode(words).alias("pos", "w"), F.size(words).alias("nw")
-    )
-    w_spec = Window.partitionBy("doc").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", j).over(w_spec) for j in range(1, n)]
-    keep = (F.col("pos") <= F.col("nw") - n) | ((F.col("pos") == 0) & (F.col("nw") < n))
-    toks = (
-        base.select("doc", "pos", "nw", F.concat_ws(" ", *parts).alias("shingle"))
-        .where(keep)
-        .select("doc", F.xxhash64("shingle").alias("h"))
+    # distinct=False: min is duplicate-insensitive, and the non-distinct
+    # path preserves the window's doc-contiguous row order the group walk
+    # below depends on (see shingle_tokens' order contract)
+    toks = shingle_tokens(df, id_col, text_col, n, distinct=False).select(
+        "doc", F.xxhash64("shingle").alias("h")
     )
 
     def _run(batches):

@@ -242,34 +242,26 @@ def expand_discovery_payloads(
         import pandas as pd
 
         from graphrag_mrkr_2_spark.functions.feeds import parse_feed
-        from graphrag_mrkr_2_spark.functions.sitemaps import parse_sitemap
+        from graphrag_mrkr_2_spark.functions.sitemaps import (
+            bounded_gunzip,
+            parse_sitemap,
+        )
 
         for pdf in batches:
             rows: list[dict] = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
-                # ADVICE r7: un-gzip ONCE up front (bounded, same 50 MB
-                # streaming cap as parse_sitemap's own member handling) so
-                # a compressed FEED also parses — previously parse_sitemap
-                # un-gzipped but rejected <rss>/<feed> roots, and parse_feed
-                # then received the still-compressed bytes and quarantined
-                # every .xml.gz feed
+                # ADVICE r7: un-gzip ONCE up front (bounded_gunzip — the
+                # same 50 MB streaming-capped member handling parse_sitemap
+                # uses) so a compressed FEED also parses — previously
+                # parse_sitemap un-gzipped but rejected <rss>/<feed> roots,
+                # and parse_feed then received the still-compressed bytes
+                # and quarantined every .xml.gz feed
                 if data[:2] == b"\x1f\x8b":
-                    import gzip as _gzip
-                    import io as _io
-
-                    from graphrag_mrkr_2_spark.functions.sitemaps import (
-                        _MAX_SITEMAP_BYTES,
-                    )
-
                     try:
-                        with _gzip.GzipFile(fileobj=_io.BytesIO(data)) as gf:
-                            expanded = gf.read(_MAX_SITEMAP_BYTES + 1)
-                        if len(expanded) > _MAX_SITEMAP_BYTES:
-                            continue  # quarantine: decompression bomb
-                        data = expanded
-                    except (OSError, EOFError):
-                        continue  # quarantine: bad gzip member
+                        data = bounded_gunzip(data)
+                    except ValueError:
+                        continue  # quarantine: bad member / bomb
                 kind = None
                 entries = []
                 try:

@@ -124,15 +124,33 @@ def run_kg_pipeline(
         # costs a full shuffle of the page payloads plus a task-count blowup
         # (measured r8 at sf0.1/local[32]: fused stage 1.9-3.0 s unexchanged
         # vs 3.7-6.0 s through the 192-partition exchange, identical output).
-        # Only repartition when the source offers fewer partitions than the
-        # cluster has cores; the mention/chunk outputs are identical either
-        # way (ids are content/url-derived, aggregations keyed).
+        # The skip gate therefore requires BOTH (review r8): a plain
+        # splittable columnar scan — anything else (binaryFile WARC loads,
+        # in-memory relations, already-shuffled lineage such as the
+        # curate_urls path above) keeps the rebalance, because partition
+        # COUNT alone cannot prove per-partition balance — and at least
+        # core-width parallelism. The probes are plan-only (no jobs: the
+        # physical-plan string and the scan RDD's partition count of a
+        # projection over a file scan); mention/chunk outputs are identical
+        # either way (ids are content/url-derived, aggregations keyed).
         sc = pages.sparkSession.sparkContext
-        try:
-            n_input = pages.rdd.getNumPartitions()
-        except Exception:
-            n_input = 0
-        if n_input < min(num_partitions, sc.defaultParallelism):
+        skip = False
+        if not (curate_urls or max_pages_per_domain):
+            try:
+                plan = pages._jdf.queryExecution().sparkPlan().toString()
+                splittable = (
+                    "FileScan parquet" in plan or "FileScan orc" in plan
+                ) and not any(
+                    marker in plan
+                    for marker in ("binaryFile", "ExistingRDD", "Exchange",
+                                   "MapInPandas", "EvalPython")
+                )
+                if splittable:
+                    n_input = pages.rdd.getNumPartitions()
+                    skip = n_input >= min(num_partitions, sc.defaultParallelism)
+            except Exception:
+                skip = False
+        if not skip:
             pages = repartition_by_url(pages, num_partitions)
 
     if "text" not in pages.columns:

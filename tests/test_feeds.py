@@ -177,3 +177,23 @@ def test_gzipped_feed_expands_through_discovery(spark):
     rows = expand_discovery_payloads(df).collect()
     assert len(rows) == 1 and rows[0]["loc"] == "https://g.example/a"
     assert rows[0]["doc_kind"] == "rss"
+
+
+def test_corrupt_gzip_discovery_payload_quarantines_row(spark):
+    """Review r8: a gzip header with a corrupt deflate body raises
+    zlib.error from GzipFile — the expansion operator must quarantine the
+    row, not fail the task."""
+    from graphrag_mrkr_2_spark.operators.urlops import expand_discovery_payloads
+
+    import gzip
+
+    good = (b'<?xml version="1.0"?><rss version="2.0"><channel><title>c</title>'
+            b"<item><title>i</title><link>https://ok.example/a</link></item>"
+            b"</channel></rss>")
+    df = spark.createDataFrame(
+        [("https://bad.example/f.xml.gz", bytearray(b"\x1f\x8b\x08\x00" + b"corrupt!")),
+         ("https://ok.example/feed.xml.gz", bytearray(gzip.compress(good)))],
+        "url string, payload binary",
+    )
+    rows = expand_discovery_payloads(df).collect()
+    assert [r["loc"] for r in rows] == ["https://ok.example/a"]

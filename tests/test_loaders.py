@@ -165,3 +165,24 @@ def test_transport_charset_skips_binary_payloads():
     u16 = "hello".encode("utf-16-le")
     out16 = _apply_transport_charset(u16, "text/html; charset=utf-16le")
     assert out16.startswith(b"\xef\xbb\xbf") and out16[3:].decode("utf-8") == "hello"
+
+
+def test_transport_charset_short_ascii_magics_do_not_block_text():
+    """Review r8: text beginning with the WORDS 'BMW'/'ID3'/'RIFF' must
+    still transcode; real BMP/ID3v2/RIFF structures must not."""
+    from graphrag_mrkr_2_spark.sources.loaders import (
+        _apply_transport_charset,
+        _binary_magic,
+    )
+
+    for s in ("BMW für alle", "ID3 tags sind überall", "RIFF ist ein Format"):
+        out = _apply_transport_charset(
+            s.encode("cp1252"), "text/html; charset=windows-1252")
+        assert out.startswith(b"\xef\xbb\xbf") and out[3:].decode("utf-8") == s
+    bmp = b"BM" + (100).to_bytes(4, "little") + b"\x00" * 4 + b"\x28" + b"\x00" * 40
+    id3 = b"ID3\x03\x00\x00\x00\x00\x00\x21" + b"\x00" * 16
+    riff = b"RIFF" + (100).to_bytes(4, "little") + b"WAVEfmt " + b"\x00" * 16
+    for payload in (bmp, id3, riff):
+        assert _binary_magic(payload)
+        assert _apply_transport_charset(
+            payload, "text/html; charset=windows-1252") == payload
