@@ -127,9 +127,10 @@ def _local_components_rows(rows, spark) -> DataFrame:
 
     for r in rows:
         u, v = r["u"], r["v"]
-        if u == v:
-            # pure self-loops never enter the symmetric-distinct loop either
-            # (its u != v filter) — identical node coverage matters: callers
+        if u is None or v is None or u == v:
+            # pure self-loops and null endpoints never enter the
+            # symmetric-distinct loop either (its SQL u != v filter is
+            # null-rejecting) — identical node coverage matters: callers
             # left-join this and coalesce(component, node)
             continue
         parent.setdefault(u, u)
