@@ -35,9 +35,15 @@ def main() -> None:
     plans_tag = None
     only = None
     args = sys.argv[1:]
+    for flag in ("--plans", "--only"):
+        if flag in args and args.index(flag) + 1 >= len(args):
+            sys.exit(f"{flag} requires a value")
     if "--plans" in args:
         plans_tag = args[args.index("--plans") + 1]
     if "--only" in args:
+        # NOTE: section gates below use substring matching on the section
+        # name ("kg", "dedup", "er", "text", "comm"); timed() labels use
+        # prefix matching — pass a section name, not a full label
         only = args[args.index("--only") + 1]
 
     spark = get_spark(

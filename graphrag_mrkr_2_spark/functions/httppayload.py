@@ -263,7 +263,7 @@ def _decode_brotli_pure(body: bytes, max_output: int = _DEFAULT_MAX_OUTPUT) -> b
     return decode_brotli(body, max_output)
 
 
-def _prefer_native(native_fn, pure_fn):
+def _prefer_native(native_fn, pure_fn, load_fn):
     """Prefer-native-with-pure-fallback decoder (VERDICT r7 #1).
 
     The native bindings are bit-identical to the pure RFC decoders
@@ -271,36 +271,46 @@ def _prefer_native(native_fn, pure_fn):
     (BENCH_DIAG brotli_pure_mbps ~4.6 vs native ~58), so the hot path
     defaults to them; the pure decoders remain the always-available
     fallback wherever the system libraries are absent. Availability is
-    probed once per process (the state dict is per-worker — each executor
-    process settles its own answer on first use); a MALFORMED-stream error
-    from the native decoder propagates exactly like the pure decoder's,
-    preserving the caller's per-payload quarantine semantics."""
+    decided by actually running ``load_fn`` (the ctypes load + prototype
+    setup) once per process — ANY loader failure, including a resolvable
+    soname with a missing symbol (AttributeError), routes to the pure
+    decoder (review r8: an error-message-substring taxonomy was too
+    fragile). The state dict is per-worker, so each executor process
+    settles its own answer on first use. Once native is selected, a
+    MALFORMED-stream error from it propagates exactly like the pure
+    decoder's, preserving the caller's per-payload quarantine semantics."""
     state: dict[str, bool | None] = {"native": None}
 
     def dec(body: bytes, max_output: int = _DEFAULT_MAX_OUTPUT) -> bytes:
-        if state["native"] is False:
-            return pure_fn(body, max_output)
-        try:
-            out = native_fn(body, max_output)
-        except ValueError as e:
-            if "unavailable" in str(e):
+        if state["native"] is None:
+            try:
+                load_fn()
+                state["native"] = True
+            except Exception:
                 state["native"] = False
-                return pure_fn(body, max_output)
-            raise
-        state["native"] = True
-        return out
+        if state["native"]:
+            return native_fn(body, max_output)
+        return pure_fn(body, max_output)
 
     return dec
 
 
+def _load_brotli():
+    from graphrag_mrkr_2_spark.functions.brotlidec import _load_brotli_dec
+
+    _load_brotli_dec()
+
+
 _DECODER_MODES = {
     "br": {
-        "auto": _prefer_native(decode_brotli_native, _decode_brotli_pure),
+        "auto": _prefer_native(decode_brotli_native, _decode_brotli_pure,
+                               _load_brotli),
         "native": decode_brotli_native,
         "pure": _decode_brotli_pure,
     },
     "zstd": {
-        "auto": _prefer_native(decode_zstd_native, _decode_zstd),
+        "auto": _prefer_native(decode_zstd_native, _decode_zstd,
+                               _ZstdBuf.load),
         "native": decode_zstd_native,
         "pure": _decode_zstd,
     },

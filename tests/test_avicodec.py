@@ -117,7 +117,7 @@ class TestSparkWiring:
                 for r in frames
             ],
         )
-        feats = image_features(fmedia, dim=4, strict=True).collect()
+        feats = image_features(fmedia, dim=4, strict=True, decoder=False).collect()
         assert len(feats) == 2
 
     def test_strict_raises_for_h264(self, spark):

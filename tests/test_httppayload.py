@@ -228,7 +228,9 @@ class TestPreferNativeSeam:
         raw, br, _zs = self._fixtures()
         monkeypatch.setattr(bd, "_NATIVE_DEC_LIB", None)
         monkeypatch.setattr(bd, "_BROTLI_LIB", "/nonexistent/libbrotlidec.so")
-        fresh = hp._prefer_native(bd.decode_brotli_native, hp._decode_brotli_pure)
+        fresh = hp._prefer_native(
+            bd.decode_brotli_native, hp._decode_brotli_pure, bd._load_brotli_dec
+        )
         assert fresh(br) == raw  # pure fallback, availability memoized
         assert fresh(br) == raw
 

@@ -216,7 +216,7 @@ class TestSparkWiring:
         )
         feats = {
             r["media_id"]: r["feature"]
-            for r in image_features(media, dim=4, strict=True).collect()
+            for r in image_features(media, dim=4, strict=True, decoder=False).collect()
         }
         assert feats["black"][0] == pytest.approx(1.0)
         assert feats["white"][-1] == pytest.approx(1.0)
@@ -239,9 +239,9 @@ class TestSparkWiring:
             "meta struct<codec:string,width:int,height:int,duration_ms:int>",
         )
         with pytest.raises(Exception, match="lossy|VP8L|codec"):
-            image_features(media, strict=True).collect()
+            image_features(media, strict=True, decoder=False).collect()
         # non-strict: both quarantine to the deterministic fake
-        assert image_features(media, strict=False).count() == 2
+        assert image_features(media, strict=False, decoder=False).count() == 2
 
     def test_roundtrip_checksums_match_formula(self, spark):
         from graphrag_mrkr_2_spark.operators.multimodal import (

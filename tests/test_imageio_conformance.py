@@ -227,7 +227,7 @@ class TestImageIOToOurs:
         media = with_probed_media(raw)
         meta = media.collect()[0]["meta"]
         assert meta["codec"] == "jpeg" and meta["width"] == 32 and meta["height"] == 24
-        feats = image_features(media, dim=8, strict=True).collect()
+        feats = image_features(media, dim=8, strict=True, decoder=False).collect()
         assert len(feats) == 1
         hist = np.array(feats[0]["feature"])
         assert hist.sum() == pytest.approx(1.0) and (hist >= 0).all()
@@ -419,5 +419,5 @@ class TestJpegInTiffJdk:
         meta = media.collect()[0]["meta"]
         assert meta["codec"] == "tiff"
         assert int(meta["width"]) == 32 and int(meta["height"]) == 48
-        feats = image_features(media, strict=True).collect()
+        feats = image_features(media, strict=True, decoder=False).collect()
         assert len(feats) == 1

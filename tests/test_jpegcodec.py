@@ -165,7 +165,7 @@ class TestDispatch:
             "media_id string, kind string, payload binary, "
             "meta struct<codec:string,width:int,height:int,duration_ms:int>",
         )
-        feats = image_features(media, dim=4, strict=True).collect()
+        feats = image_features(media, dim=4, strict=True, decoder=False).collect()
         assert feats[0]["feature"][0] == pytest.approx(1.0)
 
 

@@ -210,7 +210,7 @@ class TestImageFeaturesInjection:
         from graphrag_mrkr_2_spark.operators.multimodal import image_features
 
         media = self._media(spark)
-        pure = {r["media_id"]: r["feature"] for r in image_features(media, strict=True).collect()}
+        pure = {r["media_id"]: r["feature"] for r in image_features(media, strict=True, decoder=False).collect()}
         injected = {
             r["media_id"]: r["feature"]
             for r in image_features(
